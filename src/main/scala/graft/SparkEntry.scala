@@ -1,13 +1,105 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q3JoinGroupSort(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg"            -> (Relational.q1Agg _),
+    "q2_filter_project" -> (Relational.q2FilterProject _),
+    "q3_join_group_sort"-> (Relational.q3JoinGroupSort _),
+    "q4_global_rollup"  -> (Relational.q4GlobalRollup _),
+    "q5_topn"           -> (Relational.q5TopN _),
+    "q6_pagination"     -> (Relational.q6Pagination _),
+    "q7_search_regex"   -> (Relational.q7SearchRegex _),
+    "q8_semijoin_in"    -> (Relational.q8SemijoinIn _),
+    "q9_antijoin"       -> (Relational.q9Antijoin _),
+    "q10_distinct_count"-> (Relational.q10DistinctCount _),
+    "q11_latest_per_key"-> (Relational.q11LatestPerKey _),
+    "q12_cost_calc"     -> (Relational.q12CostCalc _),
+    "q13_sql"           -> (Relational.q13Sql _),
+  )
+
+  /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
+    * the driver sorts columns by name and hash-compares values). */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        | cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+        | cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |  AND o_orderstatus = 'O'
+        |ORDER BY o_orderkey""".stripMargin,
+    "q3_join_group_sort" ->
+      """SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS d, user_id, c_name,
+        | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+        | count(*) AS cnt
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY y, m, d, user_id""".stripMargin,
+    "q4_global_rollup" ->
+      """SELECT cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+        | count(*) AS total_events,
+        | count(DISTINCT user_id) AS distinct_users
+        |FROM events""".stripMargin,
+    "q5_topn" ->
+      """SELECT n_name,
+        | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+        | count(*) AS total_events
+        |FROM events JOIN customer ON user_id = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY total_value DESC, n_name LIMIT 10""".stripMargin,
+    "q6_pagination" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+        |ORDER BY o_orderdate DESC, o_orderkey ASC LIMIT 10 OFFSET 20""".stripMargin,
+    "q7_search_regex" ->
+      """SELECT p_brand, count(*) AS cnt FROM part
+        |WHERE regexp_matches(lower(p_name), '(green|blue)')
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q8_semijoin_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q9_antijoin" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q10_distinct_count" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users, count(*) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q11_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+    "q12_cost_calc" ->
+      """SELECT event_type,
+        | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_tokens,
+        | cast(sum(cast(cast(value AS decimal(18,2)) * cast(in_price AS decimal(18,2))
+        |          + cast(value AS decimal(18,2)) * cast(out_price AS decimal(18,2)) AS decimal(28,6))) AS double) AS total_cost
+        |FROM events JOIN (VALUES ('click',0.50,1.50),('view',0.25,0.75),('purchase',5.00,15.00),
+        |                         ('signup',1.00,3.00),('error',0.10,0.30)) AS p(model,in_price,out_price)
+        |  ON event_type = model
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q13_sql" ->
+      """SELECT n.n_name AS nation, count(*) AS customers,
+        | cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+  )
 }

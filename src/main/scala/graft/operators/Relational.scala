@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational / pipeline core: the reference's Mongo query + aggregation
+  * surface re-expressed as declarative DataFrame plans.
+  *
+  * Semantics sources (cited, not copied):
+  *  - trackUsageController.js:62-135  ($match→$group(y,m,d,user)→$lookup→$project→$sort)
+  *  - aggregationService.js:37-60     (per-company totals, sorted desc)
+  *  - assistantController.js:325-340  ($regex search, sort+skip+limit pagination)
+  *  - postgreService.js:49-63         (SQL passthrough)
+  *
+  * Determinism rules (see SURVEY §6): money/quantity sums aggregate as
+  * DECIMAL (exact, accumulation-order-independent — a must on a cluster
+  * where partition order is nondeterministic) and only the final value is
+  * cast to double; every result ends in a total ORDER BY with a unique
+  * tiebreak.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** q1: multi-measure grouped aggregation (TPC-H Q1 shape). Partial
+    * aggregation (map-side combine) keeps the shuffle tiny: one row per
+    * (flag,status) per partition regardless of input size. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
+    l.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** q2: $match (range + equality) + $project. Both predicates and the
+    * 4-column projection reach the parquet scan (PushedFilters/ReadSchema). */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-01-01").cast("timestamp") &&
+              col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+
+  /** q3: the trackUsage daily-rollup pipeline: group events by
+    * (year,month,day,user), sum value + count, join user names, sort.
+    * The customer dim is broadcast — no shuffle of the fact side for the
+    * join; the only shuffle is the groupBy, pre-combined map-side. */
+  def q3JoinGroupSort(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("ts", "user_id", "value")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    e.groupBy(
+        year(col("ts")).as("y"), month(col("ts")).as("m"),
+        dayofmonth(col("ts")).as("d"), col("user_id"))
+      .agg(sum(dec(col("value"))).cast("double").as("total_value"),
+           count(lit(1)).as("cnt"))
+      .join(broadcast(c), col("user_id") === col("c_custkey"))
+      .select("y", "m", "d", "user_id", "c_name", "total_value", "cnt")
+      .orderBy("y", "m", "d", "user_id")
+  }
+
+  /** q4: $group {_id:null} global rollup. One partial row per partition →
+    * single-row final aggregate; no wide shuffle. */
+  def q4GlobalRollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "value")
+      .agg(sum(dec(col("value"))).cast("double").as("total_value"),
+           count(lit(1)).as("total_events"),
+           countDistinct(col("user_id")).as("distinct_users"))
+
+  /** q5: leaderboard — per-nation event totals, desc, top 10
+    * (aggregationService.getCompanyPromptsByDate, minus its O(companies)
+    * driver-side loop: here it is one aggregation + two broadcast joins). */
+  def q5TopN(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("user_id", "value")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    e.groupBy("user_id").agg(sum(dec(col("value"))).as("user_total"), count(lit(1)).as("user_cnt"))
+      .join(broadcast(c), col("user_id") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(col("user_total")).cast("double").as("total_value"),
+           sum(col("user_cnt")).as("total_events"))
+      .orderBy(col("total_value").desc, col("n_name"))
+      .limit(10)
+  }
+
+  /** q6: sort + skip/limit pagination (assistantController list views).
+    * Spark's global sort is a range-partitioned exchange; LIMIT+OFFSET is
+    * then driver-cheap. Unique tiebreak keeps pages stable. */
+  def q6Pagination(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      .offset(20).limit(10)
+
+  /** q7: case-insensitive $regex search + per-group count
+    * (assistantController.js:325 searchQuery). rlike is codegen'd. */
+  def q7SearchRegex(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir).select("p_brand", "p_name")
+      .filter(lower(col("p_name")).rlike("(green|blue)"))
+      .groupBy("p_brand").agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  /** q8: $in semi-join — orders of BUILDING-segment customers. LEFT SEMI
+    * with a broadcast right side: no shuffle, no row duplication. */
+  def q8SemijoinIn(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+      .orderBy("o_orderkey")
+  }
+
+  /** q9: anti-join — customers with no order in the first half of 1995. */
+  def q9Antijoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select("o_custkey")
+    Tables.customer(s, dir).select("c_custkey", "c_name")
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** q10: distinct counts per group (countDocuments / distinct). Spark
+    * plans countDistinct as a two-stage expand+agg — still one shuffle. */
+  def q10DistinctCount(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_type", "user_id")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("distinct_users"), count(lit(1)).as("cnt"))
+      .orderBy("event_type")
+
+  /** q11: latest event per user (assistantController.js:270
+    * mostRecentMessage) — window row_number, one shuffle on user_id. */
+  def q11LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  /** q12: token/cost calculation (trackUsageService.calculateCostFromTokenCounts):
+    * per-model price table → broadcast join → cost formula → rollup.
+    * events.value stands in for token counts; event_type for the model. */
+  def q12CostCalc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prices = Seq(
+      ("click", 0.50, 1.50), ("view", 0.25, 0.75), ("purchase", 5.00, 15.00),
+      ("signup", 1.00, 3.00), ("error", 0.10, 0.30))
+      .toDF("model", "in_price", "out_price")
+    val e = Tables.events(s, dir).select("event_type", "value")
+    e.join(broadcast(prices), col("event_type") === col("model"), "inner")
+      .groupBy("event_type")
+      .agg(
+        sum(dec(col("value"))).cast("double").as("total_tokens"),
+        sum((dec(col("value")) * dec(col("in_price")) + dec(col("value")) * dec(col("out_price")))
+          .cast("decimal(28,6)")).cast("double").as("total_cost"))
+      .orderBy("event_type")
+  }
+
+  /** q13: SQL passthrough (postgreService.getCompanyData) — arbitrary SQL
+    * over registered views, here a join+agg exercising the SQL surface. */
+  def q13Sql(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    s.sql(
+      """SELECT n.n_name AS nation, count(*) AS customers,
+        |       cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
+        |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+  }
+}

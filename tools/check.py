@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify output
+against DuckDB oracles and diff. Usage: check.py <sfDir> <verifyOut>"""
+import duckdb, glob, json, os, sys
+import pandas as pd
+
+sfdir, out = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    t = os.path.basename(f).replace(".parquet", "")
+    con.sql(f"create view {t} as select * from read_parquet('{f}')")
+
+oracle = json.load(open(f"{out}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{out}/{name}"
+    if not os.path.isdir(spark_dir):
+        fails.append((name, "no spark output")); continue
+    try:
+        duck = con.sql(sql).df()
+    except Exception as e:
+        fails.append((name, f"oracle error: {e}")); continue
+    spark = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{spark_dir}/*.parquet"))],
+                      ignore_index=True)
+    # driver behavior: sort columns by name, compare values
+    duck = duck[sorted(duck.columns)]
+    spark = spark[sorted(spark.columns)]
+    if list(duck.columns) != list(spark.columns):
+        fails.append((name, f"schema: duck={list(duck.columns)} spark={list(spark.columns)}")); continue
+    if len(duck) != len(spark):
+        fails.append((name, f"rows: duck={len(duck)} spark={len(spark)}")); continue
+    # row-order sensitive compare (queries are fully ordered)
+    mismatch = None
+    for c in duck.columns:
+        dv, sv = duck[c].tolist(), spark[c].tolist()
+        for i, (a, b) in enumerate(zip(dv, sv)):
+            if isinstance(a, float) and isinstance(b, float):
+                ok = (a == b) or (a != a and b != b)
+            else:
+                ok = str(a) == str(b)
+            if not ok:
+                mismatch = f"col {c} row {i}: duck={a!r} spark={b!r}"; break
+        if mismatch: break
+    if mismatch: fails.append((name, mismatch))
+    else: print(f"  OK  {name} ({len(duck)} rows)")
+
+if fails:
+    print("FAILURES:")
+    for n, m in fails: print(f"  FAIL {n}: {m}")
+    sys.exit(1)
+print("all green")
