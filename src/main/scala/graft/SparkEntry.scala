@@ -25,6 +25,11 @@ object SparkEntry {
     "q11_latest_per_key"-> (Relational.q11LatestPerKey _),
     "q12_cost_calc"     -> (Relational.q12CostCalc _),
     "q13_sql"           -> (Relational.q13Sql _),
+    "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
+    "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
+    "s3_knn_join"       -> (Similarity.s3KnnJoin _),
+    "v1_upsert"         -> (Similarity.v1Upsert _),
+    "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -101,5 +106,10 @@ object SparkEntry {
         | cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "s1_bruteforce_topk"  -> Similarity.s1Sql,
+    "s2_lsh_topk"         -> Similarity.s2Sql,
+    "s3_knn_join"         -> Similarity.s3Sql,
+    "v1_upsert"           -> Similarity.v1Sql,
+    "v2_delete_namespace" -> Similarity.v2Sql,
   )
 }

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TopK, VectorExpressions => V}
+
+/** Vector store + similarity search: the reference's Pinecone/hnswlib
+  * surface (embeddingController.js upsert/delete; customTrainDataController.js
+  * retriever) as Spark-first operators over an `embedding Array[Float]`
+  * column.
+  *
+  * Scale notes:
+  *  - scoring runs inside whole-stage codegen (graft.functions.CosineSimilarity);
+  *  - top-k uses a bounded partial aggregate (graft.functions.TopKByScore) so
+  *    the shuffle carries O(partitions × queries × k) rows, never the N×Q
+  *    score matrix;
+  *  - the LSH path prunes candidates by bucket equality BEFORE scoring —
+  *    at 100 TB the brute-force path is the correctness baseline, LSH the
+  *    serving path;
+  *  - query sets are broadcast; the big side is never shuffled for s1/s2.
+  *
+  * Similarity queries output (qid, rank, neighbor) only — scores are
+  * engine-internal because float accumulation order differs across
+  * engines at ~1e-8, which would break exact hash comparison while never
+  * realistically reordering ranks.
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** Deterministic random hyperplanes with float32-exact components
+    * (k/1024 grid) so the Spark literal (float) and the DuckDB literal
+    * (double) are bit-identical inputs. */
+  lazy val planes: Array[Array[Float]] =
+    Array.tabulate(NumPlanes, Dim) { (i, j) =>
+      val k = (((i.toLong * Dim + j) * 2654435761L) % 1024L) - 512L
+      (k / 1024.0).toFloat
+    }
+
+  private def planeSqlLiteral(p: Array[Float]): String =
+    p.map(v => f"${v.toDouble}%.10f").mkString("[", ", ", "]")
+
+  /** Spark-side LSH bucket id: bit i = sign(dot(v, plane_i)). */
+  def lshBucket(vec: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(V.dot(vec, typedlit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** DuckDB-side bucket, same constants. */
+  def lshBucketSql(vecCol: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($vecCol, ${planeSqlLiteral(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def explodeRanks(grouped: DataFrame): DataFrame =
+    grouped
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
+      .orderBy("qid", "rank")
+
+  /** s1: brute-force cosine top-5 for the 10 query vectors (vec_id<10).
+    * Broadcast queries × full scan → codegen'd cosine → bounded topk agg. */
+  def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val grouped = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  /** s2: LSH-bucketed ANN — random-hyperplane bucket equality prunes the
+    * candidate set before exact scoring (the 100 TB serving path). */
+  def s2LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .withColumn("bucket", lshBucket(col("embedding")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("bucket").as("qbucket"))
+    val grouped = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  /** s3: blocked kNN self-join — top-3 neighbors per vector within its
+    * label block. Shuffle partitions by label; at scale a skewed label is
+    * handled by AQE skew-join or salting the block key. */
+  def s3KnnJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val r = e.select(col("vec_id").as("r_id"), col("label").as("r_label"),
+      col("embedding").as("r_emb"))
+    val grouped = e.join(r, col("label") === col("r_label") && col("vec_id") =!= col("r_id"))
+      .groupBy(col("vec_id").as("qid"))
+      .agg(TopK.topKByScore(V.cosine(col("embedding"), col("r_emb")), col("r_id"), 3).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  /** v1: Pinecone-style upsert (embeddingController.addEmbeddedText /
+    * updateEmbeddedText): merge an update batch into the (vec_id)-keyed
+    * store, latest-wins, then per-label counts. */
+  def v1Upsert(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select("vec_id", "label")
+    val base = e.withColumn("pri", lit(0))
+    val updates = e.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), (col("label") + 100).as("label")).withColumn("pri", lit(1))
+    val w = Window.partitionBy("vec_id").orderBy(col("pri").desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+      .orderBy("label")
+  }
+
+  /** v2: namespace delete (embeddingController.deleteNamespaceEmbeddings):
+    * drop labels {3,7}, report surviving per-label counts + id checksum. */
+  def v2DeleteNamespace(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("vec_id", "label")
+      .filter(!col("label").isin(3, 7))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_checksum"))
+      .orderBy("label")
+
+  // ---- oracle SQL (same constants, independent engine) ----
+
+  val s1Sql: String =
+    """SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor
+      |FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  lazy val s2Sql: String =
+    s"""WITH b AS (
+       | SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
+       |SELECT q.vec_id AS qid,
+       | row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS rank,
+       | v.vec_id AS neighbor
+       |FROM b q JOIN b v ON q.bucket = v.bucket AND v.vec_id <> q.vec_id
+       |WHERE q.vec_id < 10
+       |QUALIFY rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  val s3Sql: String =
+    """SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor
+      |FROM embeddings q JOIN embeddings v ON q.label = v.label AND v.vec_id <> q.vec_id
+      |QUALIFY rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
+  val v1Sql: String =
+    """WITH all_rows AS (
+      |  SELECT vec_id, label, 0 AS pri FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id, label + 100 AS label, 1 AS pri FROM embeddings WHERE vec_id % 7 = 0),
+      |merged AS (
+      |  SELECT * FROM all_rows
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY pri DESC) = 1)
+      |SELECT label, count(*) AS cnt FROM merged GROUP BY label ORDER BY label""".stripMargin
+
+  val v2Sql: String =
+    """SELECT label, count(*) AS cnt, cast(sum(vec_id) AS bigint) AS id_checksum
+      |FROM embeddings WHERE label NOT IN (3, 7)
+      |GROUP BY label ORDER BY label""".stripMargin
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ Expression bridge. `ExpressionUtils` is `private[sql]`, so
+  * this one-file shim lives under `org.apache.spark.sql` — the standard
+  * pattern for Spark extension libraries that register native Catalyst
+  * expressions (no Spark internals are modified). */
+object Shim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
