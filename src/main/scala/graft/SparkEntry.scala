@@ -30,6 +30,19 @@ object SparkEntry {
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
+    "t1_token_count"    -> (TextAnalysis.t1TokenCount _),
+    "t2_quality_score"  -> (TextAnalysis.t2QualityScore _),
+    "t3_lang_id"        -> (TextAnalysis.t3LangId _),
+    "t4_fingerprint"    -> (TextAnalysis.t4Fingerprint _),
+    "t5_chunking"       -> (TextAnalysis.t5Chunking _),
+    "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
+    "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
+    "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
+    "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
+    "e1_sessionize"     -> (Events.e1Sessionize _),
+    "e2_tumbling_window"-> (Events.e2TumblingWindow _),
+    "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
+    "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -111,5 +124,18 @@ object SparkEntry {
     "s3_knn_join"         -> Similarity.s3Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
+    "t1_token_count"    -> TextAnalysis.t1Sql,
+    "t2_quality_score"  -> TextAnalysis.t2Sql,
+    "t3_lang_id"        -> TextAnalysis.t3Sql,
+    "t4_fingerprint"    -> TextAnalysis.t4Sql,
+    "t5_chunking"       -> TextAnalysis.t5Sql,
+    "d1_exact_dedup"    -> Dedup.d1Sql,
+    "d2_ngram_jaccard"  -> Dedup.d2Sql,
+    "d3_minhash_lsh"    -> Dedup.d3Sql,
+    "d5_embedding_neardup" -> Dedup.d5Sql,
+    "e1_sessionize"     -> Events.e1Sql,
+    "e2_tumbling_window"-> Events.e2Sql,
+    "m1_binary_meta"    -> Multimodal.m1Sql,
+    "m2_frame_sample"   -> Multimodal.m2Sql,
   )
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline: exact, n-gram
+  * Jaccard, MinHash+LSH, and embedding-cosine near-dup.
+  *
+  * The driver corpus has no natural duplicates (500 distinct texts, max
+  * pairwise cosine 0.47), so each query first PLANTS duplicates by a
+  * deterministic derivation of the base table (same derivation in the
+  * oracle SQL) — the operators themselves are corpus-agnostic.
+  *
+  * Scale design: no operator ever forms the global cross product.
+  *  - exact: one hash-groupBy, map-side combined;
+  *  - jaccard: candidate pairs only within a prefix block;
+  *  - minhash: pairs only within an LSH band bucket — the shuffle is
+  *    O(docs × bands), and bucket joins are hash joins on (band, key);
+  *  - embedding: pairs only within a label block.
+  */
+object Dedup {
+
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+
+  /** base ∪ exact copies of every 10th doc (id+100000). */
+  private def corpusExact(s: SparkSession, dir: String): DataFrame = {
+    val d = base(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val NearTail = " and the query data system window"
+
+  /** base ∪ near-duplicate variants (appended tail) of every 10th doc. */
+  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+    val d = base(s, dir)
+    d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(NearTail)).as("text")))
+  }
+
+  private val corpusExactSql =
+    """SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  private val corpusNearSql =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || '$NearTail' AS text
+       |  FROM documents WHERE doc_id % 10 = 0""".stripMargin
+
+  /** d1: exact dedup — md5 group, keep min id, report dup groups. */
+  def d1ExactDedup(s: SparkSession, dir: String): DataFrame =
+    corpusExact(s, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+      .filter(col("cnt") > 1)
+      .orderBy("fp")
+
+  val d1Sql: String =
+    s"""WITH corpus AS ($corpusExactSql)
+       |SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id
+       |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  /** d2: 3-gram Jaccard near-dup pairs within a 40-char-prefix block. */
+  def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"), sh.as("sh"))
+    val a = c.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
+    val b = c.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2Sql: String =
+    s"""WITH corpus AS ($corpusNearSql),
+       |sh AS (
+       | SELECT doc_id, substr(text, 1, 40) AS blk,
+       |  list_distinct(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS sh
+       | FROM corpus)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       | cast(len(list_intersect(a.sh, b.sh)) AS double)
+       |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+       |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE cast(len(list_intersect(a.sh, b.sh)) AS double)
+       |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // MinHash: 12 permutation hashes h_i(x) = (a_i * x + b_i) mod P over
+  // md5-derived 60-bit shingle hashes, banded 4×3.
+  val P = 1000000007L
+  val NumHashes = 12
+  val BandSize = 3
+  def hashA(i: Int): Long = 2L * i + 3L
+  def hashB(i: Int): Long = 12345L + 6789L * i
+
+  /** d3: MinHash signature + banded LSH candidate pairs. */
+  def d3MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+    val c = corpusNear(s, dir)
+    val exploded = c.select(col("doc_id"),
+        explode(expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")).as("sh"))
+      .withColumn("h", conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
+    val aggs = (0 until NumHashes).map(i =>
+      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i"))
+    val minhashes = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bands = (0 until NumHashes / BandSize).map { bnd =>
+      val ks = (0 until BandSize).map(j => col(s"m${bnd * BandSize + j}"))
+      minhashes.select(col("doc_id"), lit(bnd).as("band"), concat_ws("_", ks: _*).as("key"))
+    }.reduce(_ unionByName _)
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("key").as("key_b"))
+    l.join(r, col("band") === col("band_b") && col("key") === col("key_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val d3Sql: String = {
+    val mins = (0 until NumHashes).map(i =>
+      s"min((${hashA(i)} * h + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
+    val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
+      val ks = (0 until BandSize).map(j => s"m${bnd * BandSize + j}").mkString(", ")
+      s"SELECT doc_id, $bnd AS band, concat_ws('_', $ks) AS key FROM mh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH corpus AS ($corpusNearSql),
+       |sh AS (
+       | SELECT DISTINCT doc_id,
+       |  ('0x' || substr(md5(s), 1, 15))::bigint % $P AS h
+       | FROM (SELECT doc_id,
+       |   unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS s
+       |  FROM corpus)),
+       |mh AS (
+       | SELECT doc_id,
+       |  $mins
+       | FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** d5: embedding-cosine near-dup pairs (threshold 0.99) within label
+    * blocks; planted exact copies of every 20th vector. */
+  def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
+    val c = e.unionByName(planted)
+    val l = c.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+    val r = c.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+    l.join(r, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
+      .select("vec_a", "vec_b", "label")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d5Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, label, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, label, embedding
+      |  FROM embeddings WHERE vec_id % 20 = 0)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label
+      |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

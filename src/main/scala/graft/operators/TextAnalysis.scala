@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID,
+  * fingerprinting, chunking.
+  *
+  * Everything is built from codegen'd `functions._` primitives
+  * (regexp_extract_all / transform / sequence) — no UDFs — so the whole
+  * stage fuses into one generated loop per partition and scales linearly
+  * with the corpus.
+  *
+  * Determinism: ratios divide exact ints (identical doubles in any
+  * engine, no rounding needed); fingerprints are md5 of normalized text.
+  */
+object TextAnalysis {
+
+  /** whitespace-token count — matches of \S+. */
+  def tokenCount(text: Column): Column = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** BPE-ish subword count: letter runs, digit runs, single symbols. */
+  def subTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  private def matchCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0)))
+
+  /** t1: per-language corpus token statistics. */
+  def t1TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("lang"), col("text"))
+      .select(col("lang"), tokenCount(col("text")).as("toks"), subTokenCount(col("text")).as("subtoks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+           sum(col("toks")).as("sum_tokens"),
+           max(col("toks")).as("max_tokens"),
+           (sum(col("toks")).cast("double") / count(lit(1))).as("avg_tokens"),
+           sum(col("subtoks")).as("sum_subtokens"))
+      .orderBy("lang")
+
+  /** t2: per-document quality score from length / punctuation / stopword
+    * ratios (the heuristics a 100 TB pretraining filter runs per doc). */
+  def t2QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+      .filter(length(col("text")) > 0)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("n_punct", matchCount(col("text"), "[.,!?;:]").cast("long"))
+      .withColumn("n_stop", matchCount(col("text"), "\\b(the|a|of|and|to|in|is)\\b").cast("long"))
+    d.withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("score",
+        lit(0.3) * least(col("n_tokens").cast("double") / 100d, lit(1d)) +
+        lit(0.4) * (lit(1d) - col("punct_ratio")) +
+        lit(0.3) * least(col("stop_ratio") * 5d, lit(1d)))
+      .filter(col("score") > 0.5)
+      .select("doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio", "score")
+      .orderBy("doc_id")
+  }
+
+  private val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|mit|von|zu)\\b",
+    "en" -> "\\b(the|and|of|to|in|is|for|with)\\b",
+    "es" -> "\\b(el|la|los|de|que|es|para|con)\\b",
+    "fr" -> "\\b(le|les|et|est|pour|dans|une|du)\\b")
+
+  /** t3: stopword-profile language-ID — argmax of profile hit counts with
+    * alphabetical tiebreak, compared against the labeled lang. */
+  def t3LangId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "lang", "text")
+    val counted = langProfiles.foldLeft(d) { case (df, (l, re)) =>
+      df.withColumn(s"c_$l", matchCount(lower(col("text")), re))
+    }
+    // CASE chain in alphabetical order = deterministic argmax tiebreak
+    val pred = langProfiles.map(_._1).foldRight(lit("und")) { case (l, el) =>
+      val isMax = langProfiles.map(o => col(s"c_$l") >= col(s"c_${o._1}")).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(el)
+    }
+    counted.withColumn("predicted", pred)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** t4: document fingerprint — md5 of whitespace-normalized lowercase
+    * text (the exact-dedup canonical key). */
+  def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")).cast("binary")))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val ChunkSize = 200
+  val ChunkStep = 150
+
+  /** t5: fixed-size/overlap chunking (the reference's
+    * RecursiveCharacterTextSplitter role, customTrainDataController.js:62)
+    * as a generated explode — no shuffle at all, pure map stage. */
+  def t5Chunking(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .filter(length(col("text")) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0), ceil(length(col("text")).cast("double") / ChunkStep).cast("int") - 1)))
+      .withColumn("chunk", expr(s"substring(text, chunk_idx * $ChunkStep + 1, $ChunkSize)"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
+  // ---- oracle SQL ----
+
+  val t1Sql: String =
+    """SELECT lang, count(*) AS docs,
+      | cast(sum(len(regexp_extract_all(text, '\S+'))) AS bigint) AS sum_tokens,
+      | max(len(regexp_extract_all(text, '\S+'))) AS max_tokens,
+      | cast(sum(len(regexp_extract_all(text, '\S+'))) AS double) / count(*) AS avg_tokens,
+      | cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS bigint) AS sum_subtokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  val t2Sql: String =
+    """WITH d AS (
+      | SELECT doc_id, cast(length(text) AS bigint) AS n_chars,
+      |  cast(len(regexp_extract_all(text, '\S+')) AS bigint) AS n_tokens,
+      |  cast(len(regexp_extract_all(text, '[.,!?;:]')) AS bigint) AS n_punct,
+      |  cast(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS bigint) AS n_stop
+      | FROM documents WHERE length(text) > 0),
+      |r AS (
+      | SELECT doc_id, n_chars, n_tokens,
+      |  cast(n_punct AS double) / n_chars AS punct_ratio,
+      |  cast(n_stop AS double) / n_tokens AS stop_ratio
+      | FROM d)
+      |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio,
+      | 0.3 * least(cast(n_tokens AS double) / 100, 1.0)
+      |  + 0.4 * (1.0 - punct_ratio) + 0.3 * least(stop_ratio * 5, 1.0) AS score
+      |FROM r
+      |WHERE 0.3 * least(cast(n_tokens AS double) / 100, 1.0)
+      |  + 0.4 * (1.0 - punct_ratio) + 0.3 * least(stop_ratio * 5, 1.0) > 0.5
+      |ORDER BY doc_id""".stripMargin
+
+  val t3Sql: String = {
+    // single-quoted DuckDB literals pass backslashes through verbatim, so
+    // the Java regex text is reusable as an RE2 literal directly
+    val counts = langProfiles.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+    }.mkString(",\n  ")
+    val langs = langProfiles.map(_._1)
+    val caseChain = langs.map { l =>
+      val cond = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n   ", "\n   ", "\n   ELSE 'und'")
+    s"""WITH c AS (
+       | SELECT doc_id, lang,
+       |  $counts
+       | FROM documents)
+       |SELECT lang, CASE$caseChain END AS predicted, count(*) AS docs
+       |FROM c GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  val t4Sql: String =
+    """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val t5Sql: String =
+    s"""SELECT doc_id, i AS chunk_idx,
+       | length(substr(text, i * $ChunkStep + 1, $ChunkSize)) AS chunk_len,
+       | md5(substr(text, i * $ChunkStep + 1, $ChunkSize)) AS chunk_md5
+       |FROM (SELECT doc_id, text,
+       |   unnest(range(0, cast(ceil(length(text) / $ChunkStep.0) AS int))) AS i
+       |  FROM documents WHERE length(text) > 0)
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+}
