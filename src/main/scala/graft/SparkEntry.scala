@@ -38,6 +38,7 @@ object SparkEntry {
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
+    "d4_simhash"        -> (Dedup.d4SimHash _),
     "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),

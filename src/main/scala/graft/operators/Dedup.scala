@@ -149,6 +149,26 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** d4: SimHash near-dup pairs — 64-bit fingerprint (graft.functions.SimHash64,
+    * codegen'd FNV-1a majority vote over whitespace tokens), pairs within a
+    * prefix block at hamming distance ≤ 12 via bit_count(xor). No SQL
+    * oracle (the fingerprint is engine-defined); validated by
+    * DedupSpec: planted near-dup pairs must surface, determinism across
+    * runs, hamming bounds. */
+  def d4SimHash(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimHash
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"),
+        SimHash.simhash64(split(col("text"), "\\s+")).as("sh"))
+    val a = c.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
+    val b = c.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= 12)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d5: embedding-cosine near-dup pairs (threshold 0.99) within label
     * blocks; planted exact copies of every 20th vector. */
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition multimodal decode pipeline.
+  *
+  * Real pipelines decode image/audio/video blobs with native codec
+  * libraries inside a partition-batch transform (in PySpark this is
+  * `mapInPandas`; the Scala-native equivalent is `mapPartitions` over a
+  * typed Dataset, which is what we do here). The codec libraries are
+  * intentionally absent from this container, so `decodeFrame` is a
+  * DETERMINISTIC STUB — everything around it (schema, batching,
+  * partition-parallel execution, feature columns) is the real plumbing
+  * and is what the spec exercises.
+  */
+object MultimodalDecode {
+
+  case class Asset(asset_id: Long, media_type: String, payload: Array[Byte])
+  case class FrameFeature(asset_id: Long, frame_idx: Int, width: Int, height: Int, mean_luma: Double)
+
+  /** STUB decode: derives fake-but-deterministic frame features from the
+    * payload bytes. A real deployment swaps only this function for a
+    * codec call — the operator contract is unchanged. */
+  def decodeFrame(payload: Array[Byte], frameIdx: Int): (Int, Int, Double) = {
+    val n = math.max(payload.length, 1)
+    val w = 16 + (n % 16) * 8
+    val h = 16 + ((n / 16) % 16) * 8
+    val off = (frameIdx * 31) % n
+    val luma = (payload(off) & 0xff) / 255.0
+    (w, h, luma)
+  }
+
+  val FramesPerAsset = 4
+
+  /** Decode + feature-extract: one pass per partition, constant memory —
+    * rows are consumed and emitted lazily, never materialized per
+    * partition. Partition count (not row count) bounds native-decoder
+    * concurrency at scale. */
+  def extractFrameFeatures(assets: Dataset[Asset]): Dataset[FrameFeature] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.flatMap { a =>
+        (0 until FramesPerAsset).iterator.map { f =>
+          val (w, h, luma) = decodeFrame(a.payload, f)
+          FrameFeature(a.asset_id, f, w, h, luma)
+        }
+      }
+    }
+  }
+
+  /** Assemble a typed asset table from `documents` (text bytes standing in
+    * for the media payload) — binary column + typed metadata. */
+  def assetsFromDocuments(s: SparkSession, dir: String): Dataset[Asset] = {
+    import s.implicits._
+    graft.Tables.documents(s, dir)
+      .select(col("doc_id").as("asset_id"),
+        when(col("doc_id") % 3 === 0, "image").when(col("doc_id") % 3 === 1, "audio")
+          .otherwise("video").as("media_type"),
+        col("text").cast("binary").as("payload"))
+      .as[Asset]
+  }
+}
