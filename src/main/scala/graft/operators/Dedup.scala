@@ -65,17 +65,22 @@ object Dedup {
        |SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id
        |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
-  /** d2: 3-gram Jaccard near-dup pairs within a 40-char-prefix block. */
+  /** d2: 3-gram Jaccard near-dup pairs within a 40-char-prefix block.
+    *
+    * The prefix block admits few candidate pairs (~0.015% of the cross
+    * product here), so the cheap thing is to join raw texts on the block
+    * key and score each surviving pair with one codegen'd expression
+    * (graft.functions.CharNgramJaccard) — no shingle arrays are ever
+    * materialized or shuffled. The build side is broadcast: at 100 TB
+    * the block-key join becomes a bucketed join of the same shape. */
   def d2NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")
+    import graft.functions.CharNgramJaccard
     val c = corpusNear(s, dir)
-      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"), sh.as("sh"))
-    val a = c.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
-    val b = c.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"), col("text"))
+    val a = c.select(col("doc_id").as("doc_a"), col("blk"), col("text").as("text_a"))
+    val b = c.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("text").as("text_b"))
+    a.join(broadcast(b), col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", CharNgramJaccard(col("text_a"), col("text_b"), 3))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -95,19 +100,29 @@ object Dedup {
        |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  // MinHash: 12 permutation hashes h_i(x) = (a_i * x + b_i) mod P over
-  // md5-derived 60-bit shingle hashes, banded 4×3.
+  // MinHash: 16 permutation hashes h_i(x) = (a_i * x + b_i) mod P over
+  // md5-derived 60-bit shingle hashes, banded 4×4. Shingles are WORD
+  // BIGRAMS: on this corpus char-3-gram Jaccard between unrelated docs
+  // has median 0.48 (tiny shared vocabulary), which floods any banding
+  // with O(n²) candidates; word-bigram Jaccard is 0.03 median / 0.12 max
+  // cross-doc vs ≥0.6 for planted near-dups — the separation LSH needs.
   val P = 1000000007L
-  val NumHashes = 12
-  val BandSize = 3
-  def hashA(i: Int): Long = 2L * i + 3L
-  def hashB(i: Int): Long = 12345L + 6789L * i
+  val NumHashes = 16
+  val BandSize = 4
+  // Multipliers must be LARGE: with small a_i, the shingle whose base
+  // hash is globally minimal minimizes every a_i*x+b_i simultaneously
+  // (no mod wrap), collapsing all 16 "independent" minhashes into one
+  // and flooding the band join. Large a_i wrap mod P and decorrelate.
+  def hashA(i: Int): Long = ((i + 1L) * 2654435761L) % P
+  def hashB(i: Int): Long = ((i + 7L) * 40503L * 9973L) % P
 
   /** d3: MinHash signature + banded LSH candidate pairs. */
   def d3MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val c = corpusNear(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
     val exploded = c.select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), i -> substring(text, i, 3)))")).as("sh"))
+        explode(expr("array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("sh"))
       .withColumn("h", conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
     val aggs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i"))
@@ -135,8 +150,9 @@ object Dedup {
        | SELECT DISTINCT doc_id,
        |  ('0x' || substr(md5(s), 1, 15))::bigint % $P AS h
        | FROM (SELECT doc_id,
-       |   unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1), i -> substr(text, i, 3))) AS s
-       |  FROM corpus)),
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+       |  WHERE len(t) >= 2)),
        |mh AS (
        | SELECT doc_id,
        |  $mins

@@ -93,7 +93,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
     val r = e.select(col("vec_id").as("r_id"), col("label").as("r_label"),
       col("embedding").as("r_emb"))
-    val grouped = e.join(r, col("label") === col("r_label") && col("vec_id") =!= col("r_id"))
+    // label has ~10 distinct values: a shuffled join would bottleneck on
+    // 10 skewed partitions. The block table is broadcast (each block fits
+    // by construction; at 100 TB you bucket/salt instead) so the probe
+    // side keeps full partition parallelism and there is no shuffle.
+    val grouped = e.join(broadcast(r), col("label") === col("r_label") && col("vec_id") =!= col("r_id"))
       .groupBy(col("vec_id").as("qid"))
       .agg(TopK.topKByScore(V.cosine(col("embedding"), col("r_emb")), col("r_id"), 3).as("nbrs"))
     explodeRanks(grouped)
