@@ -25,9 +25,14 @@ object SparkEntry {
     "q11_latest_per_key"-> (Relational.q11LatestPerKey _),
     "q12_cost_calc"     -> (Relational.q12CostCalc _),
     "q13_sql"           -> (Relational.q13Sql _),
+    "q14_multijoin"     -> (Analytics.q14Multijoin _),
+    "q15_percentiles"   -> (Analytics.q15Percentiles _),
+    "q16_rollup"        -> (Analytics.q16Rollup _),
+    "q17_json"          -> (Analytics.q17Json _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
+    "s4_ivf_topk"       -> (Similarity.s4IvfTopK _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "t1_token_count"    -> (TextAnalysis.t1TokenCount _),
@@ -120,9 +125,14 @@ object SparkEntry {
         | cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+    "q14_multijoin"     -> Analytics.q14Sql,
+    "q15_percentiles"   -> Analytics.q15Sql,
+    "q16_rollup"        -> Analytics.q16Sql,
+    "q17_json"          -> Analytics.q17Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
+    "s4_ivf_topk"         -> Similarity.s4Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "t1_token_count"    -> TextAnalysis.t1Sql,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Wider analytics surface: multi-way joins, exact percentiles, rollup
+  * hierarchies, JSON field extraction — the admin-dashboard queries the
+  * reference serves from Mongo aggregations, shaped for a cluster.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** q14: 5-way star join (lineitem→orders→customer→nation→region),
+    * TPC-H Q5 shape: revenue per nation for one region + year. The three
+    * dimension tables broadcast; only the two fact tables shuffle — and
+    * the orders date filter is pushed into its scan, shrinking the join
+    * input before the shuffle. */
+  def q14Multijoin(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, dir).filter(col("r_name") === "ASIA").select("r_regionkey")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("line_count"))
+      .orderBy("n_name")
+  }
+
+  val q14Sql: String =
+    """SELECT n_name,
+      | cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+      | count(*) AS line_count
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** q15: exact rank-based percentiles (p50/p95) per event type. Exact
+    * disc quantiles via row_number — no interpolation arithmetic, so the
+    * result is a raw input value and compares bit-exactly across engines
+    * (interpolated quantiles differ in the last ulp between engines). */
+  def q15Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val w = byType.orderBy(col("value"), col("event_id"))
+    Tables.events(s, dir).select("event_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(byType))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")).cast("long"), col("value"))).as("p50"),
+           max(when(col("rn") === ceil(lit(0.95) * col("n")).cast("long"), col("value"))).as("p95"),
+           count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val q15Sql: String =
+    """WITH v AS (
+      | SELECT event_type, value,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM events)
+      |SELECT event_type,
+      | max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN value END) AS p50,
+      | max(CASE WHEN rn = cast(ceil(0.95 * n) AS bigint) THEN value END) AS p95,
+      | count(*) AS n_events
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** q16: rollup hierarchy (day × event_type → day → grand total) in one
+    * pass — Spark plans rollup as a single Expand+aggregate, not three
+    * scans. Null group keys are coalesced to sentinels so both engines
+    * emit identical values. */
+  def q16Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+              col("event_type"), col("value"))
+      .rollup("day_us", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(coalesce(col("day_us"), lit(-1L)).as("day_us"),
+              coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              col("cnt"), col("total_value"))
+      .orderBy("day_us", "event_type")
+
+  val q16Sql: String =
+    """SELECT coalesce(day_us, -1) AS day_us,
+      | coalesce(event_type, 'ALL') AS event_type,
+      | count(*) AS cnt,
+      | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+      |FROM (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type, value FROM events)
+      |GROUP BY ROLLUP(day_us, event_type)
+      |ORDER BY day_us, event_type""".stripMargin
+
+  /** q17: JSON field extraction from the props column (the reference
+    * stores request metadata as JSON documents in Mongo) — extracted
+    * value feeds a grouped aggregate. */
+  def q17Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("props", "value")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("k_mod")
+
+  val q17Sql: String =
+    """SELECT json_extract_string(props, '$.k')::bigint % 10 AS k_mod,
+      | count(*) AS cnt,
+      | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+      |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+}

@@ -103,6 +103,47 @@ object Similarity {
     explodeRanks(grouped)
   }
 
+  /** s4: IVF-style ANN — vectors with vec_id<8 act as the coarse
+    * centroid codebook; every vector is assigned to its nearest centroid
+    * (one broadcast join + window argmax), and a query probes only its
+    * own centroid's inverted list before exact scoring. The 100 TB
+    * story: the assignment pass is one scan, the inverted lists are the
+    * partitioning, and probe cost is |list| not |corpus|. */
+  def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(V.cosine(col("embedding"), col("cemb")).desc, col("cid").asc)
+    val assigned = e.join(broadcast(cent))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cid").as("qcid"))
+    val grouped = assigned.join(broadcast(q),
+        col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  val s4Sql: String =
+    """WITH cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      | SELECT e.vec_id, e.embedding, c.cid
+      | FROM embeddings e CROSS JOIN cent c
+      | QUALIFY row_number() OVER (PARTITION BY e.vec_id
+      |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1)
+      |SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor
+      |FROM assigned q JOIN assigned v ON q.cid = v.cid AND v.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   /** v1: Pinecone-style upsert (embeddingController.addEmbeddedText /
     * updateEmbeddedText): merge an update batch into the (vec_id)-keyed
     * store, latest-wins, then per-label counts. */
