@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import graft.functions._
+
+/** SparkSessionExtensions hook: registers graft's native expressions as
+  * SQL functions, so the whole library surface is reachable from
+  * `spark.sql(...)` — matching the reference's SQL passthrough
+  * (postgreService.js) and making the engine usable from pure-SQL
+  * clients:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * ...
+  * spark.sql("SELECT vec_cosine(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions", name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngram_jaccard"),
+      info("char_ngram_jaccard", "char_ngram_jaccard(a, b, n) - Jaccard of char n-gram sets"),
+      (args: Seq[Expression]) => CharNgramJaccard(args(0), args(1),
+        args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("topk_by_score"),
+      info("topk_by_score", "topk_by_score(score, id, k) - ids of the k best-scored rows"),
+      (args: Seq[Expression]) => TopKByScore(
+        Cast(args(0), DoubleType), Cast(args(1), LongType),
+        args(2).eval().asInstanceOf[Int])))
+  }
+}

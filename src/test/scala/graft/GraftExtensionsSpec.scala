@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  // Extensions bind at session build time, and getOrCreate would hand
+  // back the shared extension-less session — so clear the default, build
+  // a session WITH extensions (the global SparkContext is reused), and
+  // restore afterwards.
+  private lazy val spark: SparkSession = {
+    val prior = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    prior.foreach(SparkSession.setDefaultSession)
+    s
+  }
+
+  test("native expressions are callable from pure SQL") {
+    val r = spark.sql(
+      """SELECT vec_cosine(array(cast(1.0 as float), cast(0.0 as float)),
+        |                  array(cast(1.0 as float), cast(0.0 as float))) AS c,
+        |       vec_dot(array(cast(2.0 as float)), array(cast(3.0 as float))) AS d,
+        |       simhash64(array('a', 'b')) AS sh,
+        |       char_ngram_jaccard('abcd', 'abcd', 3) AS j""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 6.0)
+    assert(r.getDouble(3) == 1.0)
+  }
+
+  test("topk_by_score aggregate works from SQL") {
+    spark.sql("SELECT * FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(score, id)")
+      .createOrReplaceTempView("scores")
+    val ids = spark.sql("SELECT topk_by_score(score, id, 2) AS top FROM scores")
+      .head().getSeq[Long](0)
+    assert(ids == Seq(30L, 20L))
+  }
+}

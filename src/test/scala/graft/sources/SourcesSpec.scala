@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("JSONL ingest: schema'd read, malformed rows quarantined not fatal") {
+    val dir = Files.createTempDirectory("graft-jsonl").toFile
+    val f = new java.io.File(dir, "docs.jsonl")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s1"}""")
+    w.println("""{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "s2"}""")
+    w.println("""{not valid json""")
+    w.close()
+    // Spark disallows querying only the corrupt-record column on a raw
+    // file scan; cache the parsed result first (same as production use)
+    val df = Sources.readDocumentsJsonl(spark, f.getAbsolutePath).cache()
+    assert(df.filter(col("_corrupt_record").isNull).count() == 2)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("doc_id") === 1).select("text").head().getString(0) == "hello world")
+  }
+
+  test("CSV ingest round-trips typed events") {
+    val dir = Files.createTempDirectory("graft-csv").toFile
+    val f = new java.io.File(dir, "events.csv")
+    val w = new java.io.PrintWriter(f)
+    w.println("event_id,ts_us,user_id,event_type,value")
+    w.println("1,1700000000000000,42,click,1.5")
+    w.println("2,1700000060000000,42,view,2.5")
+    w.close()
+    val df = Sources.readEventsCsv(spark, f.getAbsolutePath)
+    assert(df.count() == 2)
+    assert(df.schema("ts").dataType.typeName == "timestamp")
+    assert(df.agg(sum("value")).head().getDouble(0) == 4.0)
+  }
+
+  test("partitioned parquet sink: day filter prunes partitions") {
+    val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/events"
+    val events = graft.Tables.events(spark, sfDir)
+    Sources.writeEventsPartitioned(events, out)
+    val back = Sources.readEventsPartitioned(spark, out)
+    assert(back.count() == events.count())
+    // pruning: filtering one day must touch only that day's directory
+    val oneDay = back.filter(col("day") === "2024-01-05")
+    val expected = events.filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(oneDay.count() == expected && expected > 0)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), s"no partition filter in:\n$plan")
+  }
+}
