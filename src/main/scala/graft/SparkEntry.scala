@@ -45,6 +45,7 @@ object SparkEntry {
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
     "d4_simhash"        -> (Dedup.d4SimHash _),
     "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
+    "d6_winnowing"      -> (Dedup.d6Winnowing _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),

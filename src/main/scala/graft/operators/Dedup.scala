@@ -185,6 +185,27 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d6: winnowing-fingerprint near-dup pairs — rolling-hash fingerprints
+    * (graft.functions.WinnowFingerprints) shared ≥60% within a prefix
+    * block. Position-robust: unlike d2's n-gram sets, shared substrings
+    * of length ≥ W+K-1 guarantee shared fingerprints, so an inserted
+    * prefix shifts nothing. Engine-defined hash → spec-validated
+    * (planted recall, determinism), no SQL oracle. */
+  def d6Winnowing(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Winnow
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("blk"),
+        Winnow.fingerprints(col("text")).as("fp"))
+    val a = c.select(col("doc_id").as("doc_a"), col("blk"), col("fp").as("fp_a"))
+    val b = c.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("fp").as("fp_b"))
+    a.join(broadcast(b), col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("shared", size(array_intersect(col("fp_a"), col("fp_b"))).cast("double") /
+        greatest(size(col("fp_a")), size(col("fp_b"))))
+      .filter(col("shared") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("shared"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** d5: embedding-cosine near-dup pairs (threshold 0.99) within label
     * blocks; planted exact copies of every 20th vector. */
   def d5EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
