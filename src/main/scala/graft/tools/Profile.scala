@@ -18,6 +18,25 @@ object Profile {
       println(f"$name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
+    val li = graft.Tables.lineitem(spark, dir)
+    time("lineitem scan") {
+      li.select("l_quantity", "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 decimal aggs") {
+      graft.operators.Relational.q1Agg(spark, dir).write.format("noop").mode("overwrite").save()
+    }
+    time("q1 double aggs (non-deterministic at scale)") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice")), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("q1 long-cents aggs") {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(round(col("l_quantity") * 100).cast("long")),
+             sum(round(col("l_extendedprice") * 100).cast("long")), count(lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    }
     val docs = graft.Tables.documents(spark, dir).select("doc_id", "text")
     time("scan only") {
       docs.write.format("noop").mode("overwrite").save()

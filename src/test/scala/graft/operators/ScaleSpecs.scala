@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  test("salted aggregation equals direct aggregation (associative + decimal)") {
+    val e = graft.Tables.events(spark, sfDir)
+    val direct = e.groupBy("user_id")
+      .agg(sum(col("value").cast("decimal(18,2)")).as("total"), count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getLong(0), (r.getDecimal(1), r.getLong(2)))).toMap
+    val salted = Skew.saltedSumCount(e, "user_id", col("value").cast("decimal(18,2)"), 8)
+      .collect().map(r => (r.getLong(0), (r.getDecimal(1), r.getLong(2)))).toMap
+    assert(salted.keySet == direct.keySet)
+    direct.foreach { case (k, (s, c)) =>
+      assert(salted(k)._1.compareTo(s) == 0 && salted(k)._2 == c, s"key $k")
+    }
+  }
+
+  test("salted plan has two aggregation exchanges (key×salt then key)") {
+    val plan = Skew.saltedSumCount(graft.Tables.events(spark, sfDir), "user_id",
+      col("value").cast("decimal(18,2)"), 8).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(user_id"), plan)
+  }
+}
+
+class BucketedJoinSpec extends SparkSpec {
+  test("bucketed tables join without a shuffle") {
+    // tables land in the default ./spark-warehouse (gitignored)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS customer_b")
+    graft.Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey").saveAsTable("orders_b")
+    graft.Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey").saveAsTable("customer_b")
+
+    // disable broadcast so the join must choose shuffle vs bucket-local
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("orders_b")
+        .join(spark.table("customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // bucketed join: no shuffle exchange on either side
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+      // every order has exactly one customer -> join preserves row count
+      assert(joined.count() == graft.Tables.orders(spark, sfDir).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+}
