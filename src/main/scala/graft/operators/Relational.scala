@@ -25,7 +25,14 @@ object Relational {
 
   /** q1: multi-measure grouped aggregation (TPC-H Q1 shape). Partial
     * aggregation (map-side combine) keeps the shuffle tiny: one row per
-    * (flag,status) per partition regardless of input size. */
+    * (flag,status) per partition regardless of input size.
+    *
+    * Money math is DECIMAL on purpose: long-cents aggregation measures
+    * 3x faster locally, but a sum of 2-decimal values overflows int64
+    * around 1e16 cent-units — reachable on a 100 TB fact table — while
+    * decimal-128 holds to 38 digits and stays accumulation-order
+    * independent (double sums are not, under nondeterministic partition
+    * order). */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(s, dir)
       .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount")
