@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft.functions", name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // window-topk -> bounded aggregate rewrite (see graft.plans)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
     ext.injectFunction((
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float arrays"),
