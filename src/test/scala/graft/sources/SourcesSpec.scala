@@ -36,6 +36,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.agg(sum("value")).head().getDouble(0) == 4.0)
   }
 
+  test("streaming file source: JSONL directory ingested incrementally") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    def writeDoc(n: Int): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, s"batch$n.jsonl"))
+      w.println(s"""{"doc_id": $n, "text": "doc number $n", "lang": "en", "source": "s$n"}""")
+      w.close()
+    }
+    writeDoc(1); writeDoc(2)
+    val stream = spark.readStream
+      .schema(Sources.documentSchema)
+      .json(dir.getAbsolutePath)
+      .groupBy("lang").count()
+    val q = stream.writeStream.format("memory").queryName("filesrc")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val counts = spark.sql("select lang, count from filesrc").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(counts == Map("en" -> 2L))
+  }
+
   test("partitioned parquet sink: day filter prunes partitions") {
     val out = Files.createTempDirectory("graft-part").toFile.getAbsolutePath + "/events"
     val events = graft.Tables.events(spark, sfDir)
