@@ -40,6 +40,7 @@ object SparkEntry {
     "t3_lang_id"        -> (TextAnalysis.t3LangId _),
     "t4_fingerprint"    -> (TextAnalysis.t4Fingerprint _),
     "t5_chunking"       -> (TextAnalysis.t5Chunking _),
+    "t6_recursive_chunk"-> (TextAnalysis.t6RecursiveChunk _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),

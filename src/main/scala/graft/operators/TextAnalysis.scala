@@ -110,6 +110,22 @@ object TextAnalysis {
         length(col("chunk")).as("chunk_len"), md5(col("chunk").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** t6: separator-aware recursive chunking (the reference's actual
+    * splitter semantics — see graft.functions.RecursiveChunks). Chunk
+    * text is engine-defined (separator choices), so this is
+    * spec-validated (coverage, size bounds, boundary preference,
+    * determinism) rather than SQL-oracled. */
+  def t6RecursiveChunk(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.RecursiveChunksF
+    Tables.documents(s, dir).select("doc_id", "text")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        posexplode(RecursiveChunksF.chunks(col("text"), 200, 40)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).as("chunk_len"), md5(col("chunk").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   // ---- oracle SQL ----
 
   val t1Sql: String =
