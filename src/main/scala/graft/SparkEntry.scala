@@ -41,6 +41,7 @@ object SparkEntry {
     "t4_fingerprint"    -> (TextAnalysis.t4Fingerprint _),
     "t5_chunking"       -> (TextAnalysis.t5Chunking _),
     "t6_recursive_chunk"-> (TextAnalysis.t6RecursiveChunk _),
+    "t7_redact"         -> (TextAnalysis.t7Redact _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -142,6 +143,7 @@ object SparkEntry {
     "t3_lang_id"        -> TextAnalysis.t3Sql,
     "t4_fingerprint"    -> TextAnalysis.t4Sql,
     "t5_chunking"       -> TextAnalysis.t5Sql,
+    "t7_redact"         -> TextAnalysis.t7Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,

@@ -126,6 +126,43 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // PII patterns kept to syntax identical in Java regex and RE2
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+
+  /** t7: PII scrubbing — redact emails/URLs, report counts + redacted
+    * fingerprint. The corpus gets deterministic planted PII (same
+    * derivation in the oracle) since the synthetic text contains none.
+    * Pure map stage: regexp_count + regexp_replace, both codegen'd. */
+  def t7Redact(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@example.com or http://site"),
+            col("doc_id"), lit(".example/page")))
+          .otherwise(col("text")))
+    base
+      .withColumn("n_emails", regexp_count(col("text"), lit(EmailRe)))
+      .withColumn("n_urls", regexp_count(regexp_replace(col("text"), EmailRe, "[EMAIL]"), lit(UrlRe)))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "[EMAIL]"), UrlRe, "[URL]"))
+      .select(col("doc_id"), col("n_emails"), col("n_urls"),
+        md5(col("redacted").cast("binary")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val t7Sql: String =
+    """WITH corpus AS (
+      | SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |   THEN text || ' contact user' || doc_id || '@example.com or http://site' || doc_id || '.example/page'
+      |   ELSE text END AS text
+      | FROM documents)
+      |SELECT doc_id,
+      | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      | len(regexp_extract_all(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), 'https?://[^ ]+')) AS n_urls,
+      | md5(regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'), 'https?://[^ ]+', '[URL]', 'g')) AS redacted_md5
+      |FROM corpus ORDER BY doc_id""".stripMargin
+
   // ---- oracle SQL ----
 
   val t1Sql: String =
