@@ -123,7 +123,7 @@ object Dedup {
       .filter(size(col("t")) >= 2)
     val exploded = c.select(col("doc_id"),
         explode(expr("array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("sh"))
-      .withColumn("h", conv(substring(md5(col("sh").cast("binary")), 1, 15), 16, 10).cast("long") % P)
+      .withColumn("h", graft.functions.Md5PrefixModF(col("sh"), P))
     val aggs = (0 until NumHashes).map(i =>
       min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i"))
     val minhashes = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
