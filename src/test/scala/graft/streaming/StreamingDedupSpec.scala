@@ -1,0 +1,27 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingDedupSpec extends SparkSpec {
+  import StreamingDedup._
+
+  test("first doc per fingerprint passes; later duplicates drop, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedup(mem.toDS())
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+
+    // batch 1: two distinct + an in-batch duplicate (higher id loses)
+    mem.addData(Doc("fpA", 2, "a"), Doc("fpA", 1, "a"), Doc("fpB", 3, "b"))
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate of fpA + one new
+    mem.addData(Doc("fpA", 9, "a"), Doc("fpC", 4, "c"))
+    q.processAllAvailable()
+    val got = spark.sql("select fingerprint, doc_id from dedup_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 4L)))
+  }
+}
