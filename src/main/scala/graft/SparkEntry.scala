@@ -29,6 +29,7 @@ object SparkEntry {
     "q15_percentiles"   -> (Analytics.q15Percentiles _),
     "q16_rollup"        -> (Analytics.q16Rollup _),
     "q17_json"          -> (Analytics.q17Json _),
+    "q18_asof"          -> (Analytics.q18AsOf _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -132,6 +133,7 @@ object SparkEntry {
     "q15_percentiles"   -> Analytics.q15Sql,
     "q16_rollup"        -> Analytics.q16Sql,
     "q17_json"          -> Analytics.q17Sql,
+    "q18_asof"          -> Analytics.q18Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

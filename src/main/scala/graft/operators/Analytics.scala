@@ -116,6 +116,39 @@ object Analytics {
            sum(dec(col("value"))).cast("double").as("total_value"))
       .orderBy("k_mod")
 
+  /** q18: AS-OF join — for every event, the timestamp of the user's most
+    * recent prior (or same-instant) signup. Expressed as a running
+    * last-non-null over the time order instead of an actual join: both
+    * "sides" live in one shuffle on user_id, which is the formulation
+    * that survives 100 TB (an inequality join would be quadratic per
+    * user; Spark has no native as-of join). */
+  def q18AsOf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select("event_id", "user_id", "event_type", "ts")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("last_signup_us",
+        last(when(col("event_type") === "signup", col("us")), ignoreNulls = true).over(w))
+      .filter(col("event_type") =!= "signup")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("us"), coalesce(col("last_signup_us"), lit(-1L)).as("last_signup_us"))
+      .orderBy("event_id")
+  }
+
+  val q18Sql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |j AS (
+      | SELECT *, last_value(CASE WHEN event_type = 'signup' THEN us END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_us
+      | FROM e)
+      |SELECT event_id, user_id, event_type, us,
+      | coalesce(last_signup_us, -1) AS last_signup_us
+      |FROM j WHERE event_type <> 'signup'
+      |ORDER BY event_id""".stripMargin
+
   val q17Sql: String =
     """SELECT json_extract_string(props, '$.k')::bigint % 10 AS k_mod,
       | count(*) AS cnt,
