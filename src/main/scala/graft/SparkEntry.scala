@@ -30,6 +30,9 @@ object SparkEntry {
     "q16_rollup"        -> (Analytics.q16Rollup _),
     "q17_json"          -> (Analytics.q17Json _),
     "q18_asof"          -> (Analytics.q18AsOf _),
+    "q19_moving_avg"    -> (Analytics.q19MovingAvg _),
+    "q20_set_ops"       -> (Analytics.q20SetOps _),
+    "q21_array_agg"     -> (Analytics.q21ArrayAgg _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -134,6 +137,9 @@ object SparkEntry {
     "q16_rollup"        -> Analytics.q16Sql,
     "q17_json"          -> Analytics.q17Sql,
     "q18_asof"          -> Analytics.q18Sql,
+    "q19_moving_avg"    -> Analytics.q19Sql,
+    "q20_set_ops"       -> Analytics.q20Sql,
+    "q21_array_agg"     -> Analytics.q21Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

@@ -149,6 +149,69 @@ object Analytics {
       |FROM j WHERE event_type <> 'signup'
       |ORDER BY event_id""".stripMargin
 
+  /** q19: rolling 5-event average value per user (dashboard moving
+    * metric) — an explicit ROWS frame; one shuffle serves the whole
+    * window pass. Decimal rolling sums divided by exact counts keep the
+    * doubles bit-identical across engines. */
+  def q19MovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(s, dir).select("event_id", "user_id", "ts", "value")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("rolling_sum", sum(dec(col("value"))).over(w))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        (col("rolling_sum").cast("double") / col("rolling_n")).as("rolling_avg"))
+      .orderBy("event_id")
+  }
+
+  val q19Sql: String =
+    """WITH e AS (SELECT event_id, user_id, value, epoch_us(ts) AS us FROM events)
+      |SELECT event_id, user_id,
+      | cast(sum(cast(value AS decimal(18,2))) OVER w AS double)
+      |   / count(*) OVER w AS rolling_avg
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+      |             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** q20: set operations between audience segments (INTERSECT/EXCEPT —
+    * Mongo-land does this with $setIntersection over arrays; Spark plans
+    * them as joins): purchasers vs. error-reporters. */
+  def q20SetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("user_id", "event_type")
+    val buyers = e.filter(col("event_type") === "purchase").select("user_id").distinct()
+    val errored = e.filter(col("event_type") === "error").select("user_id").distinct()
+    val both = buyers.intersect(errored).withColumn("segment", lit("both"))
+    val buyersOnly = buyers.except(errored).withColumn("segment", lit("buyers_only"))
+    both.unionByName(buyersOnly)
+      .select("segment", "user_id")
+      .orderBy("segment", "user_id")
+  }
+
+  val q20Sql: String =
+    """WITH buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+      |errored AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+      |SELECT 'both' AS segment, user_id FROM (SELECT user_id FROM buyers INTERSECT SELECT user_id FROM errored)
+      |UNION ALL
+      |SELECT 'buyers_only' AS segment, user_id FROM (SELECT user_id FROM buyers EXCEPT SELECT user_id FROM errored)
+      |ORDER BY segment, user_id""".stripMargin
+
+  /** q21: per-user sorted distinct tag list (the reference stores
+    * per-assistant tag arrays) — collect is unordered on a cluster, so
+    * the contract is sort-then-join. */
+  def q21ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("user_id", "event_type")
+      .groupBy("user_id")
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+           count(lit(1)).as("cnt"))
+      .orderBy("user_id")
+
+  val q21Sql: String =
+    """SELECT user_id,
+      | array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+      | count(*) AS cnt
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val q17Sql: String =
     """SELECT json_extract_string(props, '$.k')::bigint % 10 AS k_mod,
       | count(*) AS cnt,
