@@ -46,6 +46,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CharNgramJaccard(args(0), args(1),
         args(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      info("winnow_fingerprints", "winnow_fingerprints(text) - rolling-hash winnowing fingerprint set"),
+      (args: Seq[Expression]) => WinnowFingerprints(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("recursive_chunks"),
+      info("recursive_chunks", "recursive_chunks(text, size, overlap) - separator-aware chunking"),
+      (args: Seq[Expression]) => RecursiveChunks(args(0),
+        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("char_hist_embed"),
+      info("char_hist_embed", "char_hist_embed(text) - stub encoder: normalized char histogram"),
+      (args: Seq[Expression]) => CharHistEmbed(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_prefix_mod"),
+      info("md5_prefix_mod", "md5_prefix_mod(s, m) - first 60 md5 bits mod m"),
+      (args: Seq[Expression]) => Md5PrefixMod(args(0),
+        args(1).eval() match { case i: Int => i.toLong; case l: Long => l })))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - ids of the k best-scored rows"),
       (args: Seq[Expression]) => TopKByScore(

@@ -37,6 +37,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("text/fingerprint expressions callable from SQL") {
+    val r = spark.sql(
+      """SELECT size(winnow_fingerprints('the quick brown fox jumps over the dog')) AS nf,
+        |       size(recursive_chunks('one two three four five six seven eight', 12, 2)) AS nc,
+        |       size(char_hist_embed('hello')) AS dim,
+        |       md5_prefix_mod('abc', 1000000007) AS h""".stripMargin).head()
+    assert(r.getInt(0) > 0 && r.getInt(1) > 1 && r.getInt(2) == 64 && r.getLong(3) >= 0)
+  }
+
   test("topk_by_score aggregate works from SQL") {
     spark.sql("SELECT * FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(score, id)")
       .createOrReplaceTempView("scores")
