@@ -46,6 +46,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) > 0 && r.getInt(1) > 1 && r.getInt(2) == 64 && r.getLong(3) >= 0)
   }
 
+  // NOTE: the spark.sql.extensions CONFIG activation path is applied when
+  // the SparkContext is first created, so it cannot be exercised in this
+  // shared-context test JVM; withExtensions (above) covers registration.
+
   test("topk_by_score aggregate works from SQL") {
     spark.sql("SELECT * FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(score, id)")
       .createOrReplaceTempView("scores")
