@@ -32,8 +32,11 @@ object RecursiveChunksUtil {
     while (pos < n) {
       var end = math.min(pos + chunkSize, n)
       if (end < n) {
-        // best separator in (pos, end]: paragraph > newline > space
-        val para = s.lastIndexOf("\n\n", end - 1)
+        // best separator in (pos, end]: paragraph > newline > space.
+        // The two-char paragraph separator is searched from end - 2 so the
+        // whole "\n\n" fits inside the window — a match starting at
+        // end - 1 would yield cut = end + 1, a chunkSize + 1 chunk.
+        val para = s.lastIndexOf("\n\n", end - 2)
         val nl = s.lastIndexOf('\n', end - 1)
         val sp = s.lastIndexOf(' ', end - 1)
         val cut =

@@ -216,7 +216,11 @@ object Dedup {
     val c = e.unionByName(planted)
     val l = c.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
     val r = c.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
-    l.join(r, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+    // label has ~10 distinct values: a shuffle join on it caps parallelism
+    // at 10 hot partitions. Broadcasting the block side (same shape as
+    // s3_knn_join) keeps the probe side's full partition parallelism; at
+    // unbounded block sizes, bucket or salt the block key instead.
+    l.join(broadcast(r), col("label") === col("label_b") && col("vec_a") < col("vec_b"))
       .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
       .select("vec_a", "vec_b", "label")
       .orderBy("vec_a", "vec_b")

@@ -23,7 +23,8 @@ object MultimodalDecode {
     * payload bytes. A real deployment swaps only this function for a
     * codec call — the operator contract is unchanged. */
   def decodeFrame(payload: Array[Byte], frameIdx: Int): (Int, Int, Double) = {
-    val n = math.max(payload.length, 1)
+    if (payload.isEmpty) return (16, 16, 0.0) // empty blob: degenerate frame
+    val n = payload.length
     val w = 16 + (n % 16) * 8
     val h = 16 + ((n / 16) % 16) * 8
     val off = (frameIdx * 31) % n

@@ -104,21 +104,32 @@ object Similarity {
   }
 
   /** s4: IVF-style ANN — vectors with vec_id<8 act as the coarse
-    * centroid codebook; every vector is assigned to its nearest centroid
-    * (one broadcast join + window argmax), and a query probes only its
-    * own centroid's inverted list before exact scoring. The 100 TB
-    * story: the assignment pass is one scan, the inverted lists are the
-    * partitioning, and probe cost is |list| not |corpus|. */
+    * centroid codebook; every vector is assigned to its nearest centroid,
+    * and a query probes only its own centroid's inverted list before
+    * exact scoring.
+    *
+    * The assignment is MAP-ONLY: the codebook collapses to a one-row
+    * (cids, cembs) pair of arrays (sorted by cid), broadcast to every
+    * partition, and the per-vector argmax runs inside whole-stage codegen
+    * (graft.functions.NearestIndex) — no |codebook|×N join rows, no
+    * window, no shuffle of the corpus. IVF's whole point is that coarse
+    * assignment is one scan; the round-1 cross-join + row_number argmax
+    * shuffled 8×|corpus| rows to compute the same thing. Probe cost is
+    * |inverted list|, not |corpus|. */
   def s4IvfTopK(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(V.cosine(col("embedding"), col("cemb")).desc, col("cid").asc)
-    val assigned = e.join(broadcast(cent))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+    // one-row codebook: sort_array on struct(cid, emb) orders by cid, so
+    // NearestIndex's lowest-index tie-break is the "cos DESC, cid ASC"
+    // argmax the oracle computes. The single-row aggregate moves 8 rows.
+    val cb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"), col("cid").as("qcid"))
     val grouped = assigned.join(broadcast(q),

@@ -11,4 +11,7 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Shim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+  /** `AbstractDataType` is `private[sql]`; expressions outside the Spark
+    * package need it to declare `inputTypes` (ImplicitCastInputTypes). */
+  type AbstractType = org.apache.spark.sql.types.AbstractDataType
 }

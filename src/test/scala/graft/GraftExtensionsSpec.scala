@@ -37,6 +37,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 1.0)
   }
 
+  test("SQL double-array literals are implicitly cast to float arrays") {
+    // array(1.0, 2.0) is array<double>; without declared input types the
+    // expression would read 8-byte doubles with getFloat and return
+    // garbage silently. ImplicitCastInputTypes must insert the cast.
+    val r = spark.sql(
+      """SELECT vec_cosine(array(1.0, 2.0), array(1.0, 2.0)) AS c,
+        |       vec_dot(array(1.0, 2.0), array(3.0, 4.0)) AS d""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 11.0)
+  }
+
   test("text/fingerprint expressions callable from SQL") {
     val r = spark.sql(
       """SELECT size(winnow_fingerprints('the quick brown fox jumps over the dog')) AS nf,

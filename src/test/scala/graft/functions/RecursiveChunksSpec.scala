@@ -41,6 +41,17 @@ class RecursiveChunksSpec extends SparkSpec {
     chunk(spaces, 10, 0).dropRight(1).foreach(c => assert(c.endsWith(" "), c))
   }
 
+  test("paragraph separator straddling the window edge never oversizes a chunk") {
+    // "\n\n" starting exactly at index chunkSize - 1 spans the window
+    // boundary; a lastIndexOf from end - 1 would cut at end + 1 and emit
+    // a chunkSize + 1 chunk.
+    for (size <- 8 to 14) {
+      val text = "a" * (size - 1) + "\n\n" + "b" * 30
+      val cs = chunk(text, size, 0)
+      assert(cs.forall(_.length <= size), s"size=$size -> ${cs.map(_.length)}")
+    }
+  }
+
   test("hard cut only when no separator exists in range") {
     val cs = chunk("x" * 250, 100, 10)
     assert(cs.forall(_.length <= 100))

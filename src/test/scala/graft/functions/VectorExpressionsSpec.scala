@@ -45,6 +45,13 @@ class VectorExpressionsSpec extends SparkSpec {
       assert(pairs((i, j)) == ref(va, vb), s"pair ($i,$j)")
   }
 
+  test("double-array columns are implicitly cast, not reinterpreted") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0), Array(1.0, 2.0))).toDF("a", "b")
+    assert(df.select(V.cosine(col("a"), col("b"))).head().getDouble(0) == 1.0)
+    assert(df.select(V.dot(col("a"), col("b"))).head().getDouble(0) == 5.0)
+  }
+
   test("null input yields null") {
     import spark.implicits._
     val df = Seq((Some(Array(1f)), Option.empty[Array[Float]])).toDF("a", "b")

@@ -188,4 +188,9 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(once == again)
     once.foreach { f => assert(f.mean_luma >= 0.0 && f.mean_luma <= 1.0) }
   }
+
+  test("empty payload decodes to a degenerate frame instead of throwing") {
+    val (w, h, luma) = MultimodalDecode.decodeFrame(Array.emptyByteArray, 2)
+    assert(w == 16 && h == 16 && luma == 0.0)
+  }
 }
