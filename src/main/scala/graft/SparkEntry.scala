@@ -33,6 +33,9 @@ object SparkEntry {
     "q19_moving_avg"    -> (Analytics.q19MovingAvg _),
     "q20_set_ops"       -> (Analytics.q20SetOps _),
     "q21_array_agg"     -> (Analytics.q21ArrayAgg _),
+    "q22_or_exists"     -> (Relational.q22OrExists _),
+    "q23_patch_update"  -> (Mutations.q23PatchUpdate _),
+    "q24_dml"           -> (Mutations.q24Dml _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -140,6 +143,9 @@ object SparkEntry {
     "q19_moving_avg"    -> Analytics.q19Sql,
     "q20_set_ops"       -> Analytics.q20Sql,
     "q21_array_agg"     -> Analytics.q21Sql,
+    "q22_or_exists"     -> Relational.q22Sql,
+    "q23_patch_update"  -> Mutations.q23Sql,
+    "q24_dml"           -> Mutations.q24Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Mutation surface: field-level $set patches and SQL write DML
+  * (INSERT/UPDATE/DELETE), re-expressed as deterministic batch
+  * transforms over immutable columnar state — the Spark-native shape of
+  * the reference's in-place writes:
+  *
+  *  - promptController.js:319/:515, userController.js:523 — Mongo
+  *    `$set {field: value}` patches (soft delete, title rename) that
+  *    update a SUBSET of fields on matching documents;
+  *  - postgreService.js:33/:82/:114 — SQL INSERT / UPDATE / DELETE
+  *    passthrough.
+  *
+  * On a cluster there is no "update in place": the scalable formulation
+  * is read → transform → write-new-version (compare Delta/Iceberg
+  * copy-on-write). The primitives below are all narrow map-stage
+  * transforms except the patch merge, whose single shuffle is bounded by
+  * the PATCH batch size (patches broadcast; the base table never
+  * shuffles).
+  */
+object Mutations {
+
+  private def dec(c: Column) = c.cast("decimal(18,2)")
+
+  // ---- generic DML primitives (postgreService surface) ----
+
+  /** DELETE WHERE pred: keep rows where pred is not TRUE (SQL DELETE
+    * semantics — a NULL predicate does not delete). Map-only. */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
+  /** UPDATE SET ... WHERE pred. All set expressions evaluate against the
+    * PRE-update row (SQL semantics), hence the single select rather than
+    * chained withColumn. Map-only. */
+  def updateWhere(df: DataFrame, pred: Column, sets: Map[String, Column]): DataFrame = {
+    val p = coalesce(pred, lit(false))
+    df.select(df.columns.toSeq.map { c =>
+      sets.get(c).map(v => when(p, v).otherwise(col(c)).as(c)).getOrElse(col(c))
+    }: _*)
+  }
+
+  /** INSERT: append rows with the same schema (column-name matched). */
+  def insertRows(df: DataFrame, rows: DataFrame): DataFrame =
+    df.unionByName(rows)
+
+  /** Read-modify-overwrite for a parquet table: apply `transform` to the
+    * table at `path`, write the new state to `path.staging`, then
+    * atomically swap directories (the copy-on-write versioning pattern —
+    * Spark cannot overwrite a path it is reading). Works on any Hadoop
+    * filesystem. */
+  def rewriteInPlace(s: SparkSession, path: String)(transform: DataFrame => DataFrame): Unit = {
+    val staging = path + ".staging"
+    val old = path + ".old"
+    transform(s.read.parquet(path)).write.mode("overwrite").parquet(staging)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+    fs.rename(hp, new org.apache.hadoop.fs.Path(old))
+    fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
+    fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
+  // ---- field-level $set merge ----
+
+  /** Latest-wins FIELD-level patch merge (Mongo `$set` over a batch):
+    * `patches` rows carry (key, pri, fields...), where a NULL field means
+    * "not set by this patch" and higher `pri` wins per FIELD (not per
+    * row — two patches touching different fields of the same key both
+    * apply, which whole-row latest-wins upsert (v1) cannot express).
+    *
+    * Scale shape: one groupBy bounded by the patch-batch size collapses
+    * patches to one row per key via max(struct(pri, value)) — nulls are
+    * skipped by max, so the highest-pri SET value wins; then the base
+    * table LEFT-joins the broadcast patch set and coalesces per field.
+    * The base (100 TB) side never shuffles. */
+  def applyFieldPatches(base: DataFrame, patches: DataFrame, key: String,
+      fields: Seq[String]): DataFrame = {
+    val aggs = fields.map(f =>
+      max(when(col(f).isNotNull, struct(col("pri"), col(f).as("v"))))
+        .getField("v").as(f))
+    val merged = patches.groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed(key, "_patch_key")
+    val patchedFields = fields.map(f =>
+      coalesce(merged(f), base(f)).as(f))
+    base.join(broadcast(merged), base(key) === merged("_patch_key"), "left")
+      .select((base(key) +: patchedFields): _*)
+  }
+
+  /** q23: field-level $set patch merge over customer — two patch batches
+    * (pri 1 then pri 2) touching overlapping keys and different field
+    * subsets, exactly the promptController soft-delete / rename shape. */
+  def q23PatchUpdate(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir).select("c_custkey", "c_mktsegment", "c_acctbal")
+    val p1 = base.filter(col("c_custkey") % 5 === 0).select(
+      col("c_custkey"), lit(1).as("pri"),
+      lit("SEG_PATCHED").as("c_mktsegment"),
+      when(col("c_custkey") % 10 === 0, lit(111.25)).as("c_acctbal"))
+    val p2 = base.filter(col("c_custkey") % 15 === 0).select(
+      col("c_custkey"), lit(2).as("pri"),
+      lit(null).cast("string").as("c_mktsegment"),
+      (col("c_custkey") * lit(0.5)).as("c_acctbal"))
+    applyFieldPatches(base, p1.unionByName(p2), "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  /** Oracle: the two batches have one row per key, so per-field
+    * latest-wins is expressible as nested COALESCE over explicit joins. */
+  val q23Sql: String =
+    """WITH p1 AS (
+      |  SELECT c_custkey, 'SEG_PATCHED' AS seg,
+      |         CASE WHEN c_custkey % 10 = 0 THEN 111.25 END AS bal
+      |  FROM customer WHERE c_custkey % 5 = 0),
+      |p2 AS (
+      |  SELECT c_custkey, c_custkey * 0.5 AS bal
+      |  FROM customer WHERE c_custkey % 15 = 0)
+      |SELECT b.c_custkey,
+      |  coalesce(p1.seg, b.c_mktsegment) AS c_mktsegment,
+      |  coalesce(p2.bal, p1.bal, b.c_acctbal) AS c_acctbal
+      |FROM customer b
+      |  LEFT JOIN p1 ON b.c_custkey = p1.c_custkey
+      |  LEFT JOIN p2 ON b.c_custkey = p2.c_custkey
+      |ORDER BY b.c_custkey""".stripMargin
+
+  /** q24: SQL passthrough write DML (postgreService INSERT/UPDATE/DELETE)
+    * — apply DELETE → UPDATE → INSERT to orders and report the post-state
+    * as a per-(status, priority) rollup, which checks every row of the
+    * mutated table against the oracle without dumping 15k rows. */
+  def q24Dml(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+    val afterDel = deleteWhere(o,
+      col("o_orderstatus") === "F" && col("o_totalprice") < 100000)
+    val afterUpd = updateWhere(afterDel,
+      col("o_totalprice") >= 400000,
+      Map("o_orderpriority" -> lit("0-URGENT")))
+    val inserts = o.filter(col("o_orderkey") % 1000 === 0).select(
+      (col("o_orderkey") + 100000000L).as("o_orderkey"),
+      lit("N").as("o_orderstatus"),
+      col("o_totalprice"),
+      lit("9-BACKFILL").as("o_orderpriority"))
+    insertRows(afterUpd, inserts)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val q24Sql: String =
+    """WITH after_del AS (
+      |  SELECT * FROM orders
+      |  WHERE NOT (o_orderstatus = 'F' AND o_totalprice < 100000)),
+      |after_upd AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CASE WHEN o_totalprice >= 400000 THEN '0-URGENT'
+      |         ELSE o_orderpriority END AS o_orderpriority
+      |  FROM after_del),
+      |post AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM after_upd
+      |  UNION ALL
+      |  SELECT o_orderkey + 100000000, 'N', o_totalprice, '9-BACKFILL'
+      |  FROM orders WHERE o_orderkey % 1000 = 0)
+      |SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+      |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+      |FROM post GROUP BY o_orderstatus, o_orderpriority
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+}

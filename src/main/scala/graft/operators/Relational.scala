@@ -172,6 +172,46 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** q22: $or compound predicate + $exists field-presence filter — the
+    * reference's most common search shape after plain $match
+    * (userController.js:30-36 `deletedEmail: {$exists: false}` with a
+    * name-OR-email case-insensitive $regex; assistantController.js:577-589
+    * builds the same $or array).
+    *
+    * The tables have no optional fields (parquet is schema-full), so the
+    * sometimes-present fields are derived deterministically from customer
+    * — same derivation in the oracle SQL; the OPERATOR under test is the
+    * OR-of-regexes + IS NULL presence filter, with Mongo's three-valued
+    * null semantics (a null email fails its regex arm without poisoning
+    * the OR). rlike is codegen'd; on stored columns the IsNull/IsNotNull
+    * arm is pushable to the scan (regex predicates are not parquet-
+    * pushable in any engine — they evaluate in the first map stage). */
+  def q22OrExists(s: SparkSession, dir: String): DataFrame = {
+    val u = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        when(col("c_custkey") % 3 === 0,
+          concat(lower(col("c_name")), lit("@corp.example"))).as("email"),
+        when(col("c_custkey") % 11 === 0, lit("tombstone")).as("deleted_marker"))
+    u.filter(col("deleted_marker").isNull &&
+        (lower(col("c_name")).rlike("1[0-9][0-9]$") || col("email").rlike("4[0-9]@")))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        coalesce(col("email"), lit("")).as("email"))
+      .orderBy("c_custkey")
+  }
+
+  val q22Sql: String =
+    """WITH u AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    CASE WHEN c_custkey % 3 = 0 THEN lower(c_name) || '@corp.example' END AS email,
+      |    CASE WHEN c_custkey % 11 = 0 THEN 'tombstone' END AS deleted_marker
+      |  FROM customer)
+      |SELECT c_custkey, c_name, c_mktsegment, coalesce(email, '') AS email
+      |FROM u
+      |WHERE deleted_marker IS NULL
+      |  AND (regexp_matches(lower(c_name), '1[0-9][0-9]$')
+      |       OR regexp_matches(email, '4[0-9]@'))
+      |ORDER BY c_custkey""".stripMargin
+
   /** q13: SQL passthrough (postgreService.getCompanyData) — arbitrary SQL
     * over registered views, here a join+agg exercising the SQL surface. */
   def q13Sql(s: SparkSession, dir: String): DataFrame = {
