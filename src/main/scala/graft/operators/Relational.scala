@@ -142,10 +142,21 @@ object Relational {
       .orderBy("event_type")
 
   /** q11: latest event per user (assistantController.js:270
-    * mostRecentMessage) — window row_number, one shuffle on user_id. */
+    * mostRecentMessage).
+    *
+    * Written as window row_number, but the sort keys are coalesced to
+    * non-null sentinels (epoch / Long.MinValue — both rank null LAST
+    * under DESC, matching the window default, and no real data predates
+    * 1970): with provably non-nullable keys the WindowTopKRewrite rule
+    * replaces the window with the bounded TopKRowsByScore aggregate, so
+    * the shuffle carries ONE row per user per input partition instead of
+    * the whole events table. Under a session without the extensions the
+    * window form runs unchanged and returns identical results. */
   def q11LatestPerKey(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val w = Window.partitionBy("user_id").orderBy(
+      coalesce(col("ts"), timestamp_micros(lit(0L))).desc,
+      coalesce(col("event_id"), lit(Long.MinValue)).desc)
     Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)

@@ -11,4 +11,40 @@ class EntrySpec extends SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- specOnly
     assert(missing.isEmpty, s"queries without oracle or spec: $missing")
   }
+
+  test("q11 plans through TopKRowsByScore (no Window) under the driver session shape") {
+    // Verify/Bench build their sessions with GraftExtensions; replicate
+    // that here and assert the latest-per-key window is rewritten to the
+    // bounded aggregate in the plan the driver actually measures. Both
+    // sessions are built explicitly (newSession-per-builder) because the
+    // suite-shared session's extension state depends on suite order.
+    def freshSession(withExt: Boolean) = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName(s"graft-entry-ext-$withExt")
+        .config("spark.sql.shuffle.partitions", 2)
+        .config("spark.ui.enabled", "false")
+      (if (withExt) b.withExtensions(new GraftExtensions) else b).getOrCreate()
+    }
+    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
+    try {
+      val ext = freshSession(withExt = true)
+      val q = operators.Relational.q11LatestPerKey(ext, sfDir)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Window"), optimized)
+      assert(optimized.contains("topk_rows_by_score"), optimized)
+      val rewrittenRows = q.collect().toSeq
+      // and the rewritten plan still matches the plain-window result
+      val plain = freshSession(withExt = false)
+      val plainQ = operators.Relational.q11LatestPerKey(plain, sfDir)
+      assert(plainQ.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(rewrittenRows == plainQ.collect().toSeq)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prior.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
 }
