@@ -4,16 +4,35 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one JSON line with per-query steady-state seconds.
   *
-  * Each query is run once untimed (JIT + codegen + file-index warmup;
-  * a fleet-wide service pays this once, not per query) and then timed
-  * with a `noop`-sink write so the FULL result — including final sort
-  * and all columns — is materialized, unlike `count()` which lets
-  * Catalyst prune most of the plan. The reported time is the best of
-  * three runs: single-shot numbers on a shared machine occasionally
-  * absorb co-tenant noise (observed 40x spikes), and min-of-N is the
-  * standard steady-state estimator.
+  * Protocol: each query runs once untimed (JIT + codegen + file-index
+  * warmup; a fleet-wide service pays this once, not per query), then
+  * three timed runs with a `noop`-sink write so the FULL result —
+  * including final sort and all columns — is materialized (`count()`
+  * would let Catalyst prune most of the plan). Both the MIN (steady-state
+  * estimator, robust to co-tenant noise spikes — observed 40x) and the
+  * MEDIAN (typical-run estimator, robust to a lucky cache hit) are
+  * reported per query; `value` stays the min-sum for continuity with
+  * earlier rounds.
+  *
+  * A query that throws reports -1 (never a small-but-fake elapsed time)
+  * and is listed in `failed`. If a previous round's BENCH_r*.json is
+  * present in the working directory, `delta_vs_prev` carries
+  * current_min / previous_min per query (>1 = regression).
   */
 object Bench {
+
+  /** Extract per-query seconds from a previous BENCH file. The file is a
+    * driver-side wrapper whose `tail` embeds the JSON line with escaped
+    * quotes, so this parses name:number pairs textually rather than as
+    * JSON; names are validated against the current query set. */
+  private[graft] def prevTimes(text: String, names: Set[String]): Map[String, Double] = {
+    val pair = """\\?"([a-z0-9_]+)\\?":(-?[0-9]+\.[0-9]+)""".r
+    pair.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => names.contains(k) && v > 0 }
+      .toMap // later occurrences win
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -31,22 +50,58 @@ object Bench {
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
 
-    // warmup pass (untimed)
+    // warmup pass (untimed; failures surface in the timed pass)
     SparkEntry.queries.foreach { case (_, fn) =>
       try runOnce(fn) catch { case _: Throwable => () }
     }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try runOnce(fn) catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { runOnce(fn); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          None
+        }
       }
-      name -> times.min
+      (name, times)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(d: Double): String = if (d < 0) "-1" else d.toString
+    val mins = results.map { case (n, ts) => n -> (if (ts.size == 3) ts.min else -1.0) }
+    val medians = results.map { case (n, ts) => n -> (if (ts.size == 3) ts.sorted.apply(1) else -1.0) }
+    val failed = mins.collect { case (n, t) if t < 0 => n }
+
+    // previous round's per-query minimums, if a BENCH_r*.json is present
+    val prev: Map[String, Double] = {
+      val dir = new java.io.File(".")
+      val benches = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+      benches.lastOption.map { f =>
+        try prevTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)),
+          SparkEntry.queries.keySet)
+        catch { case _: Throwable => Map.empty[String, Double] }
+      }.getOrElse(Map.empty)
+    }
+    val deltas = mins.collect {
+      case (n, t) if t > 0 && prev.get(n).exists(_ > 0) =>
+        n -> BigDecimal(t / prev(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val totalMin = mins.collect { case (_, t) if t > 0 => t }.sum
+    val totalMedian = medians.collect { case (_, t) if t > 0 => t }.sum
+    val line = obj(Seq(
+      "metric" -> "\"total\"",
+      "value" -> totalMin.toString,
+      "unit" -> "\"sec\"",
+      "queries" -> obj(mins.map { case (k, v) => k -> fmt(v) }),
+      "queries_median" -> obj(medians.map { case (k, v) => k -> fmt(v) }),
+      "median_total" -> totalMedian.toString,
+      "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
+      "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "sf" -> ("\"" + sfDir + "\"")))
+    println(line)
     spark.stop()
   }
 }
