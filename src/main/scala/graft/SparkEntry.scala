@@ -36,6 +36,9 @@ object SparkEntry {
     "q22_or_exists"     -> (Relational.q22OrExists _),
     "q23_patch_update"  -> (Mutations.q23PatchUpdate _),
     "q24_dml"           -> (Mutations.q24Dml _),
+    "q25_shipping_priority" -> (Warehouse.q25ShippingPriority _),
+    "q26_bilateral_volume"  -> (Warehouse.q26BilateralVolume _),
+    "q27_large_volume_cust" -> (Warehouse.q27LargeVolumeCustomers _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -146,6 +149,9 @@ object SparkEntry {
     "q22_or_exists"     -> Relational.q22Sql,
     "q23_patch_update"  -> Mutations.q23Sql,
     "q24_dml"           -> Mutations.q24Sql,
+    "q25_shipping_priority" -> Warehouse.q25Sql,
+    "q26_bilateral_volume"  -> Warehouse.q26Sql,
+    "q27_large_volume_cust" -> Warehouse.q27Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Warehouse-grade relational shapes (TPC-H Q3/Q7/Q18 analogues) — the
+  * reporting queries an analytics deployment of the reference would run
+  * over its usage data at scale. Each exercises a join/aggregation
+  * topology the rest of the inventory does not:
+  *
+  *  - q25: top-N over a grouped fact-fact join (ranking AFTER
+  *    aggregation, not over raw rows);
+  *  - q26: OR-of-pairs join predicate across two dimension arms;
+  *  - q27: aggregate-derived semi-join (HAVING subquery feeding a scan).
+  */
+object Warehouse {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def revenue = sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+
+  /** q25 (TPC-H Q3 shape): unshipped-order shipping priority — revenue of
+    * BUILDING-segment orders placed before D with lines shipped after D,
+    * top 10 by revenue.
+    *
+    * Plan: both date filters push into the scans, shrinking the one
+    * fact-fact shuffle; the BUILDING customer set broadcasts as a
+    * LEFT SEMI (no row duplication); the top-10 over the aggregate is
+    * TakeOrderedAndProject (no global sort exchange). */
+  def q25ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1997-01-01").cast("timestamp")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_semi")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(revenue.cast("double").as("revenue"), count(lit(1)).as("line_count"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q25Sql: String =
+    """SELECT l_orderkey, o_orderdate,
+      | cast(sum(cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2)))) AS double) AS revenue,
+      | count(*) AS line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01'
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q26 (TPC-H Q7 shape): bilateral shipping volume between two nations
+    * by year — the OR-of-(supplier,customer)-nation-pairs predicate.
+    *
+    * Plan: supplier and customer are pre-filtered to the TWO nations
+    * BEFORE their broadcasts (dimension pruning ahead of the join, so
+    * the broadcast tables shrink ~12x), lineitem's date filter pushes
+    * into its scan, and the only fact-fact shuffle joins the two
+    * pre-pruned fact sides. The pair condition itself is a cheap
+    * post-join filter on two broadcast-provided columns. */
+  def q26BilateralVolume(s: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_3", "NATION_7")
+    val n = Tables.nation(s, dir).filter(col("n_name").isin(nations: _*))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+              (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(revenue.cast("double").as("volume"), count(lit(1)).as("line_count"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q26Sql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      | cast(sum(vol) AS double) AS volume, count(*) AS line_count
+      |FROM (
+      | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  cast(l_extendedprice AS decimal(18,2)) * (1 - cast(l_discount AS decimal(18,2))) AS vol
+      | FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** Large-volume threshold for q27 — ~p99.7 of per-order quantity. */
+  val LargeOrderQty = 300
+
+  /** q27 (TPC-H Q18 shape): large-volume customers — orders whose total
+    * line quantity exceeds a threshold, with customer attribution.
+    *
+    * Plan: ONE group-count-bound fact aggregate derives the qualifying
+    * order set (the HAVING subquery); because the threshold makes it
+    * rare (~0.3% of orders), that result BROADCASTS back against
+    * orders — the orders scan never shuffles — and customer broadcasts
+    * as usual. Ranking is top-100 over the joined result
+    * (TakeOrderedAndProject). */
+  def q27LargeVolumeCustomers(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > LargeOrderQty)
+      .select(col("l_orderkey"), col("qty").cast("double").as("total_qty"))
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q27Sql: String =
+    s"""WITH big AS (
+       |  SELECT l_orderkey, cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS total_qty
+       |  FROM lineitem GROUP BY l_orderkey
+       |  HAVING sum(cast(l_quantity AS decimal(18,2))) > $LargeOrderQty)
+       |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM orders
+       |  JOIN big ON o_orderkey = l_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+}
