@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.Vectors
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{TopK, VectorExpressions => V}
+
+/** Trained IVF (inverted-file) ANN index: the bulk-build scale path for
+  * the reference's vector store (hnswlib's role in
+  * customTrainDataController.js — a graph index is the wrong shape for
+  * bulk Spark builds, an inverted file is the right one).
+  *
+  * Three phases, each with the 100 TB plan:
+  *
+  *  1. `train`: k-means codebook on a bounded SAMPLE of the corpus
+  *     (sample size is k-dependent, not corpus-dependent — MLlib's
+  *     distributed KMeans over a few hundred-thousand sampled rows).
+  *  2. `build`: coarse-assign every vector to its nearest centroid with
+  *     the codegen'd argmax (graft.functions.NearestIndex) over the
+  *     BROADCAST codebook — a map-only scan, zero corpus shuffle — and
+  *     write the store PARTITIONED BY centroid id (the on-disk inverted
+  *     lists).
+  *  3. `probe`: embed queries, rank centroids per query with the same
+  *     broadcast codebook, take the `nprobe` nearest lists, and scan
+  *     ONLY those partitions (driver collects the probed cid set — a
+  *     bounded scan parameter, ≤ queries×nprobe ints — exactly the
+  *     VectorStoreSink pruning pattern); exact cosine top-k inside the
+  *     probed lists via the bounded aggregate.
+  *
+  * Recall/latency trade is `k` (list granularity) × `nprobe` (lists
+  * visited): probe cost is nprobe/k of the corpus, recall rises with
+  * nprobe → IvfIndexSpec measures recall@k against the s1 brute-force
+  * baseline.
+  */
+object IvfIndex {
+
+  /** k-means codebook over (a sample of) the embedding column; returns
+    * centroids as float arrays, index = centroid id. Deterministic for a
+    * fixed seed. */
+  def train(embeddings: DataFrame, k: Int, seed: Long = 42L,
+      sampleFraction: Double = 1.0): Array[Array[Float]] = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val sampled = if (sampleFraction >= 1.0) embeddings
+      else embeddings.sample(withReplacement = false, sampleFraction, seed)
+    val train = sampled.select("embedding").as[Array[Float]]
+      .map(a => Tuple1(Vectors.dense(a.map(_.toDouble))))
+      .toDF("features")
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(train)
+    model.clusterCenters.map(_.toArray.map(_.toFloat))
+  }
+
+  /** Codebook as a one-row broadcastable frame (cids ascending + parallel
+    * embeddings), the shape NearestIndex consumes. */
+  private def codebookDf(s: SparkSession, centroids: Array[Array[Float]]): DataFrame = {
+    import s.implicits._
+    Seq((centroids.indices.toArray, centroids)).toDF("cids", "cembs")
+  }
+
+  /** Map-only coarse assignment + partitioned write: one scan of the
+    * corpus, inverted lists materialized as `cid=<i>` directories. */
+  def build(embeddings: DataFrame, centroids: Array[Array[Float]], path: String): Unit = {
+    val s = embeddings.sparkSession
+    embeddings.crossJoin(broadcast(codebookDf(s, centroids)))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+      .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
+  }
+
+  /** Probe: per query, the `nprobe` nearest centroids' lists only.
+    * queries(qid, qemb) → (qid, rank, neighbor). */
+  def probe(s: SparkSession, path: String, queries: DataFrame,
+      centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+    val cb = codebookDf(s, centroids)
+    // rank ALL centroids per query (|codebook| is broadcast-small), keep nprobe
+    val qcids = queries.crossJoin(broadcast(cb))
+      .select(col("qid"), col("qemb"),
+        posexplode(col("cembs")).as(Seq("cidx", "cemb")))
+      .withColumn("csim", V.cosine(col("qemb"), col("cemb")))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(col("csim"), col("cidx").cast("long"), nprobe).as("probe_cids"),
+           first(col("qemb")).as("qemb"))
+      .select(col("qid"), col("qemb"), explode(col("probe_cids")).as("cid"))
+    // bounded scan parameter: the distinct probed list ids
+    val probed = qcids.select("cid").distinct().collect().map(_.getLong(0))
+    val lists = s.read.parquet(path)
+      .filter(col("cid").isin(probed.map(java.lang.Long.valueOf): _*))
+      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("list_cid"))
+    lists.join(broadcast(qcids), col("list_cid") === col("cid") && col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
+      .orderBy("qid", "rank")
+  }
+}

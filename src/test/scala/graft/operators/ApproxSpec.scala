@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ApproxSpec extends SparkSpec {
+
+  test("HLL distinct counts are within the rsd envelope of exact") {
+    val exact = Relational.q10DistinctCount(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Approx.approxDistinctUsers(spark, sfDir, rsd = 0.05)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val err = math.abs(approx(k) - n).toDouble / n
+      assert(err <= 0.15, s"$k: exact=$n approx=${approx(k)} err=$err") // 3x rsd
+    }
+  }
+
+  test("sketch percentiles are within rank tolerance of the exact two-pass values") {
+    val exact = Analytics.q15Percentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val approx = Approx.approxPercentiles(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(approx.keySet == exact.keySet)
+    // compare by VALUE spread: with accuracy=10000 and ~2k rows/group at
+    // sf0.001, the sketch is near-exact; allow a small relative slack
+    exact.foreach { case (k, (p50, p95)) =>
+      val (a50, a95) = approx(k)
+      assert(math.abs(a50 - p50) / math.max(math.abs(p50), 1e-9) <= 0.02, s"$k p50 $p50 vs $a50")
+      assert(math.abs(a95 - p95) / math.max(math.abs(p95), 1e-9) <= 0.02, s"$k p95 $p95 vs $a95")
+    }
+  }
+
+  test("approx plans carry no Expand and a single aggregate exchange") {
+    val hllPlan = Approx.approxDistinctUsers(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!hllPlan.contains("Expand"), hllPlan)
+    val exactPlan = Relational.q10DistinctCount(spark, sfDir).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand") || exactPlan.contains("distinct"), exactPlan)
+  }
+}
