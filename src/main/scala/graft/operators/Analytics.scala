@@ -61,67 +61,20 @@ object Analytics {
     *
     * Exact DISC quantiles — the result is a raw input value, so it
     * compares bit-exactly across engines (interpolated quantiles differ
-    * in the last ulp). The rank-r value is order-insensitive to the
-    * event_id tiebreak, so ranking over values alone is exact.
-    *
-    * NOT a corpus-wide window: `row_number() OVER (PARTITION BY
-    * event_type)` sorts the whole fact table in |event_type| ≈ 5 reducer
-    * partitions — a scale-killer at 100 TB. Instead, the classic two-pass
-    * exact formulation, every stage group-count- or bucket-bound:
-    *   1. per-type min/max/count (map-side combined, one tiny agg);
-    *   2. value histogram over B equal-width buckets (one shuffle of at
-    *      most types×B partial rows per partition);
-    *   3. cumulative bucket counts via a bounded B² self-join — NO window
-    *      over event_type anywhere in the plan — locating the one bucket
-    *      that contains each target rank;
-    *   4. rank lookup inside the target bucket only (~n/B rows), first
-    *      compressed to per-value counts, cumulated by a window whose
-    *      partition (event_type, which-quantile) holds only that bucket's
-    *      distinct values. */
+    * in the last ulp). NOT a corpus-wide window (`row_number() OVER
+    * (PARTITION BY event_type)` sorts the fact table in ≈5 reducer
+    * partitions — a scale-killer): delegates to the reusable two-pass
+    * bucketed formulation in [[Quantiles.exactGroupedQuantiles]], then
+    * pivots the long-format result into the p50/p95 columns. */
   def q15Percentiles(s: SparkSession, dir: String): DataFrame = {
-    val B = QuantileBuckets
-    val e = Tables.events(s, dir).select("event_type", "value")
-    val stats = e.groupBy("event_type")
-      .agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n_events"))
-    val bkt = when(col("hi") === col("lo"), lit(0)).otherwise(
-      least(lit(B - 1),
-        floor((col("value") - col("lo")) / (col("hi") - col("lo")) * B).cast("int")))
-    val withB = e.join(broadcast(stats), Seq("event_type")).withColumn("bkt", bkt)
-    val hist = withB.groupBy("event_type", "bkt").agg(count(lit(1)).as("c"))
-    // cumulative counts over ≤ B buckets per type: a bounded B²-per-type
-    // join-aggregate (hist is tiny, so this is a broadcast nested-loop on
-    // at most types×B rows) instead of a low-cardinality window.
-    val hb = hist.select(col("event_type").as("et_b"), col("bkt").as("bkt_b"), col("c").as("c_b"))
-    val cum = hist.join(broadcast(hb),
-        col("event_type") === col("et_b") && col("bkt_b") <= col("bkt"))
-      .groupBy("event_type", "bkt", "c").agg(sum("c_b").as("cum"))
-      .withColumn("cum_before", col("cum") - col("c"))
-    val ranks = stats.select(col("event_type"), explode(array(
-        struct(lit("p50").as("which"), ceil(lit(0.5) * col("n_events")).cast("long").as("r")),
-        struct(lit("p95").as("which"), ceil(lit(0.95) * col("n_events")).cast("long").as("r")))).as("t"))
-      .select(col("event_type"), col("t.which").as("which"), col("t.r").as("r"))
-    // exactly one bucket satisfies cum_before < r <= cum per (type, rank)
-    val target = cum.join(ranks, Seq("event_type"))
-      .filter(col("cum_before") < col("r") && col("r") <= col("cum"))
-      .select(col("event_type").as("t_et"), col("which"), col("bkt").as("tbkt"),
-        (col("r") - col("cum_before")).as("k"))
-    val cand = withB.join(broadcast(target),
-      col("event_type") === col("t_et") && col("bkt") === col("tbkt"))
-    val vcounts = cand.groupBy("event_type", "which", "k", "value")
-      .agg(count(lit(1)).as("vc"))
-    // local rank within the target bucket: the window partition holds only
-    // the bucket's DISTINCT values (≤ ~n/B, usually far fewer), keyed by
-    // (event_type, which) — never event_type alone over raw rows.
-    val wloc = Window.partitionBy("event_type", "which").orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val picked = vcounts.withColumn("vcum", sum("vc").over(wloc))
-      .filter(col("vcum") >= col("k"))
-      .groupBy("event_type", "which").agg(min("value").as("v"))
-    picked.groupBy("event_type")
+    val long = Quantiles.exactGroupedQuantiles(
+      Tables.events(s, dir).select("event_type", "value"),
+      key = "event_type", value = "value",
+      probs = Seq("p50" -> 0.5, "p95" -> 0.95), buckets = QuantileBuckets)
+    long.groupBy("event_type")
       .agg(max(when(col("which") === "p50", col("v"))).as("p50"),
-           max(when(col("which") === "p95", col("v"))).as("p95"))
-      .join(broadcast(stats.select(col("event_type"), col("n_events"))), Seq("event_type"))
-      .select("event_type", "p50", "p95", "n_events")
+           max(when(col("which") === "p95", col("v"))).as("p95"),
+           max(col("n_events")).as("n_events"))
       .orderBy("event_type")
   }
 
