@@ -39,6 +39,9 @@ object SparkEntry {
     "q25_shipping_priority" -> (Warehouse.q25ShippingPriority _),
     "q26_bilateral_volume"  -> (Warehouse.q26BilateralVolume _),
     "q27_large_volume_cust" -> (Warehouse.q27LargeVolumeCustomers _),
+    "q28_group_push"        -> (Lookups.q28GroupPush _),
+    "q29_left_lookup"       -> (Lookups.q29LeftLookup _),
+    "q30_user_activity_page"-> (Lookups.q30UserActivityPage _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -152,6 +155,9 @@ object SparkEntry {
     "q25_shipping_priority" -> Warehouse.q25Sql,
     "q26_bilateral_volume"  -> Warehouse.q26Sql,
     "q27_large_volume_cust" -> Warehouse.q27Sql,
+    "q28_group_push"        -> Lookups.q28Sql,
+    "q29_left_lookup"       -> Lookups.q29Sql,
+    "q30_user_activity_page"-> Lookups.q30Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
