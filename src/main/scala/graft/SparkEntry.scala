@@ -61,6 +61,7 @@ object SparkEntry {
     "d4_simhash"        -> (Dedup.d4SimHash _),
     "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
     "d6_winnowing"      -> (Dedup.d6Winnowing _),
+    "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
@@ -174,6 +175,7 @@ object SparkEntry {
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
+    "d7_dup_clusters"   -> Dedup.d7Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,

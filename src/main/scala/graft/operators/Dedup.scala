@@ -86,7 +86,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val d2Sql: String =
+  /** d2 candidate pairs as a reusable CTE body (no ORDER BY) — d7's
+    * recursive-clustering oracle builds on the same pair set. */
+  val d2PairsSql: String =
     s"""WITH corpus AS ($corpusNearSql),
        |sh AS (
        | SELECT doc_id, substr(text, 1, 40) AS blk,
@@ -97,8 +99,9 @@ object Dedup {
        |   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
        |WHERE cast(len(list_intersect(a.sh, b.sh)) AS double)
-       |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5""".stripMargin
+
+  val d2Sql: String = d2PairsSql + "\nORDER BY doc_a, doc_b"
 
   // MinHash: 16 permutation hashes h_i(x) = (a_i * x + b_i) mod P over
   // md5-derived 60-bit shingle hashes, banded 4×4. Shingles are WORD
@@ -205,6 +208,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list (u, v) — each iteration is one distributed
+    * join + map-side-combined min aggregate; the loop runs until no
+    * label changes (≤ graph diameter iterations, checked by a cheap
+    * driver-side count used ONLY for loop control). Lineage is truncated
+    * per iteration (checkpoint) so plans stay flat.
+    *
+    * Near-dup PAIRS are not a dedup decision — CLUSTERS are: a-b and
+    * b-c must collapse to one surviving document even when a-c was never
+    * scored. At 100 TB with high-diameter components, swap the
+    * propagation loop for the two-phase large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — same join-shape per round, O(log n) rounds. */
+  def connectedComponents(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val nbrMin = sym.join(labels, col("v") === col("id"))
+        .groupBy(col("u")).agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          col("label").as("prev")).localCheckpoint()
+      changed = updated.filter(col("label") < col("prev")).count()
+      labels = updated.select("id", "label")
+      iter += 1
+    }
+    require(changed == 0, s"connectedComponents did not converge in $iter iterations")
+    labels
+  }
+
+  /** d7: near-dup CLUSTERS — connected components over the d2 pair set;
+    * cluster id = min doc_id in the component (the surviving document). */
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = d2NgramJaccard(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    connectedComponents(edges)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: transitive closure via recursive CTE, min reachable id. */
+  lazy val d7Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d2PairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, min(v) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   /** d5: embedding-cosine near-dup pairs (threshold 0.99) within label
     * blocks; planted exact copies of every 20th vector. */
