@@ -223,11 +223,23 @@ object Dedup {
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same join-shape per round, O(log n) rounds. */
   def connectedComponents(edges: DataFrame): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
+    val sym0 = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var labels = sym.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+    // Right-size the iteration: partition count follows the EDGE count
+    // (candidate-pair graphs are a sliver of the corpus — iterating a
+    // 2k-row graph across all default partitions pays per-task overhead
+    // times rounds for nothing; a 100 TB edge set still gets full
+    // parallelism). Both frames hash-partition on their join key with
+    // the same count, so each round's join reuses the partitioning
+    // instead of re-exchanging.
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (sym0.count() / 50000L).toInt + 1))
+    val sym = sym0.repartition(parts, col("v")).localCheckpoint()
+    var labels = sym0.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .repartition(parts, col("id")).localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -236,7 +248,8 @@ object Dedup {
       val updated = labels.join(nbrMin, col("id") === col("u"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev")).localCheckpoint()
+          col("label").as("prev"))
+        .repartition(parts, col("id")).localCheckpoint()
       changed = updated.filter(col("label") < col("prev")).count()
       labels = updated.select("id", "label")
       iter += 1
