@@ -24,13 +24,27 @@ object Bench {
   /** Extract per-query seconds from a previous BENCH file. The file is a
     * driver-side wrapper whose `tail` embeds the JSON line with escaped
     * quotes, so this parses name:number pairs textually rather than as
-    * JSON; names are validated against the current query set. */
+    * JSON; names are validated against the current query set.
+    *
+    * Scoping matters: a BENCH file may carry the same query names again
+    * in later diagnostic objects (medians, delta ratios), so times are
+    * taken from the substring starting at the `"queries":{` marker up to
+    * its closing `}` when the marker survived the driver's tail
+    * truncation, and otherwise FIRST occurrence wins (the min-times
+    * object precedes every diagnostic repeat in the emitted line). */
   private[graft] def prevTimes(text: String, names: Set[String]): Map[String, Double] = {
+    val marker = """\\?"queries\\?":\{""".r
+    val scoped = marker.findFirstMatchIn(text).map { m =>
+      val rest = text.substring(m.end)
+      rest.substring(0, math.max(0, rest.indexOf('}')))
+    }.getOrElse(text)
     val pair = """\\?"([a-z0-9_]+)\\?":(-?[0-9]+\.[0-9]+)""".r
-    pair.findAllMatchIn(text)
+    pair.findAllMatchIn(scoped)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (k, v) => names.contains(k) && v > 0 }
-      .toMap // later occurrences win
+      .foldLeft(Map.empty[String, Double]) { case (acc, (k, v)) =>
+        if (acc.contains(k)) acc else acc + (k -> v) // first occurrence wins
+      }
   }
 
   def main(args: Array[String]): Unit = {
@@ -91,17 +105,33 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalMin = mins.collect { case (_, t) if t > 0 => t }.sum
     val totalMedian = medians.collect { case (_, t) if t > 0 => t }.sum
+    // Contract line: stdout, ONE SHORT json object. The driver keeps only
+    // a bounded tail of stdout and parses the line out of it — round-2's
+    // line with inlined medians+deltas outgrew that window and the driver
+    // recorded parsed:null. Keep this to the contract fields (times at
+    // 4 dp ≈ 25 B/query) and write the full diagnostics to a side file
+    // whose name deliberately does NOT match BENCH_r\d+.json.
+    def fmt4(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
     val line = obj(Seq(
       "metric" -> "\"total\"",
-      "value" -> totalMin.toString,
+      "value" -> f"$totalMin%.4f",
       "unit" -> "\"sec\"",
-      "queries" -> obj(mins.map { case (k, v) => k -> fmt(v) }),
-      "queries_median" -> obj(medians.map { case (k, v) => k -> fmt(v) }),
-      "median_total" -> totalMedian.toString,
-      "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
+      "queries" -> obj(mins.map { case (k, v) => k -> fmt4(v) }),
       "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "sf" -> ("\"" + sfDir + "\"")))
     println(line)
+    val detail = obj(Seq(
+      "min_total" -> totalMin.toString,
+      "median_total" -> totalMedian.toString,
+      "queries_min" -> obj(mins.map { case (k, v) => k -> fmt(v) }),
+      "queries_median" -> obj(medians.map { case (k, v) => k -> fmt(v) }),
+      "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
+      "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "sf" -> ("\"" + sfDir + "\"")))
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     spark.stop()
   }
 }

@@ -39,7 +39,7 @@ object SparkEntry {
     "q25_shipping_priority" -> (Warehouse.q25ShippingPriority _),
     "q26_bilateral_volume"  -> (Warehouse.q26BilateralVolume _),
     "q27_large_volume_cust" -> (Warehouse.q27LargeVolumeCustomers _),
-    "q28_group_push"        -> (Lookups.q28GroupPush _),
+    "q28_group_push"        -> (Lookups.q28GroupPushFlat _),
     "q29_left_lookup"       -> (Lookups.q29LeftLookup _),
     "q30_user_activity_page"-> (Lookups.q30UserActivityPage _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),

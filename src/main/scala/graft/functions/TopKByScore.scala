@@ -77,10 +77,19 @@ final class TopKBuffer(val k: Int) {
   private[functions] var size = 0
   private var worst = -1 // index of current worst, valid when size == k
 
-  @inline private def beats(s: Double, i: Long, s2: Double, i2: Long): Boolean =
-    s > s2 || (s == s2 && i < i2)
+  // Total-order comparison matching Spark's SortOrder on doubles: NaN is
+  // the LARGEST value (first under DESC). Raw `>` would make NaN lose
+  // every comparison, silently diverging from the window form this
+  // aggregate replaces. java.lang.Double.compare gives that total order;
+  // -0.0 is normalized to 0.0 at insert (below) to mirror Spark's
+  // NormalizeFloatingNumbers, so compare() never sees a ±0.0 tie.
+  @inline private def beats(s: Double, i: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s, s2)
+    c > 0 || (c == 0 && i < i2)
+  }
 
-  def insert(s: Double, i: Long): Unit = {
+  def insert(s0: Double, i: Long): Unit = {
+    val s = if (s0 == 0.0d) 0.0d else s0 // -0.0 → 0.0 (Spark sorts them equal)
     if (size < k) {
       scores(size) = s; ids(size) = i; size += 1
       if (size == k) worst = findWorst()
@@ -104,10 +113,13 @@ final class TopKBuffer(val k: Int) {
     while (j < other.size) { insert(other.scores(j), other.ids(j)); j += 1 }
   }
 
-  /** ids ordered best-first (score desc, id asc). */
+  /** ids ordered best-first (score desc with NaN first, id asc) — the
+    * same total order as `beats`, not a `sortBy(-score)` negation, which
+    * would misplace NaN. */
   def sortedIds: Array[Long] = {
-    val idx = (0 until size).sortBy(j => (-scores(j), ids(j)))
-    idx.map(ids(_)).toArray
+    (0 until size).toArray
+      .sortWith((a, b) => beats(scores(a), ids(a), scores(b), ids(b)))
+      .map(ids(_))
   }
 
   def toBytes: Array[Byte] = {

@@ -96,15 +96,27 @@ final class TopKRowsBuffer(val k: Int, val idAsc: Boolean, val schema: StructTyp
   private[functions] var size = 0
   private var worst = -1 // valid when size == k
 
-  @inline private def beats(s: Double, i: Long, s2: Double, i2: Long): Boolean =
-    s > s2 || (s == s2 && (if (idAsc) i < i2 else i > i2))
+  // Total order matching Spark's SortOrder on doubles: NaN ranks LARGEST
+  // (first under DESC), ±0.0 compare equal (normalized at the entry
+  // points below, mirroring NormalizeFloatingNumbers). Raw `>` would
+  // never accept a NaN score — a silent divergence from the window form
+  // the WindowTopKRewrite replaces.
+  @inline private def beats(s: Double, i: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s, s2)
+    c > 0 || (c == 0 && (if (idAsc) i < i2 else i > i2))
+  }
+
+  @inline private def norm(s: Double): Double = if (s == 0.0d) 0.0d else s
 
   /** True iff insert(s, i, _) would retain the entry — lets the caller
     * skip materializing the payload copy for losing rows. */
-  def wouldAccept(s: Double, i: Long): Boolean =
+  def wouldAccept(s0: Double, i: Long): Boolean = {
+    val s = norm(s0)
     size < k || beats(s, i, scores(worst), ids(worst))
+  }
 
-  def insert(s: Double, i: Long, row: InternalRow): Unit = {
+  def insert(s0: Double, i: Long, row: InternalRow): Unit = {
+    val s = norm(s0)
     if (size < k) {
       scores(size) = s; ids(size) = i; rows(size) = row; size += 1
       if (size == k) worst = findWorst()
@@ -128,10 +140,12 @@ final class TopKRowsBuffer(val k: Int, val idAsc: Boolean, val schema: StructTyp
     while (j < other.size) { insert(other.scores(j), other.ids(j), other.rows(j)); j += 1 }
   }
 
-  /** payload rows ordered best-first. */
+  /** payload rows ordered best-first — same total order as `beats` (a
+    * `sortBy(-score)` negation would misplace NaN). */
   def sortedRows: Array[InternalRow] = {
-    val idx = (0 until size).sortBy(j => (-scores(j), if (idAsc) ids(j) else -ids(j)))
-    idx.map(rows(_)).toArray
+    (0 until size).toArray
+      .sortWith((a, b) => beats(scores(a), ids(a), scores(b), ids(b)))
+      .map(rows(_))
   }
 
   def toBytes: Array[Byte] = {

@@ -222,6 +222,18 @@ object Dedup {
     * propagation loop for the two-phase large-star/small-star variant
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same join-shape per round, O(log n) rounds. */
+  /** Unpersist the RDD behind a localCheckpoint'd frame. Each
+    * localCheckpoint persists blocks that Spark never evicts on its own;
+    * a loop that abandons its intermediate frames without this leaks one
+    * persisted RDD per iteration for the life of the session (and a
+    * long-lived service session runs MANY such loops). Only frames that
+    * are never read again may be released — a localCheckpoint has no
+    * lineage to recompute from. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   def connectedComponents(edges: DataFrame): DataFrame = {
     val sym0 = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
@@ -237,9 +249,13 @@ object Dedup {
       edges.sparkSession.sparkContext.defaultParallelism,
       (sym0.count() / 50000L).toInt + 1))
     val sym = sym0.repartition(parts, col("v")).localCheckpoint()
-    var labels = sym0.select(col("u").as("id")).distinct()
+    var labelsCkpt = sym0.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
       .repartition(parts, col("id")).localCheckpoint()
+    // sym + the initial labels are materialized (localCheckpoint is
+    // eager); sym0 is never read again
+    releaseCheckpoint(sym0)
+    var labels = labelsCkpt
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 25) {
@@ -251,10 +267,15 @@ object Dedup {
           col("label").as("prev"))
         .repartition(parts, col("id")).localCheckpoint()
       changed = updated.filter(col("label") < col("prev")).count()
+      releaseCheckpoint(labelsCkpt) // superseded — `updated` is materialized
+      labelsCkpt = updated
       labels = updated.select("id", "label")
       iter += 1
     }
     require(changed == 0, s"connectedComponents did not converge in $iter iterations")
+    releaseCheckpoint(sym)
+    // the final labels checkpoint stays persisted — it IS the result the
+    // caller consumes; one bounded (one-row-per-node) block per call
     labels
   }
 
@@ -292,10 +313,36 @@ object Dedup {
     val l = c.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
     val r = c.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
     // label has ~10 distinct values: a shuffle join on it caps parallelism
-    // at 10 hot partitions. Broadcasting the block side (same shape as
-    // s3_knn_join) keeps the probe side's full partition parallelism; at
-    // unbounded block sizes, bucket or salt the block key instead.
+    // at 10 hot partitions. What is broadcast here is the FULL probe-side
+    // table (base + planted copies) — fine at this corpus size (few MB),
+    // wrong for a corpus that outgrows executor memory. The scale path is
+    // the salted replicate join below (d5EmbeddingNearDupSalted): same
+    // result, parallelism label-count × salts, no broadcast of the corpus.
     l.join(broadcast(r), col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
+      .select("vec_a", "vec_b", "label")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** d5 scale path: salted replicate join. The left side hashes to one of
+    * `salts` sub-blocks per label; the right side replicates once per
+    * salt. Join key (label, salt) has label-count × salts values, so a
+    * 10-label corpus no longer caps at 10 reducer partitions, and nothing
+    * is broadcast — shuffle volume is |l| + salts × |r|, each partition
+    * holding a 1/salts slice of a label block. Identical output to
+    * [[d5EmbeddingNearDup]] (spec-asserted). */
+  def d5EmbeddingNearDupSalted(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
+    val c = e.unionByName(planted)
+    val l = c.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("emb_a"))
+      .withColumn("salt", pmod(hash(col("vec_a")), lit(salts)))
+    val r = c.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("emb_b"))
+      .withColumn("salt_b", explode(array((0 until salts).map(lit(_)): _*)))
+    l.join(r, col("label") === col("label_b") && col("salt") === col("salt_b")
+        && col("vec_a") < col("vec_b"))
       .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
       .select("vec_a", "vec_b", "label")
       .orderBy("vec_a", "vec_b")

@@ -33,9 +33,25 @@ object Lookups {
            count(lit(1)).as("n_parts"))
       .orderBy("p_brand")
 
+  /** q28 driver form: same $push grouping, with the sub-document array
+    * canonicalized to one `key:name|key:name|…` string. The driver's
+    * oracle compare sorts/hashes scalar cells (an array-of-structs column
+    * is unhashable on its side — observed in round 2), so the `queries`
+    * entry ships this flat encoding; the array form above stays the
+    * library API and is spec-validated. Same single map-side-combined
+    * shuffle — the transform/join is a projection over the built array. */
+  def q28GroupPushFlat(s: SparkSession, dir: String): DataFrame =
+    q28GroupPush(s, dir).select(
+      col("p_brand"),
+      array_join(
+        transform(col("parts"), x =>
+          concat_ws(":", x.getField("p_partkey"), x.getField("p_name"))),
+        "|").as("parts_repr"),
+      col("n_parts"))
+
   val q28Sql: String =
     """SELECT p_brand,
-      | list_sort(list(struct_pack(p_partkey := p_partkey, p_name := p_name))) AS parts,
+      | string_agg(p_partkey || ':' || p_name, '|' ORDER BY p_partkey, p_name) AS parts_repr,
       | count(*) AS n_parts
       |FROM part WHERE p_size <= 3
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin

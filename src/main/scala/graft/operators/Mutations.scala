@@ -48,13 +48,24 @@ object Mutations {
     df.unionByName(rows)
 
   /** Read-modify-overwrite for a parquet table: apply `transform` to the
-    * table at `path`, write the new state to `path.staging`, then
-    * atomically swap directories (the copy-on-write versioning pattern —
-    * Spark cannot overwrite a path it is reading). Works on any Hadoop
-    * filesystem. */
+    * table at `path`, write the new state to `path.staging`, then swap
+    * directories (the copy-on-write versioning pattern — Spark cannot
+    * overwrite a path it is reading). Works on any Hadoop filesystem.
+    *
+    * NOT atomic: between rename(path → path.old) and
+    * rename(staging → path) there is a crash window where `path` does
+    * not exist and the only committed data lives at `path.old`. Both
+    * this method (on entry) and [[recoverSwap]] (for standalone readers)
+    * detect that state and restore `path.old` → `path` before
+    * proceeding, so a crashed swap heals on the next touch instead of
+    * needing manual repair. A production multi-writer deployment should
+    * use a table format with a transactional pointer (Delta/Iceberg
+    * commit log) — this primitive is the single-writer core of that
+    * pattern. */
   def rewriteInPlace(s: SparkSession, path: String)(transform: DataFrame => DataFrame): Unit = {
     val staging = path + ".staging"
     val old = path + ".old"
+    recoverSwap(s, path)
     transform(s.read.parquet(path)).write.mode("overwrite").parquet(staging)
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -62,6 +73,19 @@ object Mutations {
     fs.rename(hp, new org.apache.hadoop.fs.Path(old))
     fs.rename(new org.apache.hadoop.fs.Path(staging), hp)
     fs.delete(new org.apache.hadoop.fs.Path(old), true)
+  }
+
+  /** Heal a swap that crashed mid-rename: if `path` is missing but
+    * `path.old` exists, the previous state is restored (the staged new
+    * version, if complete, is left at `path.staging` for inspection —
+    * it was never committed). No-op when `path` is healthy. */
+  def recoverSwap(s: SparkSession, path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val oldP = new org.apache.hadoop.fs.Path(path + ".old")
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp) && fs.exists(oldP)) {
+      require(fs.rename(oldP, hp), s"recoverSwap: restore $oldP -> $hp failed")
+    }
   }
 
   // ---- field-level $set merge ----

@@ -32,6 +32,14 @@ object Quantiles {
   /** Exact grouped quantiles, long format: one row per (group, quantile
     * label) with the exact value, plus the group count.
     *
+    * NULL contract: quantiles are taken over the NON-NULL values of a
+    * group (SQL percentile semantics), and `n_events` counts those same
+    * non-null values. Without the shared filter, a group with nulls gets
+    * a rank ceil(p·n) computed over MORE rows than the histogram holds —
+    * the rank can exceed every bucket's cumulative count and the group
+    * silently vanishes from the output. A group whose values are all
+    * null has no quantile and produces no row.
+    *
     * @param probs (label, p) pairs, 0 < p <= 1
     * @return columns: <key>, which (label), v (exact value), n_events
     */
@@ -39,7 +47,7 @@ object Quantiles {
       probs: Seq[(String, Double)], buckets: Int = 256): DataFrame = {
     require(probs.nonEmpty && probs.forall { case (_, p) => p > 0 && p <= 1 })
     val B = buckets
-    val e = df.select(col(key), col(value))
+    val e = df.select(col(key), col(value)).filter(col(value).isNotNull)
     val stats = e.groupBy(key)
       .agg(min(value).as("lo"), max(value).as("hi"), count(lit(1)).as("n_events"))
     val bkt = when(col("hi") === col("lo"), lit(0)).otherwise(

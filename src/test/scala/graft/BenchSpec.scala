@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** prevTimes parses per-query seconds out of a previous round's BENCH
+  * wrapper file. Two hazards, both observed in round-2 artifacts:
+  * the wrapper's `tail` may repeat query names in diagnostic objects
+  * (medians, delta RATIOS) after the min-times object, and the tail is
+  * a bounded suffix so the `"queries":{` marker itself may be cut off.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val names = Set("q1_agg", "q20_set_ops", "e1_sessionize")
+
+  test("prevTimes scopes to the queries object; later diagnostic repeats are ignored") {
+    // escaped-quote form, as embedded in the driver wrapper's tail
+    val text =
+      raw"""{"tail":"{\"metric\":\"total\",\"queries\":{\"q1_agg\":1.2000,\"q20_set_ops\":6.9600},""" +
+      raw"""\"queries_median\":{\"q1_agg\":1.5000,\"q20_set_ops\":7.1000},""" +
+      raw"""\"delta_vs_prev\":{\"q1_agg\":0.819,\"q20_set_ops\":0.027},\"sf\":\"x\"}\n"}"""
+    val t = Bench.prevTimes(text, names)
+    assert(t == Map("q1_agg" -> 1.2, "q20_set_ops" -> 6.96))
+  }
+
+  test("prevTimes handles unescaped plain-JSON bench lines too") {
+    val text = """{"metric":"total","queries":{"q1_agg":0.5000},"failed":[],"sf":"x"}"""
+    assert(Bench.prevTimes(text, names) == Map("q1_agg" -> 0.5))
+  }
+
+  test("prevTimes falls back to first-occurrence-wins when truncation cut the marker") {
+    // round-2 shape: tail begins mid-queries-object, then medians repeat names
+    val text =
+      raw"""1155,\"q20_set_ops\":0.2066},\"queries_median\":{\"q1_agg\":1.4000,\"q20_set_ops\":0.3000},\"median_total\":33.5}"""
+    val t = Bench.prevTimes(text, names)
+    assert(t("q20_set_ops") == 0.2066) // the min survives; the median repeat does not override
+    assert(t("q1_agg") == 1.4) // only occurrence available
+  }
+
+  test("prevTimes drops failed (-1) entries and unknown names") {
+    val text = """{"queries":{"q1_agg":-1.0,"nope":2.0,"e1_sessionize":0.9}}"""
+    assert(Bench.prevTimes(text, names) == Map("e1_sessionize" -> 0.9))
+  }
+}

@@ -43,6 +43,22 @@ class TopKBufferSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores rank LARGEST (Spark SortOrder semantics), not unplaceable") {
+    // Spark's window `ORDER BY score DESC` puts NaN first; the buffer
+    // must agree or the WindowTopKRewrite changes results on NaN input.
+    val buf = new TopKBuffer(2)
+    Seq((1.0, 1L), (Double.NaN, 2L), (5.0, 3L), (Double.NaN, 4L)).foreach {
+      case (s, i) => buf.insert(s, i)
+    }
+    assert(buf.sortedIds.toSeq == Seq(2L, 4L)) // both NaNs beat every finite score
+  }
+
+  test("-0.0 and 0.0 are the same rank (ties fall through to id)") {
+    val buf = new TopKBuffer(2)
+    Seq((0.0, 7L), (-0.0, 3L), (-1.0, 1L)).foreach { case (s, i) => buf.insert(s, i) }
+    assert(buf.sortedIds.toSeq == Seq(3L, 7L))
+  }
+
   test("serialization round-trips") {
     val buf = new TopKBuffer(4)
     Seq((2.0, 1L), (3.0, 2L), (1.0, 3L)).foreach { case (s, i) => buf.insert(s, i) }

@@ -55,6 +55,27 @@ class TopKRowsSpec extends AnyFunSuite {
     assert(idsOf(a) == Seq(50L, 40L, 30L))
   }
 
+  test("NaN scores rank largest, matching Spark's DESC sort order") {
+    val b = new TopKRowsBuffer(2, idAsc = true, schema)
+    b.insert(9.0, 1, row(1, "finite"))
+    assert(b.wouldAccept(Double.NaN, 2))
+    b.insert(Double.NaN, 2, row(2, "nan"))
+    b.insert(Double.PositiveInfinity, 3, row(3, "inf"))
+    assert(idsOf(b) == Seq(2L, 3L)) // NaN first, then +Inf; 9.0 evicted
+  }
+
+  test("±0.0 tie is broken by id, in both tiebreak directions") {
+    val asc = new TopKRowsBuffer(1, idAsc = true, schema)
+    asc.insert(0.0, 7, row(7, "a"))
+    assert(asc.wouldAccept(-0.0, 3)) // same rank, lower id wins
+    asc.insert(-0.0, 3, row(3, "b"))
+    assert(idsOf(asc) == Seq(3L))
+    val desc = new TopKRowsBuffer(1, idAsc = false, schema)
+    desc.insert(-0.0, 3, row(3, "b"))
+    desc.insert(0.0, 7, row(7, "a"))
+    assert(idsOf(desc) == Seq(7L))
+  }
+
   test("wouldAccept is consistent with insert") {
     val b = new TopKRowsBuffer(1, idAsc = true, schema)
     b.insert(2.0, 2, row(2, "a"))

@@ -21,6 +21,17 @@ class DupClustersSpec extends SparkSpec {
     assert(got == Map(7L -> 7L, 10L -> 7L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("the propagation loop releases its checkpoints (no persisted-RDD leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    // diameter-4 chain → several iterations, each with a localCheckpoint
+    val result = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(result.values.toSet == Set(1L))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the FINAL labels checkpoint (the returned frame) may remain —
+    // pre-fix this leaked sym0 + sym + one RDD per iteration
+    assert(after - before <= 1, s"persisted RDDs grew $before -> $after")
+  }
+
   test("d7 clusters are consistent with d2 pairs: every edge lands in one cluster") {
     val clusters = Dedup.d7DupClusters(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

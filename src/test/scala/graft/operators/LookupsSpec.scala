@@ -13,6 +13,16 @@ class LookupsSpec extends SparkSpec {
     }
   }
 
+  test("q28 flat form encodes exactly the sorted array (driver-comparable scalar)") {
+    Lookups.q28GroupPushFlat(spark, sfDir).collect().foreach { r =>
+      val repr = r.getString(1)
+      assert(repr.nonEmpty && repr.split('|').length == r.getLong(2))
+      // entries stay sorted by the numeric leading key
+      val keys = repr.split('|').map(_.takeWhile(_ != ':').toLong).toSeq
+      assert(keys == keys.sorted)
+    }
+  }
+
   test("q29 keeps every event: matched + unknown counts cover the table") {
     val total = Lookups.q29LeftLookup(spark, sfDir).agg(sum("cnt")).head().getLong(0)
     assert(total == graft.Tables.events(spark, sfDir).count())

@@ -79,4 +79,20 @@ class MutationsSpec extends SparkSpec {
     val names = new java.io.File(dir).list().toSeq
     assert(names == Seq("t.parquet"), names.toString)
   }
+
+  test("recoverSwap heals the crash window between the two renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dml").toString
+    val path = s"$dir/t.parquet"
+    Seq((1, "x"), (2, "y")).toDF("id", "s").write.parquet(path)
+    // simulate a crash after rename(path -> path.old): the table path is
+    // missing and the only committed data lives at path.old
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    // a standalone reader heals explicitly…
+    Mutations.recoverSwap(spark, path)
+    assert(spark.read.parquet(path).count() == 2)
+    // …and rewriteInPlace heals on entry before transforming
+    assert(new java.io.File(path).renameTo(new java.io.File(path + ".old")))
+    Mutations.rewriteInPlace(spark, path)(df => Mutations.deleteWhere(df, col("id") === 2))
+    assert(spark.read.parquet(path).collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
 }

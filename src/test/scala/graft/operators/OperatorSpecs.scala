@@ -120,6 +120,14 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == planted.map(id => (id, id + 100000)))
   }
+
+  test("d5 salted scale path returns the identical pair set (no broadcast)") {
+    val broadcastForm = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    val saltedForm = Dedup.d5EmbeddingNearDupSalted(spark, sfDir, salts = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    assert(saltedForm == broadcastForm)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {

@@ -61,4 +61,22 @@ class QuantilesSpec extends SparkSpec {
     val vs = Seq.fill(900)(10.0) ++ (1 to 100).map(_.toDouble)
     checkGroups(Map("skew" -> vs), 16)
   }
+
+  test("nulls are excluded: quantiles + n_events are over non-null values only") {
+    // pre-fix, a group with nulls could have rank ceil(p*n) exceed the
+    // histogram row count and silently emit NO row for that group
+    val df = Seq[(String, Option[Double])](
+      ("g", Some(1.0)), ("g", None), ("g", Some(2.0)), ("g", None), ("g", Some(3.0)),
+      ("allnull", None), ("allnull", None)
+    ).toDF("g", "v")
+    val got = Quantiles.exactGroupedQuantiles(df, "g", "v", probs, 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    probs.foreach { case (label, p) =>
+      val (v, n) = got(("g", label))
+      assert(n == 3, s"$label n_events")
+      assert(v == naive(Seq(1.0, 2.0, 3.0), p), s"$label value")
+    }
+    // a group with no non-null values has no quantile → no row
+    assert(!got.keySet.exists(_._1 == "allnull"))
+  }
 }
