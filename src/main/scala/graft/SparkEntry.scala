@@ -42,6 +42,9 @@ object SparkEntry {
     "q28_group_push"        -> (Lookups.q28GroupPushFlat _),
     "q29_left_lookup"       -> (Lookups.q29LeftLookup _),
     "q30_user_activity_page"-> (Lookups.q30UserActivityPage _),
+    "q31_exists_returned"   -> (Warehouse.q31ExistsReturned _),
+    "q32_cust_distribution" -> (Warehouse.q32CustDistribution _),
+    "q33_pivot_activity"    -> (Analytics.q33PivotActivity _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -55,6 +58,10 @@ object SparkEntry {
     "t5_chunking"       -> (TextAnalysis.t5Chunking _),
     "t6_recursive_chunk"-> (TextAnalysis.t6RecursiveChunk _),
     "t7_redact"         -> (TextAnalysis.t7Redact _),
+    "t8_gopher_quality" -> (Quality.t8GopherQuality _),
+    "t9_repetition"     -> (Quality.t9Repetition _),
+    "t10_contamination" -> (Quality.t10Contamination _),
+    "t11_vocab_topk"    -> (Quality.t11VocabTopK _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -62,8 +69,10 @@ object SparkEntry {
     "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
     "d6_winnowing"      -> (Dedup.d6Winnowing _),
     "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
+    "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
+    "e3_funnel"         -> (Events.e3Funnel _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -159,6 +168,9 @@ object SparkEntry {
     "q28_group_push"        -> Lookups.q28Sql,
     "q29_left_lookup"       -> Lookups.q29Sql,
     "q30_user_activity_page"-> Lookups.q30Sql,
+    "q31_exists_returned"   -> Warehouse.q31Sql,
+    "q32_cust_distribution" -> Warehouse.q32Sql,
+    "q33_pivot_activity"    -> Analytics.q33Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
@@ -171,13 +183,19 @@ object SparkEntry {
     "t4_fingerprint"    -> TextAnalysis.t4Sql,
     "t5_chunking"       -> TextAnalysis.t5Sql,
     "t7_redact"         -> TextAnalysis.t7Sql,
+    "t8_gopher_quality" -> Quality.t8Sql,
+    "t9_repetition"     -> Quality.t9Sql,
+    "t10_contamination" -> Quality.t10Sql,
+    "t11_vocab_topk"    -> Quality.t11Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
     "d7_dup_clusters"   -> Dedup.d7Sql,
+    "d8_stratified_sample" -> Sampling.d8Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
+    "e3_funnel"         -> Events.e3Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

@@ -164,6 +164,19 @@ final class TopKRowsBuffer(val k: Int, val idAsc: Boolean, val schema: StructTyp
   }
 }
 
+object TopKRows {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graftshim.Shim
+
+  /** Column API: bounded top-k rows per group — keeps the k highest
+    * (score, id-tiebreak) entries and returns their payload structs
+    * best-first. `payload` must be a struct column. */
+  def topKRowsByScore(score: Column, id: Column, payload: Column, k: Int,
+      idAsc: Boolean = true): Column =
+    Shim.column(TopKRowsByScore(Shim.expression(score), Shim.expression(id),
+      Shim.expression(payload), k, idAsc).toAggregateExpression())
+}
+
 object TopKRowsBuffer {
   def fromBytes(k: Int, idAsc: Boolean, schema: StructType, bytes: Array[Byte]): TopKRowsBuffer = {
     val bb = ByteBuffer.wrap(bytes)

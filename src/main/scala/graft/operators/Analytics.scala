@@ -234,4 +234,38 @@ object Analytics {
       | count(*) AS cnt,
       | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
       |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin
+
+  /** Known event-type domain for q33's pivot — fixing the columns keeps
+    * the pivot a single-pass conditional aggregation (Spark's
+    * `pivot(col)` without values would run an extra distinct job to
+    * discover them). */
+  val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** q33: wide activity matrix — per-user value totals pivoted by event
+    * type (the Mongo `$facet`/dashboard shape, one column per metric).
+    *
+    * Plan: a single map-side-combined aggregate over one scan; each
+    * pivot cell is a `sum(when(...))` conditional — no join, no repeated
+    * scans, no distinct-discovery job. A user with no events of a type
+    * gets SQL's sum-of-empty = NULL (matches the oracle). */
+  def q33PivotActivity(s: SparkSession, dir: String): DataFrame = {
+    val cells = PivotTypes.map(t =>
+      sum(when(col("event_type") === t, col("value").cast("decimal(18,2)")))
+        .cast("double").as(s"${t}_value"))
+    val agg = cells :+ count(lit(1)).as("n_events")
+    Tables.events(s, dir).select("user_id", "event_type", "value")
+      .groupBy("user_id")
+      .agg(agg.head, agg.tail: _*)
+      .orderBy("user_id")
+  }
+
+  val q33Sql: String = {
+    val cells = PivotTypes.map(t =>
+      s"cast(sum(CASE WHEN event_type = '$t' THEN cast(value AS decimal(18,2)) END) AS double) AS ${t}_value")
+      .mkString(",\n ")
+    s"""SELECT user_id,
+       | $cells,
+       | count(*) AS n_events
+       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
 }

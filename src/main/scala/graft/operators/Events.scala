@@ -70,4 +70,60 @@ object Events {
       | count(*) AS cnt,
       | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin
+
+  /** e3: ordered three-step funnel (signup → first click strictly after
+    * it → first purchase strictly after that click), counting users that
+    * reach each stage.
+    *
+    * Single-scan, single-shuffle formulation: running-min windows over
+    * (user_id, ts) mark, per row, the earliest signup so far and the
+    * earliest qualifying click so far — a click qualifies iff a signup
+    * precedes it, a purchase iff a qualifying click precedes it. The
+    * per-user stage times then reduce with plain min aggregates that
+    * REUSE the window's hash partitioning on user_id (one exchange
+    * total). Equivalent to the oracle's three dependent
+    * aggregate-join passes, which would scan the fact three times.
+    *
+    * user_id is a HIGH-cardinality window key — this is not the q15
+    * low-cardinality window shape; at 100 TB the window sort is
+    * per-user-slice-sized. */
+  def e3Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1_run", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("us") > col("t1_run"), col("us")))
+      .withColumn("t2_run", min(col("click_ok")).over(w))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("us") > col("t2_run"), col("us")))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t1"),
+           min(col("click_ok")).as("t2"),
+           min(col("purchase_ok")).as("t3"))
+      .agg(count(col("t1")).as("n_signup"),
+           count(col("t2")).as("n_click_after_signup"),
+           count(col("t3")).as("n_purchase_after_click"))
+  }
+
+  val e3Sql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s1 AS (
+      | SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END) AS t1
+      | FROM e GROUP BY user_id),
+      |s2 AS (
+      | SELECT e.user_id, min(us) AS t2
+      | FROM e JOIN s1 ON e.user_id = s1.user_id
+      | WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (
+      | SELECT e.user_id, min(us) AS t3
+      | FROM e JOIN s2 ON e.user_id = s2.user_id
+      | WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT count(t1) AS n_signup,
+      | count(t2) AS n_click_after_signup,
+      | count(t3) AS n_purchase_after_click
+      |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
 }

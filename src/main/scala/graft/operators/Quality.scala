@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-quality operators a pretraining-data pipeline runs per
+  * document, at corpus scale (the published Gopher / C4 / RefinedWeb
+  * rule families, re-expressed as codegen'd Spark plans):
+  *
+  *  - t8: Gopher-style structural quality rules (word-count bounds, mean
+  *    word length, symbol ratio, bullet/ellipsis line ratios, stopword
+  *    presence) — Rae et al. 2021, Appendix A1.1;
+  *  - t9: repetition detection (duplicate-line ratio, top-bigram
+  *    fraction) — the "repetitious text" family of the same appendix;
+  *  - t10: benchmark-contamination screening via word 8-gram overlap
+  *    against an eval set (the n-gram decontamination step every public
+  *    LLM data pipeline documents, e.g. GPT-3 appendix C);
+  *  - t11: corpus vocabulary — top terms by frequency + document
+  *    frequency (the tokenizer-training / corpus-inspection primitive).
+  *
+  * The synthetic corpus is clean single-line prose, so — like t7's
+  * planted PII — each operator PLANTS the pathology it detects by a
+  * deterministic doc_id-keyed derivation, mirrored exactly in the
+  * oracle SQL. The operators themselves are corpus-agnostic.
+  *
+  * Scale: t8 is a pure map stage (regexp_count only — no split arrays
+  * materialized for the line metrics). t9/t10/t11 explode word arrays
+  * but every aggregation is map-side combined and keyed by doc or term
+  * (group-count-bound shuffles); t10's benchmark n-gram set is
+  * broadcast — an eval suite is MB-scale by construction, the corpus
+  * side never shuffles for the join.
+  */
+object Quality {
+
+  // ---- shared word/line primitives (Java regex ≡ RE2 syntax) ----
+
+  private val WordRe = "[a-z0-9]+"
+
+  /** lowercase word list — identical tokenization in both engines
+    * (group 0 = the full match; Spark defaults to group 1, DuckDB to 0). */
+  private def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit(WordRe), lit(0))
+
+  // ---- t8: Gopher-style quality rules ----
+
+  /** Planted structure: every 7th doc gets bullet lines, every 11th
+    * ellipsis-terminated lines, every 13th a run of '#' symbols. */
+  private def t8Corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .filter(length(col("text")) > 0)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(lit("- item one\n- item two\n- item three\n"), col("text")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit("\nto be continued...\nwatch this space...")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0,
+          concat(col("text"), lit(" ## ## ## ## ##")))
+          .otherwise(col("text")))
+
+  private val t8CorpusSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 13 = 0 THEN t2 || ' ## ## ## ## ##' ELSE t2 END AS text
+      |FROM (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN t1 || chr(10) || 'to be continued...' || chr(10) || 'watch this space...'
+      |      ELSE t1 END AS t2
+      |  FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN doc_id % 7 = 0
+      |        THEN '- item one' || chr(10) || '- item two' || chr(10) || '- item three' || chr(10) || text
+      |        ELSE text END AS t1
+      |    FROM documents WHERE length(text) > 0))""".stripMargin
+
+  /** t8: per-document Gopher-style rule evaluation. Pure map stage —
+    * every metric is a regexp_count over the raw text (no arrays), so
+    * the whole operator fuses into one codegen loop and scales with
+    * scan bandwidth. Ratios divide exact ints (bit-identical doubles in
+    * any engine). */
+  def t8GopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val stops = Seq("the", "and", "of", "to", "in")
+    val stopHits = stops.map(w =>
+      when(regexp_count(col("text"), lit(s"\\b$w\\b")) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    t8Corpus(s, dir)
+      .withColumn("n_words", regexp_count(col("text"), lit("\\S+")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_lines", (regexp_count(col("text"), lit("\n")) + 1).cast("long"))
+      .withColumn("mean_word_len",
+        length(regexp_replace(col("text"), "\\s", "")).cast("double") / col("n_words"))
+      .withColumn("bullet_ratio",
+        regexp_count(col("text"), lit("(?m)^- ")).cast("double") / col("n_lines"))
+      .withColumn("ellipsis_ratio",
+        regexp_count(col("text"), lit("(?m)\\.\\.\\.$")).cast("double") / col("n_lines"))
+      .withColumn("hash_ratio",
+        regexp_count(col("text"), lit("#")).cast("double") / col("n_words"))
+      .withColumn("n_stop_hits", stopHits.cast("long"))
+      .withColumn("passes",
+        (col("n_words") >= 20 && col("n_words") <= 100000 &&
+         col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+         col("hash_ratio") < 0.1 &&
+         col("bullet_ratio") <= 0.9 &&
+         col("ellipsis_ratio") <= 0.3 &&
+         col("n_stop_hits") >= 2).cast("int"))
+      .select("doc_id", "n_words", "n_lines", "mean_word_len", "bullet_ratio",
+        "ellipsis_ratio", "hash_ratio", "n_stop_hits", "passes")
+      .orderBy("doc_id")
+  }
+
+  val t8Sql: String = {
+    val stops = Seq("the", "and", "of", "to", "in")
+    val stopHits = stops.map(w =>
+      s"CASE WHEN len(regexp_extract_all(text, '\\b$w\\b')) > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH corpus AS ($t8CorpusSql),
+       |m AS (
+       | SELECT doc_id,
+       |  cast(len(regexp_extract_all(text, '\\S+')) AS bigint) AS n_words,
+       |  cast(len(regexp_extract_all(text, '\\n')) + 1 AS bigint) AS n_lines,
+       |  cast(length(regexp_replace(text, '\\s', '', 'g')) AS double) AS nospace_chars,
+       |  cast(len(regexp_extract_all(text, '(?m)^- ')) AS double) AS bullet_lines,
+       |  cast(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS double) AS ellipsis_lines,
+       |  cast(len(regexp_extract_all(text, '#')) AS double) AS n_hash,
+       |  cast($stopHits AS bigint) AS n_stop_hits
+       | FROM corpus),
+       |r AS (
+       | SELECT doc_id, n_words, n_lines,
+       |  nospace_chars / n_words AS mean_word_len,
+       |  bullet_lines / n_lines AS bullet_ratio,
+       |  ellipsis_lines / n_lines AS ellipsis_ratio,
+       |  n_hash / n_words AS hash_ratio,
+       |  n_stop_hits
+       | FROM m WHERE n_words > 0)
+       |SELECT doc_id, n_words, n_lines, mean_word_len, bullet_ratio,
+       | ellipsis_ratio, hash_ratio, n_stop_hits,
+       | CASE WHEN n_words >= 20 AND n_words <= 100000
+       |   AND mean_word_len >= 3 AND mean_word_len <= 10
+       |   AND hash_ratio < 0.1 AND bullet_ratio <= 0.9
+       |   AND ellipsis_ratio <= 0.3 AND n_stop_hits >= 2
+       |  THEN 1 ELSE 0 END AS passes
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t9: repetition detection ----
+
+  /** Planted repetition: every 9th doc gets three identical appended
+    * lines (which also repeat a bigram). */
+  private def t9Corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            lit("\nrepeat line alpha\nrepeat line alpha\nrepeat line alpha")))
+          .otherwise(col("text")))
+
+  private val t9CorpusSql =
+    """SELECT doc_id, CASE WHEN doc_id % 9 = 0
+      |  THEN text || chr(10) || 'repeat line alpha' || chr(10) || 'repeat line alpha' || chr(10) || 'repeat line alpha'
+      |  ELSE text END AS text
+      |FROM documents""".stripMargin
+
+  /** t9: per-document repetition metrics — duplicate-line ratio and the
+    * fraction of all word bigrams taken by the single most frequent
+    * bigram (Gopher's "top 2-gram" rule). The bigram pass explodes
+    * doc×bigram rows into a map-side-combined count: both shuffles are
+    * keyed by doc_id, so shuffle volume is distinct-bigram-bound, never
+    * corpus-cross-product. */
+  def t9Repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = t9Corpus(s, dir)
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 2)
+      .withColumn("n_lines", size(split(col("text"), "\n")).cast("long"))
+      .withColumn("n_distinct_lines",
+        size(array_distinct(split(col("text"), "\n"))).cast("long"))
+    val bigrams = d.select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    d.select("doc_id", "n_lines", "n_distinct_lines")
+      .join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_lines"),
+        (lit(1d) - col("n_distinct_lines").cast("double") / col("n_lines")).as("dup_line_ratio"),
+        (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        col("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  val t9Sql: String =
+    s"""WITH corpus AS ($t9CorpusSql),
+       |d AS (
+       | SELECT doc_id, text, regexp_extract_all(lower(text), '$WordRe') AS w,
+       |  cast(len(string_split(text, chr(10))) AS bigint) AS n_lines,
+       |  cast(len(list_distinct(string_split(text, chr(10)))) AS bigint) AS n_distinct_lines
+       | FROM corpus WHERE len(regexp_extract_all(lower(text), '$WordRe')) >= 2),
+       |bg AS (
+       | SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+       | FROM d),
+       |cnt AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+       |agg AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM cnt GROUP BY doc_id)
+       |SELECT d.doc_id, n_lines,
+       | 1.0 - cast(n_distinct_lines AS double) / n_lines AS dup_line_ratio,
+       | cast(top_c AS double) / n_bigrams AS top_bigram_frac,
+       | cast(n_bigrams AS bigint) AS n_bigrams
+       |FROM d JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- t10: benchmark-contamination screen ----
+
+  val CanaryText =
+    "benchmark canary sequence alpha beta gamma delta epsilon zeta eta theta iota"
+
+  /** Planted contamination: every 13th doc has the canary appended —
+    * those docs share word 8-grams with the benchmark set. */
+  private def t10Corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(" " + CanaryText)))
+          .otherwise(col("text")))
+
+  private val t10CorpusSql =
+    s"""SELECT doc_id, CASE WHEN doc_id % 13 = 0
+       |  THEN text || ' $CanaryText' ELSE text END AS text
+       |FROM documents""".stripMargin
+
+  /** word 8-gram array (1-based inclusive slice in both engines). */
+  private def ngrams8(w: Column): Column =
+    expr("transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")
+
+  /** t10: contamination screen — documents sharing any word 8-gram with
+    * the benchmark set (the canary + the leading 15 words of every 50th
+    * doc), with the count of distinct overlapping 8-grams. The benchmark
+    * n-gram set is BROADCAST (an eval suite is small by construction);
+    * the corpus explodes its 8-grams map-side and only matching rows
+    * reach the one doc-keyed shuffle. */
+  def t10Contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t10Corpus(s, dir)
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 8)
+    val benchDocs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr(s"concat_ws(' ', slice(regexp_extract_all(lower(text), '$WordRe', 0), 1, 15))").as("text"))
+      .unionByName(s.range(1).select(lit(CanaryText).as("text")))
+    val benchGrams = benchDocs
+      .withColumn("w", words(col("text")))
+      .filter(size(col("w")) >= 8)
+      .select(explode(ngrams8(col("w"))).as("ng")).distinct()
+    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng")).distinct()
+      .join(broadcast(benchGrams), Seq("ng"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  val t10Sql: String =
+    s"""WITH corpus AS ($t10CorpusSql),
+       |docw AS (
+       | SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS w FROM corpus),
+       |docg AS (
+       | SELECT DISTINCT doc_id, ng FROM (
+       |  SELECT doc_id,
+       |   unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS ng
+       |  FROM docw WHERE len(w) >= 8)),
+       |bench AS (
+       | SELECT array_to_string((regexp_extract_all(lower(text), '$WordRe'))[1:15], ' ') AS text
+       | FROM documents WHERE doc_id % 50 = 0
+       | UNION ALL SELECT '$CanaryText'),
+       |benchw AS (SELECT regexp_extract_all(lower(text), '$WordRe') AS w FROM bench),
+       |benchg AS (
+       | SELECT DISTINCT ng FROM (
+       |  SELECT unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS ng
+       |  FROM benchw WHERE len(w) >= 8))
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM docg JOIN benchg USING (ng)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t11: corpus vocabulary ----
+
+  val VocabK = 100
+
+  /** t11: top-K corpus vocabulary by term frequency with document
+    * frequency — the tokenizer-training / corpus-inspection primitive.
+    * One explode + one term-keyed shuffle (map-side combined; the
+    * distinct-doc count is Spark's standard two-phase distinct agg);
+    * the global top-K collapses to TakeOrderedAndProject. */
+  def t11VocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy("word")
+      .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("word").asc)
+      .limit(VocabK)
+
+  val t11Sql: String =
+    s"""SELECT word, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |FROM (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WordRe')) AS word
+       | FROM documents)
+       |WHERE length(word) >= 2
+       |GROUP BY word ORDER BY tf DESC, word ASC LIMIT $VocabK""".stripMargin
+}

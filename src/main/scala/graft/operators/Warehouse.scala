@@ -146,4 +146,68 @@ object Warehouse {
        |  JOIN big ON o_orderkey = l_orderkey
        |  JOIN customer ON o_custkey = c_custkey
        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** q31 (TPC-H Q4 shape): correlated EXISTS — orders in a quarter having
+    * at least one returned line, counted by priority.
+    *
+    * Plan: EXISTS is a LEFT SEMI join, which never duplicates order rows
+    * however many lines match; the returned-flag and date filters push
+    * into their scans, and the semi-join's shuffle carries only the two
+    * pruned key columns. The priority rollup afterwards is
+    * group-count-bound. At 100 TB, both sides hash on orderkey — the
+    * natural co-partitioning for bucketed storage. */
+  def q31ExistsReturned(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderpriority")
+    val returned = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q31Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |  AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q32 (TPC-H Q13 shape): customer order-count distribution — LEFT join
+    * so zero-order customers land in the c_count=0 bucket, then a second
+    * aggregation over the first's output.
+    *
+    * Plan: the first aggregate is keyed by customer (group-count-bound
+    * after one fact shuffle on custkey); the second aggregates the
+    * FIRST's output (rows = |customers|), so it is near-free. The join
+    * condition's non-key predicate (priority filter) prunes orders
+    * before the join, not after. */
+  def q32CustDistribution(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, dir).select("c_custkey")
+      .join(o, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count")) // count() skips the null non-matches
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q32Sql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN (
+      |    SELECT o_custkey, o_orderkey FROM orders
+      |    WHERE o_orderpriority <> '1-URGENT') o
+      |   ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 }
