@@ -250,9 +250,12 @@ object Quality {
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 8)
       .select(explode(ngrams8(col("w"))).as("ng")).distinct()
-    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng")).distinct()
+    // join BEFORE deduplicating: the broadcast hash join filters corpus
+    // 8-grams map-side, so only matching (doc, gram) rows ever shuffle —
+    // a corpus-wide distinct first would shuffle every 8-gram of every doc
+    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng"))
       .join(broadcast(benchGrams), Seq("ng"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_hits"))
       .orderBy("doc_id")
   }
 

@@ -182,6 +182,45 @@ class EventsSpec extends SparkSpec {
     val total = Events.e2TumblingWindow(spark, sfDir).agg(sum("cnt")).head().getLong(0)
     assert(total == graft.Tables.events(spark, sfDir).count())
   }
+
+  test("e3 funnel stages are monotone and match a brute-force per-user check") {
+    val r = Events.e3Funnel(spark, sfDir).head()
+    val (s1, s2, s3) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(s1 >= s2 && s2 >= s3, s"($s1, $s2, $s3)")
+    assert(s1 > 0)
+    // brute force on the driver: earliest signup, then earliest later click,
+    // then earliest later purchase, per user
+    val byUser = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+      .collect().groupBy(_.getLong(0))
+    var (n1, n2, n3) = (0L, 0L, 0L)
+    byUser.foreach { case (_, rows) =>
+      val evs = rows.map(x => (x.getLong(1), x.getString(2)))
+      val t1 = evs.collect { case (us, "signup") => us }.minOption
+      val t2 = t1.flatMap(t => evs.collect { case (us, "click") if us > t => us }.minOption)
+      val t3 = t2.flatMap(t => evs.collect { case (us, "purchase") if us > t => us }.minOption)
+      if (t1.isDefined) n1 += 1
+      if (t2.isDefined) n2 += 1
+      if (t3.isDefined) n3 += 1
+    }
+    assert((s1, s2, s3) == ((n1, n2, n3)))
+  }
+}
+
+class PivotSpec extends SparkSpec {
+  test("q33 cells partition each user's events exactly") {
+    val rows = Analytics.q33PivotActivity(spark, sfDir)
+    // one row per user, n_events sums to the fact count
+    assert(rows.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    assert(rows.agg(sum("n_events")).head().getLong(0) ==
+      graft.Tables.events(spark, sfDir).count())
+    // a cell equals the independently-filtered per-type sum for one user
+    val probe = rows.orderBy("user_id").head()
+    val want = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") === probe.getLong(0) && col("event_type") === "purchase")
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double")).head()
+    assert(probe.getAs[Any]("purchase_value") == want.getAs[Any](0))
+  }
 }
 
 class MultimodalDecodeSpec extends SparkSpec {
