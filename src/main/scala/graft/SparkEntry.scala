@@ -45,12 +45,15 @@ object SparkEntry {
     "q31_exists_returned"   -> (Warehouse.q31ExistsReturned _),
     "q32_cust_distribution" -> (Warehouse.q32CustDistribution _),
     "q33_pivot_activity"    -> (Analytics.q33PivotActivity _),
+    "q34_bucket_histogram"  -> (Analytics.q34BucketHistogram _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
     "s4_ivf_topk"       -> (Similarity.s4IvfTopK _),
+    "s5_filtered_ann"   -> (Similarity.s5FilteredTopK _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
+    "v3_index_stats"    -> (Similarity.v3IndexStats _),
     "t1_token_count"    -> (TextAnalysis.t1TokenCount _),
     "t2_quality_score"  -> (TextAnalysis.t2QualityScore _),
     "t3_lang_id"        -> (TextAnalysis.t3LangId _),
@@ -62,6 +65,7 @@ object SparkEntry {
     "t9_repetition"     -> (Quality.t9Repetition _),
     "t10_contamination" -> (Quality.t10Contamination _),
     "t11_vocab_topk"    -> (Quality.t11VocabTopK _),
+    "t12_tfidf"         -> (Quality.t12Tfidf _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -70,9 +74,11 @@ object SparkEntry {
     "d6_winnowing"      -> (Dedup.d6Winnowing _),
     "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
     "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),
+    "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
+    "e4_retention"      -> (Events.e4Retention _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -171,12 +177,15 @@ object SparkEntry {
     "q31_exists_returned"   -> Warehouse.q31Sql,
     "q32_cust_distribution" -> Warehouse.q32Sql,
     "q33_pivot_activity"    -> Analytics.q33Sql,
+    "q34_bucket_histogram"  -> Analytics.q34Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
     "s4_ivf_topk"         -> Similarity.s4Sql,
+    "s5_filtered_ann"     -> Similarity.s5Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
+    "v3_index_stats"      -> Similarity.v3Sql,
     "t1_token_count"    -> TextAnalysis.t1Sql,
     "t2_quality_score"  -> TextAnalysis.t2Sql,
     "t3_lang_id"        -> TextAnalysis.t3Sql,
@@ -187,15 +196,18 @@ object SparkEntry {
     "t9_repetition"     -> Quality.t9Sql,
     "t10_contamination" -> Quality.t10Sql,
     "t11_vocab_topk"    -> Quality.t11Sql,
+    "t12_tfidf"         -> Quality.t12Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
     "d5_embedding_neardup" -> Dedup.d5Sql,
     "d7_dup_clusters"   -> Dedup.d7Sql,
     "d8_stratified_sample" -> Sampling.d8Sql,
+    "d9_incremental_dedup" -> Dedup.d9Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,
+    "e4_retention"      -> Events.e4Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

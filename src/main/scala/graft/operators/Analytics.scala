@@ -268,4 +268,36 @@ object Analytics {
        | count(*) AS n_events
        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   }
+
+  /** q34's $bucket boundaries over o_totalprice: [k*50000, (k+1)*50000)
+    * for k<4, with bucket 4 the open-ended "default" bucket — the Mongo
+    * `$bucket {boundaries, default}` histogram shape (the dashboard
+    * aggregations of trackUsageController.js are this family). */
+  val BucketWidth = 50000d
+  val NumBuckets  = 5
+
+  /** q34: fixed-boundary histogram ($bucket) as ONE map-side-combined
+    * aggregation: the bucket id is pure row-local arithmetic
+    * (least(floor(price/width), last)) so the plan is a single scan +
+    * one group-count-bound shuffle of at most 5 partial rows per
+    * partition — no range join against a boundary table, no sort. The
+    * double division is IEEE-identical in both engines and prices are
+    * far inside the 2^53 exact-integer range. */
+  def q34BucketHistogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select("o_totalprice")
+      .withColumn("bucket",
+        least(floor(col("o_totalprice") / BucketWidth), lit(NumBuckets - 1L)).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"),
+           min(col("o_totalprice")).as("min_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .orderBy("bucket")
+
+  val q34Sql: String =
+    s"""SELECT cast(least(floor(o_totalprice / $BucketWidth), ${NumBuckets - 1}) AS bigint) AS bucket,
+       | count(*) AS n_orders,
+       | cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
+       | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 }

@@ -65,6 +65,54 @@ object Dedup {
        |SELECT md5(text) AS fp, count(*) AS cnt, min(doc_id) AS keep_id
        |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  /** d9: INCREMENTAL (cross-snapshot) exact dedup — the shape every
+    * recurring crawl pipeline runs: deduplicate a NEW batch against the
+    * already-ingested corpus without rescanning-and-regrouping the
+    * union. Existing corpus = doc_id < 400; the new batch = the
+    * remaining docs ∪ planted re-crawls of every 10th existing doc ∪
+    * planted in-batch copies of every 20th new doc. Survivors are new
+    * docs whose content hash is absent from the existing corpus, with
+    * in-batch copies collapsed to the min doc_id.
+    *
+    * Scale: the existing side reduces to its DISTINCT fp set (in a real
+    * deployment that set is the stored dedup index, bucketed by fp);
+    * the anti-join and the in-batch group are both hash-partitioned on
+    * the high-cardinality fp — batch-sized shuffles, and the 100 TB
+    * corpus contributes one column, not its text. */
+  def d9IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = base(s, dir)
+    val existing = d.filter(col("doc_id") < 400)
+    val newBatch = d.filter(col("doc_id") >= 400)
+      .unionByName(d.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+    val existingFp = existing
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    newBatch
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .join(existingFp, Seq("fp"), "left_anti")
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .select("doc_id", "fp", "batch_copies")
+      .orderBy("doc_id")
+  }
+
+  val d9Sql: String =
+    """WITH newbatch AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+      |  WHERE doc_id < 400 AND doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+      |  WHERE doc_id >= 400 AND doc_id % 20 = 0),
+      |exfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < 400)
+      |SELECT min(doc_id) AS doc_id, fp, count(*) AS batch_copies
+      |FROM (SELECT doc_id, md5(text) AS fp FROM newbatch) n
+      |WHERE fp NOT IN (SELECT fp FROM exfp)
+      |GROUP BY fp ORDER BY doc_id""".stripMargin
+
   /** d2: 3-gram Jaccard near-dup pairs within a 40-char-prefix block.
     *
     * The prefix block admits few candidate pairs (~0.015% of the cross

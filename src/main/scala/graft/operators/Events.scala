@@ -107,6 +107,48 @@ object Events {
            count(col("t3")).as("n_purchase_after_click"))
   }
 
+  val WeekUs: Long = 7L * 24 * 3600 * 1000 * 1000
+
+  /** e4: weekly cohort retention — the usage-dashboard shape behind the
+    * reference's per-month trackUsage rollups (trackUsageController.js
+    * groups activity by calendar period per user; retention is the same
+    * rollup keyed by the user's FIRST-activity period).
+    *
+    * cohort_week = first_event_us DIV week and week_offset =
+    * event_us DIV week - cohort_week are exact LONG integer division
+    * (timestamps are positive) — no double rounding, no calendar
+    * truncation that could disagree across engines.
+    *
+    * Single scan: the first-event time comes from a running-min window
+    * over (user_id, ts) — user_id is high-cardinality, so the window
+    * sort is per-user-slice-sized (the e3 shape, not the q15 anti-shape)
+    * — and the (cohort, offset) distinct-user count is Spark's standard
+    * two-phase distinct aggregate, group-count-bound. The oracle spells
+    * the same result as a firsts-aggregate + self-join (two scans). */
+  def e4Retention(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    Tables.events(s, dir).select("user_id", "ts")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("first_us", min(col("us")).over(w))
+      .withColumn("cohort_week", expr(s"first_us DIV $WeekUs"))
+      .withColumn("week_offset", expr(s"us DIV $WeekUs") - col("cohort_week"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val e4Sql: String =
+    s"""WITH e AS (
+       | SELECT user_id, epoch_us(ts) AS us FROM events),
+       |firsts AS (
+       | SELECT user_id, min(us) // $WeekUs AS cohort_week
+       | FROM e GROUP BY user_id)
+       |SELECT cohort_week,
+       | us // $WeekUs - cohort_week AS week_offset,
+       | count(DISTINCT e.user_id) AS n_users
+       |FROM e JOIN firsts ON e.user_id = firsts.user_id
+       |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
+
   val e3Sql: String =
     """WITH e AS (
       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -306,4 +306,65 @@ object Quality {
        | FROM documents)
        |WHERE length(word) >= 2
        |GROUP BY word ORDER BY tf DESC, word ASC LIMIT $VocabK""".stripMargin
+
+  // ---- t12: per-document TF-IDF key terms ----
+
+  val TfidfK = 3
+
+  /** t12: top-3 characteristic terms per document by TF-IDF — the
+    * keyword-extraction / relevance-weighting primitive (the classic
+    * Sparck Jones weighting behind every BM25-ish retrieval stack).
+    *
+    * score = tf × ln(n_docs / df), reported as the exact integer
+    * `score_micro` = floor(score × 1e6): floats never appear in the
+    * output or in the rank comparison beyond one IEEE multiply+floor of
+    * the ln result, so cross-engine comparison stays exact (the repo
+    * rule — engine-internal floats don't leave the engine; cf.
+    * Similarity's rank-only outputs). Ties (including mathematically
+    * equal scores from different (tf, df) pairs) break by term ASC.
+    *
+    * Scale: explode → one (doc, term)-keyed map-side-combined count;
+    * df reuses the tf table with a term-keyed group (group-count-bound);
+    * the scalar n_docs is a one-row broadcast; the top-3 window
+    * partitions by high-cardinality doc_id (per-doc slices, the e3
+    * shape). At 100 TB the df table is vocabulary-bound and the fact
+    * shuffle is distinct-(doc,term)-bound — never corpus text. */
+  def t12Tfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = tf.select(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfidfK)
+      .select("doc_id", "rank", "term", "tf", "df", "score_micro")
+      .orderBy("doc_id", "rank")
+  }
+
+  val t12Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term
+       | FROM documents),
+       |tfc AS (
+       | SELECT doc_id, term, count(*) AS tf FROM toks
+       | WHERE length(term) >= 3 GROUP BY doc_id, term),
+       |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tfc),
+       |scored AS (
+       | SELECT doc_id, tfc.term, tf, df,
+       |  cast(floor(tf * ln(cast(n_docs AS double) / df) * 1e6) AS bigint) AS score_micro
+       | FROM tfc JOIN dfc USING (term) CROSS JOIN n)
+       |SELECT doc_id,
+       | row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rank,
+       | term, tf, df, score_micro
+       |FROM scored
+       |QUALIFY rank <= $TfidfK
+       |ORDER BY doc_id, rank""".stripMargin
 }

@@ -155,6 +155,61 @@ object Similarity {
       |QUALIFY rank <= 5
       |ORDER BY qid, rank""".stripMargin
 
+  /** s5: metadata-FILTERED ANN — the Pinecone query shape with a
+    * namespace/metadata predicate (`index.query({filter: {...}})`,
+    * the reference's per-tenant retrieval in
+    * customTrainDataController.js: the retriever only searches the
+    * caller's namespace). The label predicate is applied BEFORE any
+    * scoring, and because `label` is a plain parquet column the filter
+    * reaches the scan (`PushedFilters: In(label, ...)`), so the corpus
+    * read itself shrinks — at 100 TB a filtered query scans only the
+    * matching row groups (or, with the label as a partition key, only
+    * the matching partitions). Scoring and top-k are the s1 shape:
+    * codegen'd cosine into the bounded TopKByScore aggregate. */
+  def s5FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val corpus = e.filter(col("label").isin(1, 2, 3)) // the metadata filter
+      .select("vec_id", "embedding")
+    val grouped = corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  val s5Sql: String =
+    """SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor
+      |FROM embeddings q JOIN embeddings v
+      |  ON v.vec_id <> q.vec_id AND v.label IN (1, 2, 3)
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** v3: index statistics (Pinecone describeIndexStats, which the
+    * reference calls before namespace operations): per-namespace vector
+    * counts plus the index dimension, in one map-side-combined
+    * aggregation — group-count-bound shuffle (one row per label per
+    * partition), and the dimension check rides the same pass instead of
+    * a separate scan. */
+  def v3IndexStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+      .groupBy("label")
+      .agg(count(lit(1)).as("vector_count"),
+           min(size(col("embedding"))).as("dim_min"),
+           max(size(col("embedding"))).as("dim_max"),
+           sum(col("vec_id")).as("id_checksum"))
+      .orderBy("label")
+
+  val v3Sql: String =
+    """SELECT label, count(*) AS vector_count,
+      | min(len(embedding)) AS dim_min, max(len(embedding)) AS dim_max,
+      | cast(sum(vec_id) AS bigint) AS id_checksum
+      |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
   /** v1: Pinecone-style upsert (embeddingController.addEmbeddedText /
     * updateEmbeddedText): merge an update batch into the (vec_id)-keyed
     * store, latest-wins, then per-label counts. */

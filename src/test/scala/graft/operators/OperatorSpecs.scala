@@ -71,6 +71,34 @@ class SimilaritySpec extends SparkSpec {
     val total = Similarity.v1Upsert(spark, sfDir).agg(sum("cnt")).head().getLong(0)
     assert(total == graft.Tables.embeddings(spark, sfDir).count())
   }
+
+  test("s5 filtered ANN only ever returns neighbors passing the metadata filter") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.s5FilteredTopK(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lbl = labels(r.getLong(2))
+      assert(Set(1, 2, 3).contains(lbl), s"neighbor ${r.getLong(2)} has label $lbl")
+    }
+    // per query: ranks are 1..k contiguous
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"qid $qid ranks")
+    }
+  }
+
+  test("v3 index stats partition the store exactly (counts, dim, checksum)") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val rows = Similarity.v3IndexStats(spark, sfDir).collect()
+    assert(rows.map(_.getLong(1)).sum == e.count())
+    rows.foreach { r =>
+      assert(r.getInt(2) == Similarity.Dim && r.getInt(3) == Similarity.Dim,
+        s"label ${r.getInt(0)} dim range ${r.getInt(2)}..${r.getInt(3)}")
+    }
+    val wholeSum = e.agg(sum("vec_id")).head().getLong(0)
+    assert(rows.map(_.getLong(4)).sum == wholeSum)
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -100,6 +128,22 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_id") % 10 === 0).select("doc_id").collect().map(_.getLong(0))
     val hit = planted.count(id => got.contains((id, id + 100000)))
     assert(hit >= planted.length * 8 / 10, s"only $hit of ${planted.length} planted pairs surfaced")
+  }
+
+  test("d9 incremental dedup drops re-crawls, collapses in-batch copies, keeps new docs") {
+    val rows = Dedup.d9IncrementalDedup(spark, sfDir).collect()
+    // survivors are exactly the genuinely-new docs (400..), keyed by the min
+    // (un-offset) id — no +100000 re-crawl or +200000 in-batch copy survives
+    assert(rows.forall(r => r.getLong(0) >= 400 && r.getLong(0) < 100000),
+      "a re-crawl or raw in-batch copy survived as the keeper id")
+    val expectedNew = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 400).count()
+    assert(rows.length == expectedNew)
+    // in-batch duplicated docs (every 20th new doc) report 2 copies, others 1
+    rows.foreach { r =>
+      val want = if (r.getLong(0) % 20 == 0) 2L else 1L
+      assert(r.getLong(2) == want, s"doc ${r.getLong(0)} batch_copies ${r.getLong(2)}")
+    }
   }
 
   test("d4 simhash surfaces planted near-dups with small hamming distance, deterministically") {
@@ -204,6 +248,42 @@ class EventsSpec extends SparkSpec {
       if (t3.isDefined) n3 += 1
     }
     assert((s1, s2, s3) == ((n1, n2, n3)))
+  }
+}
+
+class RetentionSpec extends SparkSpec {
+  test("e4 cohorts: offsets are non-negative and offset-0 covers every user once") {
+    val rows = Events.e4Retention(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(1) >= 0), "negative week_offset")
+    // every user appears in its own cohort's week-0 cell exactly once, so
+    // summing n_users over offset-0 rows equals the distinct-user count
+    val week0 = rows.filter(_.getLong(1) == 0).map(_.getLong(2)).sum
+    val users = graft.Tables.events(spark, sfDir)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(week0 == users, s"week-0 coverage $week0 != $users users")
+    // and no (cohort, offset) cell can exceed its cohort's week-0 size
+    val byCohort = rows.groupBy(_.getLong(0))
+    byCohort.foreach { case (c, rs) =>
+      val base = rs.find(_.getLong(1) == 0).map(_.getLong(2)).getOrElse(0L)
+      assert(rs.forall(_.getLong(2) <= base), s"cohort $c retains more users than it has")
+    }
+  }
+}
+
+class BucketSpec extends SparkSpec {
+  test("q34 buckets partition the orders table and respect their boundaries") {
+    val rows = Analytics.q34BucketHistogram(spark, sfDir).collect()
+    val total = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0 && b < Analytics.NumBuckets)
+      val (lo, hi) = (b * Analytics.BucketWidth, (b + 1) * Analytics.BucketWidth)
+      assert(r.getDouble(3) >= lo, s"bucket $b min below boundary")
+      if (b < Analytics.NumBuckets - 1)
+        assert(r.getDouble(4) < hi, s"bucket $b max above boundary")
+    }
   }
 }
 

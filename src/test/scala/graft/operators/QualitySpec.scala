@@ -40,6 +40,22 @@ class QualitySpec extends SparkSpec {
     assert(hits.filter(col("n_hits") <= 0).count() == 0)
   }
 
+  test("t12 tf-idf emits at most K ranked terms per doc, scores descending, df sane") {
+    val rows = Quality.t12Tfidf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.length <= Quality.TfidfK, s"doc $doc has ${rs.length} terms")
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"doc $doc ranks")
+      // micro-scores non-increasing in rank order
+      val scores = rs.sortBy(_.getInt(1)).map(_.getLong(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"doc $doc order")
+    }
+    // a corpus-universal term (df == n_docs) has idf 0 and can never outrank
+    // a rarer term with positive score
+    rows.foreach { r => assert(r.getLong(4) >= 1 && r.getLong(3) >= 1) }
+  }
+
   test("t11 vocabulary is frequency-ranked with df <= tf and df >= 1") {
     val rows = Quality.t11VocabTopK(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= Quality.VocabK)
