@@ -327,6 +327,71 @@ object Dedup {
     labels
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round scale path for graphs whose
+    * diameter makes per-hop min-propagation (connectedComponents above)
+    * too many rounds. Each round:
+    *
+    *  - large-star: every node connects its strictly-LARGER neighbors
+    *    to the minimum of its closed neighborhood — long chains fold
+    *    toward local minima;
+    *  - small-star: on the resulting downward-directed graph, every
+    *    node connects its smaller neighbors (and itself) to its minimum
+    *    neighbor — stars flatten.
+    *
+    * Both halves are one groupBy(node) min + one self-join shape — the
+    * same shuffle structure as a propagation round, but the round count
+    * is O(log n) instead of O(diameter). Converged when a small-star
+    * round reproduces its input edge set; the surviving edges form
+    * stars (node → component-min), which IS the label assignment.
+    *
+    * Spec-validated (ScaleSpecs): identical components to
+    * connectedComponents on the d2 graph, and convergence on a
+    * 200-node path whose diameter would need 199 propagation rounds. */
+  def connectedComponentsStar(edges: DataFrame): DataFrame = {
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (edges.count() / 50000L).toInt + 1))
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+      val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges point downward (u > v); m = min neighbor of u
+      val m = e.groupBy("u").agg(min(col("v")).as("m"))
+      val moved = e.join(m, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.unionByName(m.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var cur = largeStar(edges.select("u", "v"))
+      .repartition(parts, col("u")).localCheckpoint()
+    var done = false
+    var iter = 0
+    while (!done && iter < 20) {
+      val next = smallStar(largeStar(cur))
+        .repartition(parts, col("u")).localCheckpoint()
+      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      releaseCheckpoint(cur)
+      cur = next
+      iter += 1
+    }
+    require(done, s"connectedComponentsStar did not converge in $iter rounds")
+    // converged edges are (node -> component min); roots have no outgoing
+    // edge, so they label themselves
+    val nodes = edges.select(col("u").as("id"))
+      .unionByName(edges.select(col("v").as("id"))).distinct()
+    val stars = cur.groupBy(col("u")).agg(min(col("v")).as("lbl"))
+      .select(col("u").as("id"), col("lbl"))
+    nodes.join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("label"))
+  }
+
   /** d7: near-dup CLUSTERS — connected components over the d2 pair set;
     * cluster id = min doc_id in the component (the surviving document). */
   def d7DupClusters(s: SparkSession, dir: String): DataFrame = {

@@ -24,6 +24,29 @@ class SkewSpec extends SparkSpec {
   }
 }
 
+class StarComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("large-star/small-star labels match min-propagation on the d2 graph") {
+    val edges = Dedup.d2NgramJaccard(spark, sfDir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val viaProp = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.connectedComponentsStar(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
+  test("star variant converges on a 200-node path (diameter far beyond its round cap)") {
+    // path 0-1-2-...-199: min-propagation moves the 0 label one hop per
+    // round (199 rounds); the alternating star algorithm needs O(log n)
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("u", "v")
+    val labels = Dedup.connectedComponentsStar(edges).collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_.getLong(1) == 0L), "path did not collapse to component 0")
+  }
+}
+
 class BucketedJoinSpec extends SparkSpec {
   test("bucketed tables join without a shuffle") {
     // tables land in the default ./spark-warehouse (gitignored)
