@@ -46,6 +46,7 @@ object SparkEntry {
     "q32_cust_distribution" -> (Warehouse.q32CustDistribution _),
     "q33_pivot_activity"    -> (Analytics.q33PivotActivity _),
     "q34_bucket_histogram"  -> (Analytics.q34BucketHistogram _),
+    "q35_addtoset_merge"    -> (Mutations.q35AddToSetMerge _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -178,6 +179,7 @@ object SparkEntry {
     "q32_cust_distribution" -> Warehouse.q32Sql,
     "q33_pivot_activity"    -> Analytics.q33Sql,
     "q34_bucket_histogram"  -> Analytics.q34Sql,
+    "q35_addtoset_merge"    -> Mutations.q35Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

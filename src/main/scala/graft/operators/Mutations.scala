@@ -193,4 +193,66 @@ object Mutations {
       |  cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
       |FROM post GROUP BY o_orderstatus, o_orderpriority
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---- q35: $addToSet array-merge update ----
+
+  /** 2024-01-15T00:00:00Z — the split between "existing document state"
+    * and the $addToSet update batch. */
+  val AddToSetSplitUs: Long = 1705276800L * 1000000L
+
+  /** q35: `$addToSet` merge (userController.js:596 — `$addToSet
+    * {teams: id}` with upsert): an update batch folds new elements into
+    * a per-key ARRAY field with set semantics, creating the document
+    * when the key is new.
+    *
+    * Base state = each user's distinct pre-split event types plus a
+    * planted `legacy_<k>` tag (array state that exists only in the
+    * stored document, never derivable from the update stream — the
+    * merge must genuinely carry it). Update batch = distinct post-split
+    * (user, type) pairs. Merge = array_union per key, emitted as the
+    * canonical sorted comma-joined string (arrays don't survive the
+    * driver's compare layer — the q28 lesson).
+    *
+    * Scale: both sides aggregate to one row per user BEFORE the
+    * full-outer merge join, so the join inputs are key-bound and
+    * co-partitioned by the groupBys (no extra exchange); the set union
+    * is a row-local array op. On a bucketed store the merge is
+    * shuffle-free — the $addToSet shape at 100 TB. */
+  def q35AddToSetMerge(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val base = ev.filter(col("us") < AddToSetSplitUs)
+      .groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("pre_tags"))
+      .select(col("user_id"),
+        array_union(col("pre_tags"),
+          array(concat(lit("legacy_"), (col("user_id") % 3).cast("string")))).as("base_tags"))
+    val updates = ev.filter(col("us") >= AddToSetSplitUs)
+      .groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("upd_tags"))
+    base.join(updates, Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        array_sort(array_union(
+          coalesce(col("base_tags"), typedlit(Seq.empty[String])),
+          coalesce(col("upd_tags"), typedlit(Seq.empty[String])))).as("tag_arr"))
+      .select(col("user_id"),
+        concat_ws(",", col("tag_arr")).as("tags"),
+        size(col("tag_arr")).as("n_tags"))
+      .orderBy("user_id")
+  }
+
+  val q35Sql: String =
+    s"""WITH e AS (
+       | SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+       |base_pairs AS (
+       | SELECT DISTINCT user_id, event_type AS tag FROM e WHERE us < $AddToSetSplitUs
+       | UNION
+       | SELECT DISTINCT user_id, 'legacy_' || cast(user_id % 3 AS varchar) AS tag
+       | FROM e WHERE us < $AddToSetSplitUs),
+       |upd_pairs AS (
+       | SELECT DISTINCT user_id, event_type AS tag FROM e WHERE us >= $AddToSetSplitUs),
+       |merged AS (
+       | SELECT user_id, tag FROM base_pairs UNION SELECT user_id, tag FROM upd_pairs)
+       |SELECT user_id, string_agg(tag, ',' ORDER BY tag) AS tags, count(*) AS n_tags
+       |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
 }

@@ -95,4 +95,25 @@ class MutationsSpec extends SparkSpec {
     Mutations.rewriteInPlace(spark, path)(df => Mutations.deleteWhere(df, col("id") === 2))
     assert(spark.read.parquet(path).collect().map(_.getInt(0)).toSeq == Seq(1))
   }
+
+  test("q35 $addToSet merge carries base-only tags, set-dedups, and upserts new keys") {
+    val rows = Mutations.q35AddToSetMerge(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(",").toSeq, r.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (uid, tags, n) =>
+      assert(tags.length == n, s"user $uid n_tags mismatch")
+      assert(tags == tags.sorted && tags.distinct == tags, s"user $uid not a sorted set")
+    }
+    // users active before the split carry their planted legacy tag through the merge
+    val pre = graft.Tables.events(spark, sfDir)
+      .filter(unix_micros(col("ts")) < Mutations.AddToSetSplitUs)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    rows.filter(r => pre.contains(r._1)).foreach { case (uid, tags, _) =>
+      assert(tags.contains(s"legacy_${uid % 3}"), s"user $uid lost its base-only tag")
+    }
+    // users created by the update batch (post-split only) have no legacy tag
+    rows.filterNot(r => pre.contains(r._1)).foreach { case (uid, tags, _) =>
+      assert(!tags.exists(_.startsWith("legacy_")), s"upserted user $uid has base state")
+    }
+  }
 }

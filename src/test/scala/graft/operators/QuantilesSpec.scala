@@ -15,9 +15,10 @@ class QuantilesSpec extends SparkSpec {
 
   private val probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p95" -> 0.95, "p100" -> 1.0)
 
-  private def checkGroups(groups: Map[String, Seq[Double]], buckets: Int): Unit = {
+  private def checkGroups(groups: Map[String, Seq[Double]], buckets: Int,
+      levels: Int = 1): Unit = {
     val df = groups.toSeq.flatMap { case (g, vs) => vs.map(v => (g, v)) }.toDF("g", "v")
-    val got = Quantiles.exactGroupedQuantiles(df, "g", "v", probs, buckets)
+    val got = Quantiles.exactGroupedQuantilesDeep(df, "g", "v", probs, buckets, levels)
       .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getDouble(2), r.getLong(3)))).toMap
     groups.foreach { case (g, vs) =>
       probs.foreach { case (label, p) =>
@@ -46,6 +47,33 @@ class QuantilesSpec extends SparkSpec {
       seed = seed.next
       checkGroups(data, bucketChoices(i % bucketChoices.size))
     }
+  }
+
+  test("recursive refinement matches the naive definition (property, tiny B forces depth)") {
+    val genGroup = for {
+      n <- Gen.choose(1, 120)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6).map(v => math.rint(v * 100) / 100))
+    } yield vs
+    val genData = for {
+      k <- Gen.choose(1, 4)
+      gs <- Gen.listOfN(k, genGroup)
+    } yield gs.zipWithIndex.map { case (vs, i) => s"g$i" -> (vs: Seq[Double]) }.toMap
+    val params = Gen.Parameters.default
+    var seed = Seed(20260813L)
+    // B=2/levels=3 exercises repeated narrowing; B=16/levels=2 the realistic shape
+    val shapes = Seq((2, 3), (16, 2), (4, 2))
+    for (i <- 0 until 9) {
+      val data = genData.apply(params, seed).get
+      seed = seed.next
+      val (b, l) = shapes(i % shapes.size)
+      checkGroups(data, b, l)
+    }
+  }
+
+  test("deep edge cases: all-equal bucket, heavy ties under refinement") {
+    checkGroups(Map("eq" -> Seq.fill(50)(7.5)), 4, 3)
+    checkGroups(Map("skew" -> (Seq.fill(900)(10.0) ++ (1 to 100).map(_.toDouble))), 8, 2)
+    checkGroups(Map("one" -> Seq(42.0)), 2, 4)
   }
 
   test("edge cases: single row, all-equal values, two distinct, negatives") {
