@@ -80,6 +80,7 @@ object SparkEntry {
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
     "e4_retention"      -> (Events.e4Retention _),
+    "e5_event_paths"    -> (Events.e5EventPaths _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -210,6 +211,7 @@ object SparkEntry {
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,
     "e4_retention"      -> Events.e4Sql,
+    "e5_event_paths"    -> Events.e5Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

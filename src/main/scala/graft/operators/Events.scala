@@ -107,6 +107,67 @@ object Events {
            count(col("t3")).as("n_purchase_after_click"))
   }
 
+  val PathTopK = 20
+
+  /** e5: top session PATHS — the most frequent 3-step event sequences
+    * inside a session (the "user journey" mining behind product
+    * dashboards; the reference's conversation flows are this shape at
+    * usage-tracking scale).
+    *
+    * Builds on e1's session assignment, then takes lead(type,1/2) within
+    * (user, session) order and counts complete trigrams. ONE exchange
+    * total on user_id: the session windows hash-partition by user_id,
+    * and the (user_id, session_seq) lead window is clustering-satisfied
+    * by that same partitioning (same-user rows are already colocated),
+    * so Spark inserts only a sort. The trigram count is a
+    * map-side-combined group on the path string (path-vocabulary-bound)
+    * and the global top-K collapses to TakeOrderedAndProject.
+    *
+    * `concat` (not concat_ws) on purpose: a lead past the session end is
+    * NULL and must null out the whole path — matching SQL `||`. */
+  def e5EventPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val bySession = Window.partitionBy("user_id", "session_seq")
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("path",
+        concat(col("event_type"), lit(">"),
+          lead(col("event_type"), 1).over(bySession), lit(">"),
+          lead(col("event_type"), 2).over(bySession)))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("path").asc)
+      .limit(PathTopK)
+  }
+
+  val e5Sql: String =
+    s"""WITH e AS (
+       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       | SELECT *, CASE
+       |    WHEN us - lag(us) OVER w > 1800000000 THEN 1
+       |    WHEN lag(us) OVER w IS NULL THEN 1
+       |    ELSE 0 END AS new_session
+       | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |sessions AS (
+       | SELECT *, cast(sum(new_session) OVER (
+       |    PARTITION BY user_id ORDER BY us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq
+       | FROM flagged),
+       |paths AS (
+       | SELECT event_type || '>' || lead(event_type, 1) OVER sw
+       |     || '>' || lead(event_type, 2) OVER sw AS path
+       | FROM sessions
+       | WINDOW sw AS (PARTITION BY user_id, session_seq ORDER BY us, event_id))
+       |SELECT path, count(*) AS cnt FROM paths WHERE path IS NOT NULL
+       |GROUP BY path ORDER BY cnt DESC, path ASC LIMIT $PathTopK""".stripMargin
+
   val WeekUs: Long = 7L * 24 * 3600 * 1000 * 1000
 
   /** e4: weekly cohort retention — the usage-dashboard shape behind the

@@ -58,4 +58,22 @@ object Sources {
     * in .explain). */
   def readEventsPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
+
+  /** Raw media-file ingest via Spark's `binaryFile` source — the
+    * Spark-native shape of the reference's S3 uploads (lib/s3.js +
+    * multer: opaque blobs addressed by path). Each file becomes one row
+    * (path, modificationTime, length, content); `pathGlobFilter` prunes
+    * by extension at LISTING time, so non-matching files are never
+    * opened, and `maxPartitionBytes` governs how many blobs land in one
+    * task — the only knob multimodal decode needs at 100 TB.
+    *
+    * Feeds straight into the MultimodalDecode pipeline: path-derived
+    * asset ids + the content column as the decode payload. */
+  def readMediaFiles(s: SparkSession, path: String, glob: String = "*.bin"): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("length"), col("content"))
 }

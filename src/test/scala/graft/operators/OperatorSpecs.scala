@@ -88,6 +88,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s5's metadata filter reaches the parquet scan (PushedFilters)") {
+    val plan = Similarity.s5FilteredTopK(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("In(label, [1,2,3])"),
+      s"label filter not pushed into the scan:\n$plan")
+  }
+
   test("v3 index stats partition the store exactly (counts, dim, checksum)") {
     val e = graft.Tables.embeddings(spark, sfDir)
     val rows = Similarity.v3IndexStats(spark, sfDir).collect()
@@ -248,6 +255,33 @@ class EventsSpec extends SparkSpec {
       if (t3.isDefined) n3 += 1
     }
     assert((s1, s2, s3) == ((n1, n2, n3)))
+  }
+}
+
+class EventPathsSpec extends SparkSpec {
+  test("e5 top session paths match a brute-force walk") {
+    val got = Events.e5EventPaths(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    // brute force: walk each user's events in order, split at 30-min gaps,
+    // emit every in-session trigram
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sessions = ordered.foldLeft(Vector.empty[Vector[String]]) { (acc, r) =>
+        if (acc.isEmpty) Vector(Vector(r._4))
+        else {
+          val prevUs = ordered(acc.map(_.size).sum - 1)._2
+          if (r._2 - prevUs > Events.SessionGapUs) acc :+ Vector(r._4)
+          else acc.init :+ (acc.last :+ r._4)
+        }
+      }
+      sessions.flatMap(s => s.sliding(3).filter(_.size == 3).map(_.mkString(">")))
+    }
+    val want = paths.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+      .toSeq.sortBy { case (p, c) => (-c, p) }.take(Events.PathTopK)
+    assert(got == want)
   }
 }
 

@@ -22,6 +22,30 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter(col("doc_id") === 1).select("text").head().getString(0) == "hello world")
   }
 
+  test("binaryFile media ingest: glob prunes at listing, content feeds the decode pipeline") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-media").toFile
+    def put(name: String, bytes: Array[Byte]): Unit = {
+      val out = new java.io.FileOutputStream(new java.io.File(dir, name))
+      out.write(bytes); out.close()
+    }
+    put("a.bin", Array.tabulate(37)(_.toByte))
+    put("b.bin", Array.tabulate(160)(i => (i * 3).toByte))
+    put("notes.txt", "not media".getBytes) // filtered out by the glob
+    val media = Sources.readMediaFiles(spark, dir.getAbsolutePath)
+    val rows = media.orderBy("file_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a.bin", "b.bin"))
+    assert(rows.map(_.getLong(1)).toSeq == Seq(37L, 160L))
+    // blobs flow into the typed decode pipeline unchanged
+    val assets = media.select(
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("file_name")))
+          .cast("long").as("asset_id"),
+        lit("image").as("media_type"), col("content").as("payload"))
+      .as[graft.operators.MultimodalDecode.Asset]
+    val feats = graft.operators.MultimodalDecode.extractFrameFeatures(assets)
+    assert(feats.count() == 2 * graft.operators.MultimodalDecode.FramesPerAsset)
+  }
+
   test("CSV ingest round-trips typed events") {
     val dir = Files.createTempDirectory("graft-csv").toFile
     val f = new java.io.File(dir, "events.csv")
