@@ -104,4 +104,41 @@ object Lookups {
       |  SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id) e
       |  ON c_custkey = user_id
       |ORDER BY prompt_count DESC, c_custkey ASC LIMIT 15 OFFSET 15""".stripMargin
+
+  /** q36: PAGE + TOTAL in one response — the list-endpoint contract
+    * (`countDocuments(query)` alongside `.skip().limit()` of the same
+    * query, assistantController.js:328-340, :515-518): page 3 of the
+    * filtered sort, each row annotated with the total matching count
+    * and page count.
+    *
+    * The total is a one-row aggregate cross-joined (broadcast) onto the
+    * page; the page itself collapses to TakeOrderedAndProject. Two
+    * passes over the FILTERED scan (count + page) — the same two
+    * queries the reference issues, and both are pushed-filter scans,
+    * never a global sort. */
+  def q36PageWithTotal(s: SparkSession, dir: String): DataFrame = {
+    val PageSize = 10
+    val q = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select("o_orderkey", "o_orderdate", "o_totalprice")
+    val total = q.agg(count(lit(1)).as("total_count"))
+    q.orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+      .offset(2 * PageSize).limit(PageSize)
+      .crossJoin(broadcast(total))
+      .withColumn("page_count",
+        ceil(col("total_count").cast("double") / PageSize).cast("long"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").asc)
+  }
+
+  val q36Sql: String =
+    """WITH q AS (
+      |  SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |  WHERE o_orderstatus = 'O'),
+      |t AS (SELECT count(*) AS total_count FROM q)
+      |SELECT o_orderkey, o_orderdate, o_totalprice, total_count,
+      | cast(ceil(cast(total_count AS double) / 10) AS bigint) AS page_count
+      |FROM (SELECT * FROM q ORDER BY o_orderdate DESC, o_orderkey ASC
+      |      LIMIT 10 OFFSET 20) p
+      |CROSS JOIN t
+      |ORDER BY o_orderdate DESC, o_orderkey ASC""".stripMargin
 }

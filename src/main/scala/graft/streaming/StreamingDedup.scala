@@ -34,4 +34,22 @@ object StreamingDedup {
           }
       }
   }
+
+  /** Streaming twin of Dedup.d9IncrementalDedup — continuous-crawl
+    * ingest against an already-stored corpus: drop stream docs whose
+    * fingerprint exists in the STATIC store (stream-static left-anti
+    * join — re-planned per micro-batch, no state), then first-wins
+    * within the stream itself (the keyed-state dedup above).
+    *
+    * The static side is the stored dedup index: fingerprint-only, so at
+    * 100 TB the join reads one indexed column, and because the anti-join
+    * is stateless the store can grow between micro-batches (each batch
+    * sees the current snapshot — exactly the semantics a recurring crawl
+    * wants). */
+  def dedupAgainstStore(stream: Dataset[Doc],
+      storedFps: org.apache.spark.sql.DataFrame): Dataset[Doc] = {
+    import stream.sparkSession.implicits._
+    val novel = stream.join(storedFps, Seq("fingerprint"), "left_anti").as[Doc]
+    dedup(novel)
+  }
 }

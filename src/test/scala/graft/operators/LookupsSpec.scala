@@ -39,4 +39,25 @@ class LookupsSpec extends SparkSpec {
     val activeUsers = graft.Tables.events(spark, sfDir).select("user_id").distinct().count()
     assert(activeUsers < allUsers)
   }
+
+  test("q36 page carries the exact filtered total and page count") {
+    val rows = Lookups.q36PageWithTotal(spark, sfDir).collect()
+    val filtered = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "O")
+    val total = filtered.count()
+    assert(rows.length == math.min(10, math.max(0, total - 20)))
+    rows.foreach { r =>
+      assert(r.getLong(3) == total, "total_count mismatch")
+      assert(r.getLong(4) == math.ceil(total / 10.0).toLong, "page_count mismatch")
+    }
+    // the page itself is page 3 of the deterministic global order
+    val expect = filtered.select("o_orderkey", "o_orderdate").collect()
+      .map { r =>
+        val t = r.getAs[java.time.LocalDateTime](1)
+        (r.getLong(0), t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L)
+      }
+      .sortBy { case (k, t) => (-t, k) }
+      .slice(20, 30).map(_._1).toSeq
+    assert(rows.map(_.getLong(0)).toSeq == expect)
+  }
 }

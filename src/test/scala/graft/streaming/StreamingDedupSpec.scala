@@ -24,4 +24,28 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
     assert(got == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 4L)))
   }
+
+  test("dedupAgainstStore drops stored fingerprints, then first-wins within the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stored = Seq("fpOld1", "fpOld2").toDF("fingerprint")
+    val mem = MemoryStream[Doc]
+    val q = StreamingDedup.dedupAgainstStore(mem.toDS(), stored)
+      .writeStream.format("memory").queryName("inc_dedup_out").outputMode("append").start()
+
+    mem.addData(
+      Doc("fpOld1", 10, "recrawl of stored doc"), // in the store -> dropped
+      Doc("fpNew1", 11, "new"),
+      Doc("fpNew1", 12, "new again"))             // in-stream dup -> first wins
+    q.processAllAvailable()
+    mem.addData(
+      Doc("fpOld2", 13, "another stored"),        // dropped
+      Doc("fpNew1", 14, "late dup"),              // cross-batch dup -> dropped
+      Doc("fpNew2", 15, "fresh"))
+    q.processAllAvailable()
+    val got = spark.sql("select fingerprint, doc_id from inc_dedup_out")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(got == Set(("fpNew1", 11L), ("fpNew2", 15L)))
+  }
 }
