@@ -48,6 +48,7 @@ object SparkEntry {
     "q34_bucket_histogram"  -> (Analytics.q34BucketHistogram _),
     "q35_addtoset_merge"    -> (Mutations.q35AddToSetMerge _),
     "q36_page_with_total"   -> (Lookups.q36PageWithTotal _),
+    "q37_last_n_per_key"    -> (Relational.q37LastNPerKey _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -183,6 +184,7 @@ object SparkEntry {
     "q34_bucket_histogram"  -> Analytics.q34Sql,
     "q35_addtoset_merge"    -> Mutations.q35Sql,
     "q36_page_with_total"   -> Lookups.q36Sql,
+    "q37_last_n_per_key"    -> Relational.q37Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,

@@ -164,6 +164,34 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** q37: last-N history per key — the conversation-history window
+    * (conversationController / assistantThreadController return the
+    * latest messages of a thread, not just the newest one): rank <= 3
+    * of the (ts, event_id) DESC order per user. Same rewrite-eligible
+    * shape as q11 (non-nullable-proof sort keys, literal rank bound):
+    * under the driver session WindowTopKRewrite turns the window into
+    * the bounded TopKRowsByScore aggregate, so the shuffle carries at
+    * most 3 rows per (input partition, user) instead of every event —
+    * asserted in EntrySpec alongside q11. */
+  def q37LastNPerKey(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(
+      coalesce(col("ts"), timestamp_micros(lit(0L))).desc,
+      coalesce(col("event_id"), lit(Long.MinValue)).desc)
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type", "value")
+      .orderBy("user_id", "rn")
+  }
+
+  val q37Sql: String =
+    """SELECT user_id, rn, event_id, event_type, value FROM (
+      | SELECT user_id, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events)
+      |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
+
   /** q12: token/cost calculation (trackUsageService.calculateCostFromTokenCounts):
     * per-model price table → broadcast join → cost formula → rollup.
     * events.value stands in for token counts; event_type for the model. */

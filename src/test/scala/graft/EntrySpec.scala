@@ -12,6 +12,36 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle or spec: $missing")
   }
 
+  test("q37 (rn <= 3) plans through TopKRowsByScore under the driver session shape") {
+    def freshSession(withExt: Boolean) = {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      val b = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .appName(s"graft-entry-q37-$withExt")
+        .config("spark.sql.shuffle.partitions", 2)
+        .config("spark.ui.enabled", "false")
+      (if (withExt) b.withExtensions(new GraftExtensions) else b).getOrCreate()
+    }
+    val prior = org.apache.spark.sql.SparkSession.getDefaultSession
+    try {
+      val ext = freshSession(withExt = true)
+      val q = operators.Relational.q37LastNPerKey(ext, sfDir)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Window"), optimized)
+      assert(optimized.contains("topk_rows_by_score"), optimized)
+      val rewritten = q.collect().toSeq
+      val plain = freshSession(withExt = false)
+      val plainQ = operators.Relational.q37LastNPerKey(plain, sfDir)
+      assert(plainQ.queryExecution.optimizedPlan.toString.contains("Window"))
+      assert(rewritten == plainQ.collect().toSeq)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prior.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+
   test("q11 plans through TopKRowsByScore (no Window) under the driver session shape") {
     // Verify/Bench build their sessions with GraftExtensions; replicate
     // that here and assert the latest-per-key window is rewritten to the
