@@ -37,6 +37,25 @@ class StarComponentsSpec extends SparkSpec {
     assert(viaStar == viaProp)
   }
 
+  test("star and propagation agree on random sparse graphs (property)") {
+    // 24-node graphs keep the worst-case diameter under propagation's
+    // round cap, so both algorithms are guaranteed to converge
+    val rnd = new scala.util.Random(20260812L)
+    for (_ <- 0 until 5) {
+      val nEdges = 8 + rnd.nextInt(18)
+      val edges = Seq.fill(nEdges) {
+        val u = rnd.nextInt(24).toLong
+        val v = rnd.nextInt(24).toLong
+        (math.min(u, v), math.max(u, v) + 1) // +1 avoids self-loops
+      }.toDF("u", "v")
+      val viaProp = Dedup.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponentsStar(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaProp, s"divergence on edges ${edges.collect().toSeq}")
+    }
+  }
+
   test("star variant converges on a 200-node path (diameter far beyond its round cap)") {
     // path 0-1-2-...-199: min-propagation moves the 0 label one hop per
     // round (199 rounds); the alternating star algorithm needs O(log n)
