@@ -64,6 +64,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => Md5PrefixMod(args(0),
         args(1).eval() match { case i: Int => i.toLong; case l: Long => l })))
     ext.injectFunction((
+      FunctionIdentifier("top_bigram_freq"),
+      info("top_bigram_freq", "top_bigram_freq(words) - max multiplicity of any adjacent bigram"),
+      (args: Seq[Expression]) => TopBigramFreq(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("topk_by_score"),
       info("topk_by_score", "topk_by_score(score, id, k) - ids of the k best-scored rows"),
       (args: Seq[Expression]) => TopKByScore(

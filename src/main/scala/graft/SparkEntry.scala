@@ -57,6 +57,7 @@ object SparkEntry {
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
+    "v4_label_centroid" -> (Similarity.v4LabelCentroid _),
     "t1_token_count"    -> (TextAnalysis.t1TokenCount _),
     "t2_quality_score"  -> (TextAnalysis.t2QualityScore _),
     "t3_lang_id"        -> (TextAnalysis.t3LangId _),
@@ -69,6 +70,8 @@ object SparkEntry {
     "t10_contamination" -> (Quality.t10Contamination _),
     "t11_vocab_topk"    -> (Quality.t11VocabTopK _),
     "t12_tfidf"         -> (Quality.t12Tfidf _),
+    "t13_pack_sequences"-> (Corpus.t13PackSequences _),
+    "t14_mixture_weights" -> (Corpus.t14MixtureWeights _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -83,6 +86,7 @@ object SparkEntry {
     "e3_funnel"         -> (Events.e3Funnel _),
     "e4_retention"      -> (Events.e4Retention _),
     "e5_event_paths"    -> (Events.e5EventPaths _),
+    "e6_spike_days"     -> (Events.e6SpikeDays _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -193,6 +197,7 @@ object SparkEntry {
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v3_index_stats"      -> Similarity.v3Sql,
+    "v4_label_centroid"   -> Similarity.v4Sql,
     "t1_token_count"    -> TextAnalysis.t1Sql,
     "t2_quality_score"  -> TextAnalysis.t2Sql,
     "t3_lang_id"        -> TextAnalysis.t3Sql,
@@ -204,6 +209,8 @@ object SparkEntry {
     "t10_contamination" -> Quality.t10Sql,
     "t11_vocab_topk"    -> Quality.t11Sql,
     "t12_tfidf"         -> Quality.t12Sql,
+    "t13_pack_sequences"-> Corpus.t13Sql,
+    "t14_mixture_weights" -> Corpus.t14Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
@@ -216,6 +223,7 @@ object SparkEntry {
     "e3_funnel"         -> Events.e3Sql,
     "e4_retention"      -> Events.e4Sql,
     "e5_event_paths"    -> Events.e5Sql,
+    "e6_spike_days"     -> Events.e6Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

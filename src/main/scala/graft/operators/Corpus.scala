@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-assembly operators: the steps between a cleaned document set
+  * and a training run — packing documents into fixed-size context
+  * windows, and computing the domain-mixture statistics / resampling
+  * weights that data-mixing recipes (e.g. the published Pile / Gopher /
+  * LLaMA mixture tables) are built from.
+  *
+  * Both are exact-integer pipelines: token counts, cumulative offsets,
+  * shares and weights are all bigint arithmetic, so no float ever
+  * crosses the engine boundary (repo rule, cf. Quality.t12Tfidf).
+  */
+object Corpus {
+
+  private val WordRe = "[a-z0-9]+"
+
+  /** whitespace-free token count, identical in both engines. */
+  private def tokenCount(text: org.apache.spark.sql.Column) =
+    size(regexp_extract_all(lower(text), lit(WordRe), lit(0))).cast("long")
+
+  // ---- t13: sequence packing ----
+
+  /** Tokens per training context window. */
+  val PackWindow = 512L
+
+  /** doc_id range per prefix-sum bucket. */
+  val PackBucket = 1000L
+
+  /** t13: streaming sequence packing — assign each document a position
+    * in a stream of fixed-size context windows: `pack_id` is the window
+    * its first token lands in, `pack_offset` the position inside that
+    * window (documents longer than the remaining space spill into the
+    * next window — the streaming formulation every packed-pretraining
+    * loader uses; first-fit bin packing is inherently sequential and
+    * has no scalable exact form).
+    *
+    * The cumulative token offset is a DISTRIBUTED PREFIX SUM — never a
+    * global single-partition window:
+    *  1. per-bucket token sums over `doc_id DIV PackBucket` (map-side
+    *     combined, bucket-count-bound);
+    *  2. bucket offsets via the bounded broadcast self-join cumulative
+    *     (the Quantiles B² pattern) — no window over the global order;
+    *  3. a running sum WITHIN each bucket (partitions bounded by the
+    *     bucket width, key cardinality grows with the corpus).
+    * At 100 TB every stage is either bucket-count-bound or
+    * bucket-width-bound; no stage sorts the corpus in one task. */
+  def t13PackSequences(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("bkt", expr(s"doc_id DIV ${PackBucket}L"))
+    val bsums = base.groupBy("bkt").agg(sum("n_tokens").as("btok"))
+    val b2 = bsums.select(col("bkt").as("bkt_b"), col("btok").as("btok_b"))
+    val boff = bsums.join(broadcast(b2), col("bkt_b") < col("bkt"), "left")
+      .groupBy("bkt").agg(coalesce(sum("btok_b"), lit(0L)).as("bucket_offset"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(boff), Seq("bkt"))
+      .withColumn("cum_before",
+        col("bucket_offset") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"cum_before DIV ${PackWindow}L").as("pack_id"),
+        (col("cum_before") % PackWindow).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val t13Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS n_tokens
+       | FROM documents),
+       |c AS (
+       | SELECT doc_id, n_tokens,
+       |  cast(coalesce(sum(n_tokens) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+       | FROM toks)
+       |SELECT doc_id, n_tokens,
+       | cast(cum_before // $PackWindow AS bigint) AS pack_id,
+       | cast(cum_before % $PackWindow AS bigint) AS pack_offset
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---- t14: domain mixture weights ----
+
+  /** Upsampling cap: no domain is repeated more than 20x (ppm scale). */
+  val MixtureCapPpm = 20000000L
+
+  /** t14: domain-mixture statistics + resampling weights per
+    * (lang, source) domain: document/token counts, the domain's share
+    * of corpus tokens in ppm, and the exact-integer multiplier that
+    * would equalize token mass across domains (capped at
+    * [[MixtureCapPpm]] — unbounded upsampling of a tiny domain is never
+    * what a mixture recipe wants).
+    *
+    * Shapes: one map stage (token count) → one group-count-bound agg →
+    * a one-row broadcast total joined back; everything after the scan
+    * is domain-count-bound. The ppm arithmetic stays in bigint — at
+    * corpus sizes where total_tokens × 1e6 would overflow int64
+    * (≥ ~9×10^12 tokens), move the two products to decimal(38,0);
+    * the shapes are unchanged. */
+  def t14MixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), tokenCount(col("text")).as("tok"))
+    val dom = base.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+    val tot = dom.agg(sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_domains"))
+    dom.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L DIV total_tokens").as("share_ppm"),
+        when(col("n_tokens") > 0,
+          least(expr("total_tokens * 1000000L DIV (n_domains * n_tokens)"),
+            lit(MixtureCapPpm)))
+          .as("weight_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  val t14Sql: String =
+    s"""WITH base AS (
+       | SELECT lang, source,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok
+       | FROM documents),
+       |dom AS (
+       | SELECT lang, source, count(*) AS n_docs,
+       |  cast(sum(tok) AS bigint) AS n_tokens
+       | FROM base GROUP BY lang, source),
+       |tot AS (SELECT cast(sum(n_tokens) AS bigint) AS total_tokens,
+       |  count(*) AS n_domains FROM dom)
+       |SELECT lang, source, n_docs, n_tokens,
+       | cast(n_tokens * 1000000 // total_tokens AS bigint) AS share_ppm,
+       | CASE WHEN n_tokens > 0
+       |  THEN cast(least(total_tokens * 1000000 // (n_domains * n_tokens), $MixtureCapPpm) AS bigint)
+       |  ELSE NULL END AS weight_ppm
+       |FROM dom CROSS JOIN tot
+       |ORDER BY lang, source""".stripMargin
+}

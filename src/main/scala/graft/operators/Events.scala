@@ -210,6 +210,44 @@ object Events {
        |FROM e JOIN firsts ON e.user_id = firsts.user_id
        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin
 
+  /** e6: day-over-day spike detection per event type — the ops-alerting
+    * shape over usage tracking (a 1.5× jump vs the previous calendar
+    * day flags the day). Integer test `c*10 > c_prev*15`, so no float
+    * threshold crosses engines.
+    *
+    * Scale shape: ONE group-count-bound aggregation reduces the corpus
+    * to (type × day) rows; the previous-day comparison then runs on
+    * that tiny table as a broadcast self-join keyed on the EXACT
+    * calendar predecessor (day − 1). Deliberately not a LAG window over
+    * the raw events (the q15 anti-shape: 5-value partition key), and
+    * not lag-over-present-days either — a missing day yields c_prev
+    * NULL, not a comparison against last week. */
+  def e6SpikeDays(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val prev = d.select(col("event_type").as("et_p"), col("day").as("day_p"),
+      col("c").as("c_prev"))
+    d.join(broadcast(prev),
+        col("event_type") === col("et_p") && col("day") === date_add(col("day_p"), 1),
+        "left")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c"), col("c_prev"),
+        when(col("c_prev").isNotNull && col("c") * 10 > col("c_prev") * 15, 1)
+          .otherwise(0).as("spike"))
+      .orderBy("event_type", "day")
+  }
+
+  val e6Sql: String =
+    """WITH d AS (
+      | SELECT event_type, cast(ts AS date) AS day, count(*) AS c
+      | FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, strftime(a.day, '%Y-%m-%d') AS day, a.c, b.c AS c_prev,
+      | CASE WHEN b.c IS NOT NULL AND a.c * 10 > b.c * 15 THEN 1 ELSE 0 END AS spike
+      |FROM d a LEFT JOIN d b
+      |  ON a.event_type = b.event_type AND a.day = b.day + 1
+      |ORDER BY a.event_type, day""".stripMargin
+
   val e3Sql: String =
     """WITH e AS (
       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -166,24 +166,22 @@ object Quality {
 
   /** t9: per-document repetition metrics — duplicate-line ratio and the
     * fraction of all word bigrams taken by the single most frequent
-    * bigram (Gopher's "top 2-gram" rule). The bigram pass explodes
-    * doc×bigram rows into a map-side-combined count: both shuffles are
-    * keyed by doc_id, so shuffle volume is distinct-bigram-bound, never
-    * corpus-cross-product. */
+    * bigram (Gopher's "top 2-gram" rule). Every metric is a function of
+    * ONE document, so the whole screen is a pure map stage: the max
+    * bigram multiplicity comes from the codegen'd
+    * [[graft.functions.TopBigramFreq]] expression (one hash-count pass
+    * per row, no bigram strings allocated), replacing the relational
+    * formulation's explode + two doc-keyed exchanges + join back. Zero
+    * shuffles before the final order; scales with scan bandwidth. */
   def t9Repetition(s: SparkSession, dir: String): DataFrame = {
-    val d = t9Corpus(s, dir)
+    t9Corpus(s, dir)
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 2)
       .withColumn("n_lines", size(split(col("text"), "\n")).cast("long"))
       .withColumn("n_distinct_lines",
         size(array_distinct(split(col("text"), "\n"))).cast("long"))
-    val bigrams = d.select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
-    d.select("doc_id", "n_lines", "n_distinct_lines")
-      .join(bigrams, Seq("doc_id"))
+      .withColumn("top_c", graft.functions.TopBigramFreq(col("w")))
+      .withColumn("n_bigrams", (size(col("w")) - 1).cast("long"))
       .select(col("doc_id"), col("n_lines"),
         (lit(1d) - col("n_distinct_lines").cast("double") / col("n_lines")).as("dup_line_ratio"),
         (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
@@ -234,10 +232,15 @@ object Quality {
 
   /** t10: contamination screen — documents sharing any word 8-gram with
     * the benchmark set (the canary + the leading 15 words of every 50th
-    * doc), with the count of distinct overlapping 8-grams. The benchmark
-    * n-gram set is BROADCAST (an eval suite is small by construction);
-    * the corpus explodes its 8-grams map-side and only matching rows
-    * reach the one doc-keyed shuffle. */
+    * doc), with the count of distinct overlapping 8-grams.
+    *
+    * The benchmark gram set collapses to ONE array row (an eval suite is
+    * MB-scale by construction) cross-joined in as a broadcast, and each
+    * document counts its overlap row-locally with `array_intersect`
+    * (distinct-intersection semantics = the old join + countDistinct).
+    * That removes the per-gram explode AND the doc-keyed shuffle — the
+    * corpus side is a pure map stage, and no (doc, gram) row ever
+    * moves. */
   def t10Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t10Corpus(s, dir)
       .withColumn("w", words(col("text")))
@@ -250,12 +253,12 @@ object Quality {
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 8)
       .select(explode(ngrams8(col("w"))).as("ng")).distinct()
-    // join BEFORE deduplicating: the broadcast hash join filters corpus
-    // 8-grams map-side, so only matching (doc, gram) rows ever shuffle —
-    // a corpus-wide distinct first would shuffle every 8-gram of every doc
-    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng"))
-      .join(broadcast(benchGrams), Seq("ng"))
-      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_hits"))
+      .agg(sort_array(collect_set(col("ng"))).as("bench"))
+    docs.select(col("doc_id"), ngrams8(col("w")).as("ngs"))
+      .crossJoin(broadcast(benchGrams))
+      .withColumn("n_hits", size(array_intersect(col("ngs"), col("bench"))).cast("long"))
+      .filter(col("n_hits") > 0)
+      .select("doc_id", "n_hits")
       .orderBy("doc_id")
   }
 

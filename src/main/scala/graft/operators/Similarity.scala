@@ -210,6 +210,36 @@ object Similarity {
       | cast(sum(vec_id) AS bigint) AS id_checksum
       |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
+  /** v4: per-namespace centroid of the stored vectors — the "describe
+    * namespace" / cluster-summary aggregate (and the building block IVF
+    * codebook training iterates). Fixed-point contract: each component
+    * is floored to integer micros BEFORE the sum, so the aggregation is
+    * exact-integer and order-independent, and the per-dimension mean is
+    * one IEEE divide + floor at the end — floats never cross the engine
+    * boundary (repo rule; cf. Quality.t12Tfidf).
+    *
+    * Scale: posexplode emits dim-many rows per vector, but the shuffle
+    * after the map-side-combined agg is (labels × dim)-bound — the
+    * vectors themselves never move. */
+  def v4LabelCentroid(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("label", "embedding")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1e6)).as("sum_micro"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        floor(col("sum_micro").cast("double") / col("n")).as("centroid_micro"))
+      .orderBy("label", "dim")
+
+  val v4Sql: String =
+    """WITH ex AS (
+      | SELECT label, unnest(embedding) AS v, unnest(range(len(embedding))) AS dim
+      | FROM embeddings)
+      |SELECT label, dim, count(*) AS n,
+      | cast(floor(cast(sum(cast(floor(cast(v AS double) * 1e6) AS bigint)) AS double)
+      |            / count(*)) AS bigint) AS centroid_micro
+      |FROM ex GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   /** v1: Pinecone-style upsert (embeddingController.addEmbeddedText /
     * updateEmbeddedText): merge an update batch into the (vec_id)-keyed
     * store, latest-wins, then per-label counts. */

@@ -61,6 +61,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
   // the SparkContext is first created, so it cannot be exercised in this
   // shared-context test JVM; withExtensions (above) covers registration.
 
+  test("top_bigram_freq callable from SQL") {
+    val r = spark.sql("SELECT top_bigram_freq(array('a','b','a','b','a','b')) AS t").head()
+    assert(r.getLong(0) == 3L) // 'a b' occurs 3 times
+  }
+
   test("topk_by_score aggregate works from SQL") {
     spark.sql("SELECT * FROM VALUES (1.0, 10L), (3.0, 30L), (2.0, 20L) AS t(score, id)")
       .createOrReplaceTempView("scores")

@@ -1,0 +1,47 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+
+  test("t13 distributed prefix-sum equals the sequential packing") {
+    val rows = Corpus.t13PackSequences(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // recompute sequentially in doc_id order
+    var cum = 0L
+    rows.sortBy(_._1).foreach { case (doc, n, packId, off) =>
+      assert(packId == cum / Corpus.PackWindow, s"doc $doc pack_id")
+      assert(off == cum % Corpus.PackWindow, s"doc $doc pack_offset")
+      assert(off >= 0 && off < Corpus.PackWindow)
+      cum += n
+    }
+    // pack ids are non-decreasing in doc order and start at 0
+    val ids = rows.sortBy(_._1).map(_._3)
+    assert(ids.head == 0L)
+    assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("t14 weights equalize token mass up to the cap, shares sum to ~1e6") {
+    val rows = Corpus.t14MixtureWeights(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalTokens = rows.map(_.getLong(3)).sum
+    val nDomains = rows.length.toLong
+    var shareSum = 0L
+    rows.foreach { r =>
+      assert(!r.isNullAt(5), "weight_ppm only null for token-less domains")
+      val (nTokens, share, weight) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      shareSum += share
+      assert(share == nTokens * 1000000L / totalTokens)
+      assert(weight <= Corpus.MixtureCapPpm)
+      assert(weight == math.min(totalTokens * 1000000L / (nDomains * nTokens),
+        Corpus.MixtureCapPpm), s"domain ${r.getString(0)}/${r.getString(1)}")
+      // upsampled domains are below the uniform share, downsampled above
+      if (weight > 1000000L && weight < Corpus.MixtureCapPpm)
+        assert(nTokens * nDomains < totalTokens)
+    }
+    // floor rounding loses at most 1 ppm per domain
+    assert(shareSum <= 1000000L && shareSum >= 1000000L - nDomains)
+  }
+}

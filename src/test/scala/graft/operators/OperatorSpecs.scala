@@ -106,6 +106,25 @@ class SimilaritySpec extends SparkSpec {
     val wholeSum = e.agg(sum("vec_id")).head().getLong(0)
     assert(rows.map(_.getLong(4)).sum == wholeSum)
   }
+
+  test("v4 centroid matches a driver-side fixed-point recompute per (label, dim)") {
+    val got = Similarity.v4LabelCentroid(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    assert(got.nonEmpty && vecs.nonEmpty)
+    val byLabel = vecs.groupBy(_._1)
+    byLabel.foreach { case (label, rs) =>
+      val dim = rs.head._2.length
+      (0 until dim).foreach { d =>
+        val micros = rs.map(v => math.floor(v._2(d).toDouble * 1e6).toLong)
+        val expect = math.floor(micros.sum.toDouble / micros.length).toLong
+        val (n, c) = got((label, d.toLong))
+        assert(n == rs.length && c == expect, s"label $label dim $d")
+      }
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {
@@ -302,6 +321,25 @@ class RetentionSpec extends SparkSpec {
       val base = rs.find(_.getLong(1) == 0).map(_.getLong(2)).getOrElse(0L)
       assert(rs.forall(_.getLong(2) <= base), s"cohort $c retains more users than it has")
     }
+  }
+}
+
+class SpikeDaysSpec extends SparkSpec {
+  test("e6 spike flags match a driver-side recompute over the daily counts") {
+    val rows = Events.e6SpikeDays(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val byTypeDay = rows.map(r => (r._1, r._2) -> r._3).toMap
+    val fmt = java.time.format.DateTimeFormatter.ISO_LOCAL_DATE
+    rows.foreach { case (et, day, c, cPrev, spike) =>
+      val prevDay = java.time.LocalDate.parse(day, fmt).minusDays(1).format(fmt)
+      assert(cPrev == byTypeDay.get((et, prevDay)), s"$et $day c_prev")
+      val want = cPrev.exists(p => c * 10 > p * 15)
+      assert(spike == (if (want) 1 else 0), s"$et $day spike")
+    }
+    // daily counts partition the events table
+    assert(rows.map(_._3).sum == graft.Tables.events(spark, sfDir).count())
   }
 }
 
