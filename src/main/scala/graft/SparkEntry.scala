@@ -49,6 +49,7 @@ object SparkEntry {
     "q35_addtoset_merge"    -> (Mutations.q35AddToSetMerge _),
     "q36_page_with_total"   -> (Lookups.q36PageWithTotal _),
     "q37_last_n_per_key"    -> (Relational.q37LastNPerKey _),
+    "q38_small_qty_revenue" -> (Warehouse.q38SmallQtyRevenue _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
     "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),
     "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
+    "d10_line_dedup"    -> (Dedup.d10LineDedup _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -189,6 +191,7 @@ object SparkEntry {
     "q35_addtoset_merge"    -> Mutations.q35Sql,
     "q36_page_with_total"   -> Lookups.q36Sql,
     "q37_last_n_per_key"    -> Relational.q37Sql,
+    "q38_small_qty_revenue" -> Warehouse.q38Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
@@ -218,6 +221,7 @@ object SparkEntry {
     "d7_dup_clusters"   -> Dedup.d7Sql,
     "d8_stratified_sample" -> Sampling.d8Sql,
     "d9_incremental_dedup" -> Dedup.d9Sql,
+    "d10_line_dedup"    -> Dedup.d10Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

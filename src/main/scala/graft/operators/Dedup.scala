@@ -113,6 +113,69 @@ object Dedup {
       |WHERE fp NOT IN (SELECT fp FROM exfp)
       |GROUP BY fp ORDER BY doc_id""".stripMargin
 
+  /** d10: corpus-wide LINE-level dedup — the C4/RefinedWeb boilerplate
+    * pass: a line that occurs anywhere else in the corpus survives only
+    * at its first occurrence (min (doc_id, line_idx)); every document is
+    * then reconstructed from its surviving lines. Planted boilerplate
+    * ("follow us...", "all rights reserved") on every 3rd/5th doc
+    * exercises the cross-document collapse the operator exists for.
+    *
+    * Scale: two shuffles, both inherent to the semantics — one keyed by
+    * the normalized line (high-cardinality; the per-key window slice is
+    * occurrence-count-sized) to pick first occurrences, one keyed by
+    * doc_id to reconstruct. Line text crosses the wire once per shuffle;
+    * at 100 TB the decide pass would carry a 64-bit line hash instead of
+    * text (d1's fp pattern) and the reconstruction join stays the same.
+    * Output is per-document: line counts plus an md5 fingerprint of the
+    * surviving text, never the corpus itself. */
+  def d10LineDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = base(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit("\nfollow us on social media\nsubscribe to our newsletter")))
+          .otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit("\nall rights reserved")))
+          .otherwise(col("text")))
+    val lines = corpus
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
+      .withColumn("norm", lower(trim(col("line"))))
+    val w = Window.partitionBy("norm").orderBy("doc_id", "idx")
+    lines.withColumn("kept", row_number().over(w) === 1)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(CASE WHEN kept THEN struct(idx, line) END)), x -> x.line), chr(10))").as("surviving"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        when(col("n_kept") > 0, md5(col("surviving").cast("binary"))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val d10Sql: String =
+    """WITH corpus AS (
+      | SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN t1 || chr(10) || 'all rights reserved' ELSE t1 END AS text
+      | FROM (
+      |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+      |    THEN text || chr(10) || 'follow us on social media' || chr(10) || 'subscribe to our newsletter'
+      |    ELSE text END AS t1
+      |  FROM documents)),
+      |lines AS (
+      | SELECT doc_id,
+      |  unnest(string_split(text, chr(10))) AS line,
+      |  unnest(range(len(string_split(text, chr(10))))) AS idx
+      | FROM corpus),
+      |flagged AS (
+      | SELECT doc_id, idx, line,
+      |  row_number() OVER (PARTITION BY lower(trim(line)) ORDER BY doc_id, idx) = 1 AS kept
+      | FROM lines)
+      |SELECT doc_id, count(*) AS n_lines,
+      | cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+      | md5(string_agg(CASE WHEN kept THEN line END, chr(10) ORDER BY idx)) AS kept_fp
+      |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** d2: 3-gram Jaccard near-dup pairs within a 40-char-prefix block.
     *
     * The prefix block admits few candidate pairs (~0.015% of the cross

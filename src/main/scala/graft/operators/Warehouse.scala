@@ -210,4 +210,45 @@ object Warehouse {
       |   ON c_custkey = o_custkey
       |  GROUP BY c_custkey)
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** q38 (TPC-H Q17 shape): small-quantity revenue — lines of one brand's
+    * parts whose quantity is below 20% of that part's average quantity,
+    * summed as a yearly figure. The "row vs its own group's aggregate"
+    * correlated-subquery topology, which no other inventory query has.
+    *
+    * Plan: ONE lineitem scan — the brand's part keys broadcast as a LEFT
+    * SEMI before anything else (the scan shrinks to the brand's share),
+    * then a window over the HIGH-cardinality l_partkey (per-part slices,
+    * the e3 shape — not the q15 anti-shape) supplies each row its
+    * group's sum/count, and the threshold test is row-local EXACT
+    * decimal cross-multiplication: qty × 5 × cnt < sum_qty — no float
+    * average crosses the engine boundary. The oracle spells the same
+    * semantics as aggregate + self-join (two scans). */
+  def q38SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    val w = Window.partitionBy("l_partkey")
+    l.withColumn("sum_qty", sum(dec(col("l_quantity"))).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sum_qty"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q38Sql: String =
+    """WITH pl AS (
+      | SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+      | WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4')),
+      |a AS (
+      | SELECT l_partkey, sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,
+      |  count(*) AS cnt
+      | FROM pl GROUP BY l_partkey)
+      |SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0 AS avg_yearly,
+      | count(*) AS n_lines
+      |FROM pl JOIN a USING (l_partkey)
+      |WHERE cast(l_quantity AS decimal(18,2)) * 5 * cnt < sum_qty""".stripMargin
 }

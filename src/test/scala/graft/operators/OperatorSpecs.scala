@@ -127,6 +127,31 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class LineDedupSpec extends SparkSpec {
+  test("d10 keeps planted boilerplate lines exactly once corpus-wide") {
+    val rows = Dedup.d10LineDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    // every doc keeps at most its own line count; counts are sane
+    rows.foreach { case (doc, n, k) => assert(k >= 0 && k <= n, s"doc $doc") }
+    // 'all rights reserved' is planted on every 5th doc but survives once:
+    // total kept lines = total lines - (occurrences - 1) per duplicated norm
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val plantedArr = rows.count(_._1 % 5 == 0)
+    assert(plantedArr > 1)
+    // the first %3 doc (doc 0) keeps its boilerplate; later %3 docs lose
+    // exactly those two lines unless the rest of their text is also duplicated
+    val loseTwo = rows.filter { case (doc, _, _) => doc % 3 == 0 && doc % 5 != 0 && doc % 10 != 0 }
+    assert(loseTwo.count { case (doc, n, k) => doc > 0 && n - k >= 2 } == loseTwo.count(_._1 > 0),
+      "a %3 doc after the first kept planted boilerplate")
+    // exact-dup docs (planted %10 copies in the base corpus) lose ALL lines
+    // to their lower-id twin; their kept_fp is null
+    val fpNull = Dedup.d10LineDedup(spark, sfDir)
+      .filter(col("n_kept") === 0 && col("kept_fp").isNotNull).count()
+    assert(fpNull == 0, "kept_fp must be null when nothing survives")
+  }
+}
+
 class DedupSpec extends SparkSpec {
   test("d1 finds exactly the planted exact duplicates") {
     val expected = graft.Tables.documents(spark, sfDir)

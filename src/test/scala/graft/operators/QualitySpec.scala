@@ -28,6 +28,25 @@ class QualitySpec extends SparkSpec {
     assert(rows.filter(col("dup_line_ratio") < 0 || col("dup_line_ratio") >= 1).count() == 0)
   }
 
+  test("t9 is a pure map stage: no join, no explode, one exchange (the final sort)") {
+    val plan = Quality.t9Repetition(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"t9 must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"t9 must not explode:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"t9 must shuffle only for the final sort ($exchanges):\n$plan")
+  }
+
+  test("t10's corpus side never shuffles: no shuffle exchange above the documents scan") {
+    // the only shuffles allowed are on the MB-scale benchmark-gram side
+    // (distinct + collect_set); the corpus side must reach the broadcast
+    // join as a map stage, and the top-level sort is the single
+    // corpus-row exchange
+    val plan = Quality.t10Contamination(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"gram array must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not shuffle for the join:\n$plan")
+  }
+
   test("t10 flags exactly the docs sharing an 8-gram with the benchmark set") {
     val hits = Quality.t10Contamination(spark, sfDir)
     val hitIds = hits.collect().map(_.getLong(0)).toSet

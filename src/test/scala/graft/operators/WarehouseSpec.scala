@@ -5,6 +5,25 @@ import org.apache.spark.sql.functions._
 
 class WarehouseSpec extends SparkSpec {
 
+  test("q38 window formulation equals the aggregate + self-join recompute") {
+    val got = Warehouse.q38SmallQtyRevenue(spark, sfDir).head()
+    // recompute with the two-scan shape the oracle uses
+    val p = graft.Tables.part(spark, sfDir)
+      .filter(col("p_brand") === "Brand#4").select("p_partkey")
+    val pl = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
+    val a = pl.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+    val want = pl.join(a, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") < col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+        .as("avg_yearly"), count(lit(1)).as("n_lines")).head()
+    assert(got.getLong(1) == want.getLong(1) && got.getLong(1) > 0)
+    assert(got.getDouble(0) == want.getDouble(0))
+  }
+
   test("q25 ranks aggregated revenue descending with an orderkey tiebreak") {
     val rows = Warehouse.q25ShippingPriority(spark, sfDir).collect()
     assert(rows.length <= 10 && rows.nonEmpty)
