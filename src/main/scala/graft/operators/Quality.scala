@@ -232,15 +232,20 @@ object Quality {
 
   /** t10: contamination screen — documents sharing any word 8-gram with
     * the benchmark set (the canary + the leading 15 words of every 50th
-    * doc), with the count of distinct overlapping 8-grams.
+    * doc), with the count of distinct overlapping 8-grams. The benchmark
+    * n-gram set is BROADCAST (an eval suite is small by construction);
+    * the corpus explodes its 8-grams map-side and only matching rows
+    * reach the one doc-keyed shuffle.
     *
-    * The benchmark gram set collapses to ONE array row (an eval suite is
-    * MB-scale by construction) cross-joined in as a broadcast, and each
-    * document counts its overlap row-locally with `array_intersect`
-    * (distinct-intersection semantics = the old join + countDistinct).
-    * That removes the per-gram explode AND the doc-keyed shuffle — the
-    * corpus side is a pure map stage, and no (doc, gram) row ever
-    * moves. */
+    * Shape note (measured, round 4): collapsing the bench set to one
+    * array row + per-row `array_intersect` looks cheaper on paper (no
+    * explode, no doc-keyed shuffle) but is ~2x SLOWER — the
+    * BroadcastNestedLoopJoin materializes the full gram array into
+    * every corpus row, and the per-row set build repeats work the
+    * broadcast hash join's shared build-side table does once. The
+    * explode feeds codegen'd streaming rows into that shared hash
+    * table, and non-matching grams die map-side without ever being
+    * exchanged. */
   def t10Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t10Corpus(s, dir)
       .withColumn("w", words(col("text")))
@@ -253,12 +258,12 @@ object Quality {
       .withColumn("w", words(col("text")))
       .filter(size(col("w")) >= 8)
       .select(explode(ngrams8(col("w"))).as("ng")).distinct()
-      .agg(sort_array(collect_set(col("ng"))).as("bench"))
-    docs.select(col("doc_id"), ngrams8(col("w")).as("ngs"))
-      .crossJoin(broadcast(benchGrams))
-      .withColumn("n_hits", size(array_intersect(col("ngs"), col("bench"))).cast("long"))
-      .filter(col("n_hits") > 0)
-      .select("doc_id", "n_hits")
+    // join BEFORE deduplicating: the broadcast hash join filters corpus
+    // 8-grams map-side, so only matching (doc, gram) rows ever shuffle —
+    // a corpus-wide distinct first would shuffle every 8-gram of every doc
+    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng"))
+      .join(broadcast(benchGrams), Seq("ng"))
+      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_hits"))
       .orderBy("doc_id")
   }
 

@@ -36,13 +36,9 @@ class QualitySpec extends SparkSpec {
     assert(exchanges == 1, s"t9 must shuffle only for the final sort ($exchanges):\n$plan")
   }
 
-  test("t10's corpus side never shuffles: no shuffle exchange above the documents scan") {
-    // the only shuffles allowed are on the MB-scale benchmark-gram side
-    // (distinct + collect_set); the corpus side must reach the broadcast
-    // join as a map stage, and the top-level sort is the single
-    // corpus-row exchange
+  test("t10's gram filter is a broadcast hash join — the corpus never shuffles unmatched grams") {
     val plan = Quality.t10Contamination(spark, sfDir).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"), s"gram array must broadcast:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"bench grams must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"corpus side must not shuffle for the join:\n$plan")
   }
