@@ -120,16 +120,20 @@ object Dedup {
     * ("follow us...", "all rights reserved") on every 3rd/5th doc
     * exercises the cross-document collapse the operator exists for.
     *
-    * Scale: two shuffles, both inherent to the semantics — one keyed by
-    * the normalized line (high-cardinality; the per-key window slice is
-    * occurrence-count-sized) to pick first occurrences, one keyed by
-    * doc_id to reconstruct. Line text crosses the wire once per shuffle;
-    * at 100 TB the decide pass would carry a 64-bit line hash instead of
-    * text (d1's fp pattern) and the reconstruction join stays the same.
-    * Output is per-document: line counts plus an md5 fingerprint of the
-    * surviving text, never the corpus itself. */
+    * Scale, and the skew trap this shape dodges: boilerplate lines are
+    * BY DEFINITION the hottest keys in the corpus — a window (or join)
+    * partitioned by the normalized line would put every occurrence of
+    * "all rights reserved" in one reducer slice. Instead the first
+    * occurrence comes from `min(struct(doc_id, idx))` per line — a
+    * map-side-combined aggregate, so a hot line contributes ONE partial
+    * row per input partition — and the winners join back LEFT SEMI on
+    * the UNIQUE (doc_id, idx) pair, which hashes evenly no matter how
+    * hot the line. Line text crosses the wire once (the doc_id-keyed
+    * reconstruction); at 100 TB the decide pass would carry a 64-bit
+    * line hash instead of text (d1's fp pattern). Output is
+    * per-document: line counts plus an md5 fingerprint of the surviving
+    * text, never the corpus itself. */
   def d10LineDedup(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = base(s, dir)
       .withColumn("text",
         when(col("doc_id") % 3 === 0,
@@ -142,8 +146,13 @@ object Dedup {
     val lines = corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
       .withColumn("norm", lower(trim(col("line"))))
-    val w = Window.partitionBy("norm").orderBy("doc_id", "idx")
-    lines.withColumn("kept", row_number().over(w) === 1)
+    val firsts = lines
+      .groupBy("norm")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("k.doc_id").as("kd"), col("k.idx").as("ki"))
+    lines
+      .join(firsts, col("doc_id") === col("kd") && col("idx") === col("ki"), "left")
+      .withColumn("kept", col("kd").isNotNull)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_lines"),
