@@ -89,6 +89,8 @@ object SparkEntry {
     "e4_retention"      -> (Events.e4Retention _),
     "e5_event_paths"    -> (Events.e5EventPaths _),
     "e6_spike_days"     -> (Events.e6SpikeDays _),
+    "e7_wau"            -> (Events.e7Wau _),
+    "e8_debounce"       -> (Events.e8Debounce _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -228,6 +230,8 @@ object SparkEntry {
     "e4_retention"      -> Events.e4Sql,
     "e5_event_paths"    -> Events.e5Sql,
     "e6_spike_days"     -> Events.e6Sql,
+    "e7_wau"            -> Events.e7Sql,
+    "e8_debounce"       -> Events.e8Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

@@ -248,6 +248,75 @@ object Events {
       |  ON a.event_type = b.event_type AND a.day = b.day + 1
       |ORDER BY a.event_type, day""".stripMargin
 
+  /** e7: trailing-7-day active users per day (WAU) — the engagement
+    * dashboard metric. The naive formulation is a RANGE join (every day
+    * × every user-day within 6 days — quadratic in days and unindexable
+    * in a shuffle engine); instead each DISTINCT (user, day) pair
+    * explodes into the ≤7 target days it contributes to, and a
+    * two-phase distinct count per target day finishes it.
+    *
+    * Scale: the corpus reduces to user-day pairs first (one distinct
+    * shuffle, activity-bound not event-bound); the ×7 explode is
+    * bounded by the window width; the observed-days list broadcasts
+    * (calendar-bound). No range join, no window over a date key. */
+  def e7Wau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), col("ts").cast("date").as("day")).distinct()
+    val days = ud.select(col("day").as("tday")).distinct()
+    ud.select(col("user_id"),
+        explode(sequence(col("day"), date_add(col("day"), 6))).as("tday"))
+      .join(broadcast(days), Seq("tday"))
+      .groupBy("tday").agg(countDistinct(col("user_id")).as("wau"))
+      .select(date_format(col("tday"), "yyyy-MM-dd").as("day"), col("wau"))
+      .orderBy("day")
+  }
+
+  val e7Sql: String =
+    """WITH ud AS (
+      | SELECT DISTINCT user_id, cast(ts AS date) AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ud)
+      |SELECT strftime(d.day, '%Y-%m-%d') AS day, count(DISTINCT u.user_id) AS wau
+      |FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      |GROUP BY d.day ORDER BY day""".stripMargin
+
+  /** Debounce interval: events of the same (user, type) closer than this
+    * are counted as bounces, not fresh events. */
+  val DebounceUs: Long = 300L * 1000 * 1000
+
+  /** e8: recency-window event dedup ("debounce") — an event survives only
+    * if the SAME user's previous event of the SAME type is more than 5
+    * minutes older (double-click / retry suppression, the ingest-side
+    * twin of d9's content dedup). One shuffle on the HIGH-cardinality
+    * (user_id, event_type) composite key — per-slice sort is a user's
+    * per-type history, never the corpus — then a group-count-bound
+    * rollup of kept vs total per type. */
+  def e8Debounce(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      .withColumn("kept",
+        col("prev_us").isNull || col("us") - col("prev_us") > DebounceUs)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("event_type")
+  }
+
+  val e8Sql: String =
+    s"""WITH e AS (
+       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |flagged AS (
+       | SELECT event_type,
+       |  CASE WHEN lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) IS NULL
+       |        OR us - lag(us) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id) > $DebounceUs
+       |   THEN 1 ELSE 0 END AS kept
+       | FROM e)
+       |SELECT event_type, count(*) AS n_events,
+       | cast(sum(kept) AS bigint) AS n_kept
+       |FROM flagged GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val e3Sql: String =
     """WITH e AS (
       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -368,6 +368,50 @@ class SpikeDaysSpec extends SparkSpec {
   }
 }
 
+class WauSpec extends SparkSpec {
+  test("e7 trailing-7-day distinct users matches a brute-force window walk") {
+    val got = Events.e7Wau(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ud = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts").cast("date").cast("string").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    assert(got.nonEmpty && ud.nonEmpty)
+    val days = ud.map(_._2).distinct
+    days.foreach { d =>
+      val want = ud.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+      assert(got(d.toString) == want, s"day $d")
+    }
+    assert(got.size == days.size)
+  }
+}
+
+class DebounceSpec extends SparkSpec {
+  test("e8 keeps first-in-window events and never more than the total") {
+    val rows = Events.e8Debounce(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, k) => assert(k >= 1 && k <= n, s"$et") }
+    // brute-force recompute on one event type
+    val et0 = rows.head._1
+    val evs = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === et0)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = evs.groupBy(_._1).values.map { rs =>
+      val ordered = rs.sortBy(r => (r._2, r._3))
+      // lag semantics: compared against the immediately preceding event,
+      // kept or not (matches the operator and the oracle)
+      ordered.foldLeft((0L, Option.empty[Long])) { case ((kept, prev), r) =>
+        val isKept = prev.forall(p => r._2 - p > Events.DebounceUs)
+        (kept + (if (isKept) 1L else 0L), Some(r._2))
+      }._1
+    }.sum
+    assert(rows.find(_._1 == et0).get._3 == want)
+  }
+}
+
 class BucketSpec extends SparkSpec {
   test("q34 buckets partition the orders table and respect their boundaries") {
     val rows = Analytics.q34BucketHistogram(spark, sfDir).collect()
