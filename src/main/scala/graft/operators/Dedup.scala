@@ -239,25 +239,38 @@ object Dedup {
   def hashA(i: Int): Long = ((i + 1L) * 2654435761L) % P
   def hashB(i: Int): Long = ((i + 7L) * 40503L * 9973L) % P
 
-  /** d3: MinHash signature + banded LSH candidate pairs. */
+  /** d3: MinHash signature + banded LSH candidate pairs.
+    *
+    * The signature is ONE codegen'd expression per document
+    * ([[graft.functions.MinHashSig]] — md5-prefix base hash and all 16
+    * permutation minima in a single pass over the row), replacing the
+    * round-1 formulation's shingle explode + doc-keyed 16-min shuffle:
+    * nothing doc×shingle-shaped is ever exchanged. Candidate pairs then
+    * come from ONE shuffle of (band, key, doc_id) rows — 4 per document
+    * — into band buckets, where each bucket's sorted member list emits
+    * its pairs row-locally (the classic LSH bucket walk). No self-join,
+    * no second scan: the whole operator is map → one bucket shuffle →
+    * pair explode → distinct. Bucket lists are near-dup-group-sized by
+    * the banding guarantee (degenerate-band collapse is prevented by the
+    * wrapped multipliers above). */
   def d3MinHashLsh(s: SparkSession, dir: String): DataFrame = {
     val c = corpusNear(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
-    val exploded = c.select(col("doc_id"),
-        explode(expr("array_distinct(transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1])))")).as("sh"))
-      .withColumn("h", graft.functions.Md5PrefixModF(col("sh"), P))
-    val aggs = (0 until NumHashes).map(i =>
-      min((lit(hashA(i)) * col("h") + lit(hashB(i))) % P).as(s"m$i"))
-    val minhashes = exploded.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bands = (0 until NumHashes / BandSize).map { bnd =>
-      val ks = (0 until BandSize).map(j => col(s"m${bnd * BandSize + j}"))
-      minhashes.select(col("doc_id"), lit(bnd).as("band"), concat_ws("_", ks: _*).as("key"))
-    }.reduce(_ unionByName _)
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("key"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band").as("band_b"), col("key").as("key_b"))
-    l.join(r, col("band") === col("band_b") && col("key") === col("key_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    val as = (0 until NumHashes).map(hashA)
+    val bs = (0 until NumHashes).map(hashB)
+    val bandExpr = s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
+      s"b -> concat_ws('_', ${(0 until BandSize).map(j => s"sig[b * $BandSize + $j]").mkString(", ")}))"
+    val pairExpr =
+      """flatten(transform(sequence(1, size(ds) - 1),
+        |  i -> transform(slice(ds, i + 1, size(ds) - i),
+        |    d -> named_struct('doc_a', element_at(ds, i), 'doc_b', d))))""".stripMargin
+    c.select(col("doc_id"), graft.functions.MinHashSigF(col("t"), P, as, bs).as("sig"))
+      .select(col("doc_id"), posexplode(expr(bandExpr)).as(Seq("band", "key")))
+      .groupBy("band", "key").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(pairExpr)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b")).distinct()
       .orderBy("doc_a", "doc_b")
   }
 
