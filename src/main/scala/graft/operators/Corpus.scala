@@ -49,23 +49,33 @@ object Corpus {
     *     bucket width, key cardinality grows with the corpus).
     * At 100 TB every stage is either bucket-count-bound or
     * bucket-width-bound; no stage sorts the corpus in one task. */
-  def t13PackSequences(s: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
-      .withColumn("bkt", expr(s"doc_id DIV ${PackBucket}L"))
-    val bsums = base.groupBy("bkt").agg(sum("n_tokens").as("btok"))
+  def t13PackSequences(s: SparkSession, dir: String): DataFrame =
+    packSequences(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n_tokens")),
+      "doc_id", "n_tokens", PackWindow, PackBucket)
+      .orderBy("doc_id")
+
+  /** Reusable packing core: assign each row of (idCol, tokCol) its
+    * pack_id / pack_offset by cumulative token offset in idCol order,
+    * via the distributed prefix sum described on [[t13PackSequences]].
+    * ids must be non-negative and unique; token counts non-negative. */
+  def packSequences(rows: DataFrame, idCol: String, tokCol: String,
+      window: Long, bucket: Long): DataFrame = {
+    require(window > 0 && bucket > 0)
+    val base = rows.withColumn("bkt", expr(s"$idCol DIV ${bucket}L"))
+    val bsums = base.groupBy("bkt").agg(sum(tokCol).as("btok"))
     val b2 = bsums.select(col("bkt").as("bkt_b"), col("btok").as("btok_b"))
     val boff = bsums.join(broadcast(b2), col("bkt_b") < col("bkt"), "left")
       .groupBy("bkt").agg(coalesce(sum("btok_b"), lit(0L)).as("bucket_offset"))
-    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+    val wIn = Window.partitionBy("bkt").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     base.join(broadcast(boff), Seq("bkt"))
       .withColumn("cum_before",
-        col("bucket_offset") + coalesce(sum("n_tokens").over(wIn), lit(0L)))
-      .select(col("doc_id"), col("n_tokens"),
-        expr(s"cum_before DIV ${PackWindow}L").as("pack_id"),
-        (col("cum_before") % PackWindow).as("pack_offset"))
-      .orderBy("doc_id")
+        col("bucket_offset") + coalesce(sum(tokCol).over(wIn), lit(0L)))
+      .select(col(idCol), col(tokCol),
+        expr(s"cum_before DIV ${window}L").as("pack_id"),
+        (col("cum_before") % window).as("pack_offset"))
   }
 
   val t13Sql: String =

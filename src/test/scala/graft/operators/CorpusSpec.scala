@@ -23,6 +23,27 @@ class CorpusSpec extends SparkSpec {
     assert(ids.zip(ids.tail).forall { case (a, b) => a <= b })
   }
 
+  test("packSequences property: random sparse ids and token counts, several window/bucket sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // sparse non-contiguous ids, zero-token rows, counts larger than a window
+    val rows = (1 to 400).map { _ =>
+      (rnd.nextInt(100000).toLong, rnd.nextInt(900).toLong)
+    }.distinct.groupBy(_._1).map(_._2.head).toSeq // unique ids
+    val df = rows.toDF("id", "tok")
+    for ((w, b) <- Seq((512L, 1000L), (64L, 17L), (1L, 100000L))) {
+      val got = Corpus.packSequences(df, "id", "tok", w, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      var cum = 0L
+      got.foreach { case (id, tok, packId, off) =>
+        assert(packId == cum / w && off == cum % w, s"id $id (w=$w b=$b)")
+        cum += tok
+      }
+      assert(got.length == rows.length)
+    }
+  }
+
   test("t14 weights equalize token mass up to the cap, shares sum to ~1e6") {
     val rows = Corpus.t14MixtureWeights(spark, sfDir).collect()
     assert(rows.nonEmpty)
