@@ -93,6 +93,45 @@ object Corpus {
        | cast(cum_before % $PackWindow AS bigint) AS pack_offset
        |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---- t15: deterministic shard assignment ----
+
+  /** Number of output shards (files/workers) for the packed corpus. */
+  val NumShards = 16L
+
+  /** t15: deterministic content-hash sharding — the reproducible
+    * shuffle-and-shard step that turns a cleaned corpus into training
+    * shards: shard = md5-prefix(text) mod S, so the split is a pure
+    * function of content (stable across re-crawls that renumber ids,
+    * and uniform regardless of id clustering). Reported per shard:
+    * doc/token counts and an ORDER-INDEPENDENT checksum (the bigint sum
+    * of per-doc content hashes) — two shard builds can be compared
+    * without sorting either.
+    *
+    * Scale: one map stage (hash + token count) → one S-bound agg; the
+    * checksum sum is exact int64 (each term < 1e9+7, so overflow needs
+    * ~9×10^9 docs per shard — past that, widen to decimal(38,0)). */
+  def t15ShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).as("tok"),
+        graft.functions.Md5PrefixModF(col("text"), Dedup.P).as("h"))
+      .withColumn("shard", col("h") % NumShards)
+    base.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"),
+        sum("h").as("hash_checksum"))
+      .orderBy("shard")
+  }
+
+  val t15Sql: String =
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok,
+       |  ('0x' || substr(md5(text), 1, 15))::bigint % ${Dedup.P} AS h
+       | FROM documents)
+       |SELECT h % $NumShards AS shard, count(*) AS n_docs,
+       | cast(sum(tok) AS bigint) AS n_tokens,
+       | cast(sum(h) AS bigint) AS hash_checksum
+       |FROM base GROUP BY 1 ORDER BY shard""".stripMargin
+
   // ---- t14: domain mixture weights ----
 
   /** Upsampling cap: no domain is repeated more than 20x (ppm scale). */

@@ -44,6 +44,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("t15 shards partition the corpus; checksum is order-independent and content-derived") {
+    val rows = Corpus.t15ShardAssign(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.map(_._1).distinct.length == rows.length)
+    rows.foreach { case (sh, n, tok, ck) =>
+      assert(sh >= 0 && sh < Corpus.NumShards && n > 0 && tok >= 0 && ck >= 0)
+    }
+    // shards partition the table
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == total)
+    // checksum recompute from per-doc hashes, driver-side
+    val hs = graft.Tables.documents(spark, sfDir)
+      .select(graft.functions.Md5PrefixModF(col("text"), Dedup.P).as("h"))
+      .collect().map(_.getLong(0))
+    val want = hs.groupBy(_ % Corpus.NumShards).map { case (s, xs) => s -> xs.sum }
+    rows.foreach { case (sh, _, _, ck) => assert(ck == want(sh), s"shard $sh") }
+  }
+
   test("t14 weights equalize token mass up to the cap, shares sum to ~1e6") {
     val rows = Corpus.t14MixtureWeights(spark, sfDir).collect()
     assert(rows.nonEmpty)
