@@ -387,6 +387,25 @@ class WauSpec extends SparkSpec {
   }
 }
 
+class ScaleShapeSpec extends SparkSpec {
+  test("e7 plans without a range join (no nested-loop or cartesian operator)") {
+    val plan = Events.e7Wau(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"WAU must not plan a range join:\n$plan")
+  }
+
+  test("d10 plans without a Window over the line key (skew-immune min-agg form)") {
+    val plan = Dedup.d10LineDedup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"d10 must not window over line norms:\n$plan")
+  }
+
+  test("d3 plans without a join and without a doc-keyed shingle exchange") {
+    val plan = Dedup.d3MinHashLsh(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bucket-walk d3 must not self-join:\n$plan")
+    assert(plan.contains("minhash_sig"), s"signature must be the fused expression:\n$plan")
+  }
+}
+
 class DebounceSpec extends SparkSpec {
   test("e8 keeps first-in-window events and never more than the total") {
     val rows = Events.e8Debounce(spark, sfDir).collect()
