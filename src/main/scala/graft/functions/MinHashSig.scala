@@ -24,7 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Contract: fewer than two tokens yields a signature of P sentinels
   * (every real lane value is < P) — callers filter those rows out, as
-  * the relational form's size-≥2 filter did. */
+  * the relational form's size-≥2 filter did. A null ELEMENT forms no
+  * bigram with either neighbour (internal callers never produce null
+  * tokens, but the eval must not NPE on one). */
 object MinHashSigUtil {
   private val Space = UTF8String.fromString(" ")
 
@@ -34,13 +36,15 @@ object MinHashSigUtil {
     val mins = Array.fill(k)(mod)
     var i = 0
     while (i < n - 1) {
-      val bg = UTF8String.concat(arr.getUTF8String(i), Space, arr.getUTF8String(i + 1))
-      val h = Md5PrefixModUtil.hash(bg, mod)
-      var j = 0
-      while (j < k) {
-        val v = (as(j) * h + bs(j)) % mod
-        if (v < mins(j)) mins(j) = v
-        j += 1
+      if (!arr.isNullAt(i) && !arr.isNullAt(i + 1)) {
+        val bg = UTF8String.concat(arr.getUTF8String(i), Space, arr.getUTF8String(i + 1))
+        val h = Md5PrefixModUtil.hash(bg, mod)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % mod
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
       }
       i += 1
     }

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * document (same argument as [[CharNgramJaccardUtil]]).
   *
   * Returns 0 for arrays with fewer than two elements; null array → null.
+  * A null ELEMENT breaks the bigram chain (no bigram is formed with it on
+  * either side) — internal callers never produce null tokens, but the
+  * expression is SQL-registered and must survive `array('a', NULL, 'b')`.
   */
 object TopBigramFreqUtil {
   private def fnvWord(h0: Long, s: String): Long = {
@@ -40,14 +43,23 @@ object TopBigramFreqUtil {
     var best = 0
     // hash each word once, then combine adjacent (prev, cur) pairs with
     // the separator in between — identical key to hashing "w1 w2"
-    var prev = fnvWord(SimHashUtil.FnvOffset, arr.getUTF8String(0).toString)
-    var i = 1
+    var prev = 0L
+    var prevValid = false
+    var i = 0
     while (i < n) {
-      val sep = prev ^ (' '.toLong & 0xffffL)
-      val cur = fnvWord(sep * SimHashUtil.FnvPrime, arr.getUTF8String(i).toString)
-      val c = counts.merge(cur, 1, (a, b) => a + b)
-      if (c > best) best = c
-      prev = fnvWord(SimHashUtil.FnvOffset, arr.getUTF8String(i).toString)
+      if (arr.isNullAt(i)) {
+        prevValid = false // a null token forms no bigram on either side
+      } else {
+        val wordHash = fnvWord(SimHashUtil.FnvOffset, arr.getUTF8String(i).toString)
+        if (prevValid) {
+          val sep = prev ^ (' '.toLong & 0xffffL)
+          val cur = fnvWord(sep * SimHashUtil.FnvPrime, arr.getUTF8String(i).toString)
+          val c = counts.merge(cur, 1, (a, b) => a + b)
+          if (c > best) best = c
+        }
+        prev = wordHash
+        prevValid = true
+      }
       i += 1
     }
     best.toLong

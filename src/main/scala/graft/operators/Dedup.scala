@@ -143,6 +143,14 @@ object Dedup {
         when(col("doc_id") % 5 === 0,
           concat(col("text"), lit("\nall rights reserved")))
           .otherwise(col("text")))
+    lineDedupCore(corpus)
+  }
+
+  /** The line-dedup decide/reconstruct core over any (doc_id, text)
+    * corpus — factored out so fixtures can drive the all-lines-lost path
+    * (an exact-duplicate doc whose every line loses to a lower-id twin),
+    * which the driver corpus never produces. */
+  def lineDedupCore(corpus: DataFrame): DataFrame = {
     val lines = corpus
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("idx", "line")))
       .withColumn("norm", lower(trim(col("line"))))

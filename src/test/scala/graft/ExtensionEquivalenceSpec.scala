@@ -29,7 +29,7 @@ class ExtensionEquivalenceSpec extends AnyFunSuite {
     try {
       val ext = freshSession(withExt = true)
       val plain = freshSession(withExt = false)
-      val sfDir = "/root/testdata/sf0.001"
+      val sfDir = SparkSpec.sfDir
       val diverged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
         val a = fn(ext, sfDir).collect().toSeq
         val b = fn(plain, sfDir).collect().toSeq

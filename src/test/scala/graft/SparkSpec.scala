@@ -4,6 +4,10 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkSpec {
+  /** Test-data directory: overridable so the suite runs wherever the
+    * driver put the parquet (defaults to the smoke scale factor). */
+  val sfDir: String = sys.env.getOrElse("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
@@ -19,5 +23,5 @@ object SparkSpec {
 
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  val sfDir = "/root/testdata/sf0.001"
+  val sfDir: String = SparkSpec.sfDir
 }

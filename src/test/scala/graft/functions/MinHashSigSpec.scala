@@ -31,6 +31,20 @@ class MinHashSigSpec extends SparkSpec {
     got.foreach { case (id, sig) => assert(sig == want(id), s"doc $id") }
   }
 
+  test("null tokens form no bigram and never throw") {
+    import spark.implicits._
+    val as = (0 until Dedup.NumHashes).map(Dedup.hashA)
+    val bs = (0 until Dedup.NumHashes).map(Dedup.hashB)
+    val df = Seq(
+      Seq[String]("a", null, "b"),   // no adjacent non-null pair → all-sentinel
+      Seq[String]("a", "b", null),   // one real bigram 'a b'
+      Seq[String]("a", "b")).toDF("t")
+    val sigs = df.select(MinHashSigF(col("t"), Dedup.P, as, bs))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0).forall(_ == Dedup.P)) // sentinel signature, caller-filterable
+    assert(sigs(1) == sigs(2))           // trailing null changes nothing
+  }
+
   test("signature lanes are in [0, P) and single-bigram docs are deterministic") {
     import spark.implicits._
     val df = Seq(Seq("a", "b"), Seq("a", "b"), Seq("b", "a")).toDF("t")

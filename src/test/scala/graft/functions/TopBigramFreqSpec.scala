@@ -25,6 +25,18 @@ class TopBigramFreqSpec extends SparkSpec {
     }
   }
 
+  test("null elements break the bigram chain instead of throwing (SQL callers)") {
+    // SQL callers can pass array('a', NULL, ...); exercise eval + codegen
+    // through the Column API with null tokens (same evaluation path)
+    import spark.implicits._
+    val df = Seq(
+      Seq[String]("a", "b", null, "a", "b", "a", "b"), // chain breaks at null: 'a b' ×3
+      Seq[String](null, null),
+      Seq[String]("x", null)).toDF("w")
+    val got = df.select(TopBigramFreq(col("w"))).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(3L, 0L, 0L))
+  }
+
   test("fully repetitive array yields n-1; all-distinct adjacent bigrams yield 1") {
     import spark.implicits._
     val df = Seq(

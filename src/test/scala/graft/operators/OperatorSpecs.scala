@@ -144,11 +144,25 @@ class LineDedupSpec extends SparkSpec {
     val loseTwo = rows.filter { case (doc, _, _) => doc % 3 == 0 && doc % 5 != 0 && doc % 10 != 0 }
     assert(loseTwo.count { case (doc, n, k) => doc > 0 && n - k >= 2 } == loseTwo.count(_._1 > 0),
       "a %3 doc after the first kept planted boilerplate")
-    // exact-dup docs (planted %10 copies in the base corpus) lose ALL lines
-    // to their lower-id twin; their kept_fp is null
+    // d10's corpus (base + planted boilerplate) never zeroes a doc, so the
+    // null-fp invariant can't fire here — pin it on a targeted fixture below
     val fpNull = Dedup.d10LineDedup(spark, sfDir)
       .filter(col("n_kept") === 0 && col("kept_fp").isNotNull).count()
     assert(fpNull == 0, "kept_fp must be null when nothing survives")
+  }
+
+  test("lineDedupCore nulls kept_fp for an exact-duplicate doc that loses every line") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "alpha\nbeta\ngamma"), // exact twin: every line loses to doc 1
+      (3L, "delta\nbeta")         // partial overlap: keeps delta only
+    ).toDF("doc_id", "text")
+    val rows = Dedup.lineDedupCore(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.isNullAt(3))).toMap
+    assert(rows(1L) == ((3L, 3L, false)))
+    assert(rows(2L) == ((3L, 0L, true)), "twin must lose all lines and carry a null kept_fp")
+    assert(rows(3L) == ((2L, 1L, false)))
   }
 }
 
