@@ -50,6 +50,9 @@ object SparkEntry {
     "q36_page_with_total"   -> (Lookups.q36PageWithTotal _),
     "q37_last_n_per_key"    -> (Relational.q37LastNPerKey _),
     "q38_small_qty_revenue" -> (Warehouse.q38SmallQtyRevenue _),
+    "q39_cube"          -> (Analytics.q39Cube _),
+    "q40_share_of_day"  -> (Analytics.q40ShareOfDay _),
+    "q41_scd2_intervals"-> (Mutations.q41Scd2Intervals _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
@@ -92,6 +95,7 @@ object SparkEntry {
     "e6_spike_days"     -> (Events.e6SpikeDays _),
     "e7_wau"            -> (Events.e7Wau _),
     "e8_debounce"       -> (Events.e8Debounce _),
+    "e9_churn"          -> (Events.e9Churn _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -195,6 +199,9 @@ object SparkEntry {
     "q36_page_with_total"   -> Lookups.q36Sql,
     "q37_last_n_per_key"    -> Relational.q37Sql,
     "q38_small_qty_revenue" -> Warehouse.q38Sql,
+    "q39_cube"          -> Analytics.q39Sql,
+    "q40_share_of_day"  -> Analytics.q40Sql,
+    "q41_scd2_intervals"-> Mutations.q41Sql,
     "s1_bruteforce_topk"  -> Similarity.s1Sql,
     "s2_lsh_topk"         -> Similarity.s2Sql,
     "s3_knn_join"         -> Similarity.s3Sql,
@@ -234,6 +241,7 @@ object SparkEntry {
     "e6_spike_days"     -> Events.e6Sql,
     "e7_wau"            -> Events.e7Sql,
     "e8_debounce"       -> Events.e8Sql,
+    "e9_churn"          -> Events.e9Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

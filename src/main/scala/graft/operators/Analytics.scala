@@ -300,4 +300,74 @@ object Analytics {
        | cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price,
        | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price
        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** q39: CUBE grouping sets — every (month × event_type) margin of the
+    * usage dashboard in ONE pass (the $facet "all breakdowns at once"
+    * shape; q16 covers the ROLLUP hierarchy, CUBE adds the
+    * (ALL, event_type) margins that a per-type trend widget reads).
+    *
+    * Scale: Spark plans CUBE as a single scan + Expand(×4 grouping sets)
+    * feeding one map-side-combined aggregate — the shuffle is
+    * (grouping sets × groups)-bound, never data-bound, and there is no
+    * per-margin rescan. Sentinels (-1 / 'ALL') replace the grouping
+    * nulls so the output carries no NULL-vs-value ambiguity. */
+  def q39Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(month(col("ts")).cast("long").as("mon"), col("event_type"), col("value"))
+      .cube("mon", "event_type")
+      .agg(count(lit(1)).as("cnt"),
+           sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(coalesce(col("mon"), lit(-1L)).as("mon"),
+              coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              col("cnt"), col("total_value"))
+      .orderBy("mon", "event_type")
+
+  val q39Sql: String =
+    """SELECT coalesce(mon, -1) AS mon,
+      | coalesce(event_type, 'ALL') AS event_type,
+      | count(*) AS cnt,
+      | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+      |FROM (SELECT month(ts) AS mon, event_type, value FROM events)
+      |GROUP BY CUBE(mon, event_type)
+      |ORDER BY mon, event_type""".stripMargin
+
+  /** q40: ratio-to-report — each user's share of their day's total value
+    * (the "percent of daily usage" column every tenant dashboard shows),
+    * in exact integer ppm so no float ratio crosses the engine boundary.
+    *
+    * The naive formulation is `sum(value) OVER (PARTITION BY day)` — a
+    * window keyed by the LOW-cardinality day, which at 100 TB sorts each
+    * day's slice of the corpus in one reducer. Instead: the per-(day,
+    * user) aggregate is group-count-bound; day totals are a second agg
+    * over that already-bound output (day-count rows); and the totals
+    * BROADCAST back onto the per-user rows. No window, no skew, and the
+    * fact table shuffles exactly once. Cents/ppm arithmetic is exact
+    * int64: day cents < 2^44 at 100 TB-scale values, user_cents ×
+    * 1_000_000 < 2^63. */
+  def q40ShareOfDay(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(s, dir)
+      .select(unix_micros(date_trunc("day", col("ts"))).as("day_us"),
+              col("user_id"), col("value"))
+      .groupBy("day_us", "user_id")
+      .agg((sum(dec(col("value"))) * 100).cast("long").as("user_cents"))
+    val day = per.groupBy("day_us")
+      .agg(sum(col("user_cents")).as("day_cents"))
+    per.join(broadcast(day), "day_us")
+      .select(col("day_us"), col("user_id"), col("user_cents"),
+        expr("user_cents * 1000000L DIV day_cents").as("share_ppm"))
+      .orderBy("day_us", "user_id")
+  }
+
+  val q40Sql: String =
+    """WITH per AS (
+      | SELECT epoch_us(date_trunc('day', ts)) AS day_us, user_id,
+      |  cast(sum(cast(value AS decimal(18,2))) * 100 AS bigint) AS user_cents
+      | FROM events GROUP BY 1, 2),
+      |day AS (
+      | SELECT day_us, cast(sum(user_cents) AS bigint) AS day_cents
+      | FROM per GROUP BY 1)
+      |SELECT per.day_us, user_id, user_cents,
+      | cast(user_cents * 1000000 // day_cents AS bigint) AS share_ppm
+      |FROM per JOIN day ON per.day_us = day.day_us
+      |ORDER BY per.day_us, user_id""".stripMargin
 }

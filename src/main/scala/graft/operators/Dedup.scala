@@ -564,4 +564,70 @@ object Dedup {
       |FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** d11: SEMANTIC dedup (the SemDeDup recipe, arXiv:2303.09540) —
+    * cluster the embedding space coarsely, then keep ONE representative
+    * (lowest id) of every within-cluster near-duplicate group. Unlike d5
+    * (which blocks on stored label metadata and REPORTS pairs), d11
+    * derives its blocks from the geometry itself and emits the
+    * DEDUPLICATED corpus — the shape used to prune web-scale image/text
+    * corpora where no blocking metadata exists.
+    *
+    * Plan, stage by stage:
+    *  1. cluster assignment is MAP-ONLY: the 8-centroid codebook
+    *     collapses to one broadcast row and graft.functions.NearestIndex
+    *     computes the per-row argmax inside whole-stage codegen (the s4
+    *     IVF primitive) — zero corpus shuffle;
+    *  2. the dominance test is a broadcast LEFT ANTI hash join on cid
+    *     (survivor = no lower-id neighbor with cosine > τ in its
+    *     cluster); the corpus-as-build-side broadcast is fine here and
+    *     wrong at 100 TB — there the anti-join buckets on cid (IvfIndex's
+    *     cid-partitioned store) or salts the cluster key exactly as
+    *     d5EmbeddingNearDupSalted does, same output;
+    *  3. output is the surviving corpus, never the pair list.
+    * τ = 0.99 reuses d5's validated margin (planted exact copies score
+    * ~1; nothing organic crosses 0.99 in this corpus). */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(planted)
+    val cb = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = corpus.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+    val earlier = assigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid").as("b_cid"))
+    assigned.join(broadcast(earlier),
+        col("cid") === col("b_cid") && col("b_id") < col("vec_id")
+          && V.cosine(col("embedding"), col("b_emb")) > 0.99,
+        "left_anti")
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+  }
+
+  val d11Sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding
+      |  FROM embeddings WHERE vec_id % 20 = 0),
+      |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      |assigned AS (
+      | SELECT c.vec_id, c.embedding, cc.cid
+      | FROM corpus c CROSS JOIN cent cc
+      | QUALIFY row_number() OVER (PARTITION BY c.vec_id
+      |   ORDER BY list_cosine_similarity(c.embedding, cc.cemb) DESC, cc.cid ASC) = 1)
+      |SELECT a.vec_id, a.cid FROM assigned a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM assigned b
+      |  WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+      |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.99)
+      |ORDER BY vec_id""".stripMargin
 }

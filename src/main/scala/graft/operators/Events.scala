@@ -336,4 +336,44 @@ object Events {
       | count(t3) AS n_purchase_after_click
       |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
       |        LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
+  /** Days of inactivity after which a user counts as churned. */
+  val ChurnDays = 14L
+
+  /** e9: churn / inactivity screen — per-user last-activity day vs the
+    * corpus's latest day (the "inactive tenants" report; the reference's
+    * soft-delete sweep over stale users is this predicate).
+    *
+    * Scale: last-activity is ONE map-side-combined max per user
+    * (group-count-bound shuffle); the corpus max is a second agg over
+    * that already-bound output, broadcast back as one row. Day
+    * arithmetic is integer (epoch-micros DIV day) so no date type or
+    * timezone crosses the engine boundary. */
+  def e9Churn(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val per = Tables.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy("user_id")
+      .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_events"))
+      .withColumn("last_day", expr(s"last_us DIV $DayUs"))
+    val tot = per.agg(max(col("last_day")).as("corpus_day"))
+    per.crossJoin(broadcast(tot))
+      .select(col("user_id"), col("n_events"),
+        col("last_day"),
+        (col("corpus_day") - col("last_day")).as("days_inactive"),
+        (col("corpus_day") - col("last_day") >= ChurnDays).as("churned"))
+      .orderBy("user_id")
+  }
+
+  val e9Sql: String =
+    s"""WITH per AS (
+       | SELECT user_id, count(*) AS n_events,
+       |  max(epoch_us(ts)) // 86400000000 AS last_day
+       | FROM events GROUP BY user_id),
+       |tot AS (SELECT max(last_day) AS corpus_day FROM per)
+       |SELECT user_id, n_events, cast(last_day AS bigint) AS last_day,
+       | cast(corpus_day - last_day AS bigint) AS days_inactive,
+       | corpus_day - last_day >= $ChurnDays AS churned
+       |FROM per CROSS JOIN tot
+       |ORDER BY user_id""".stripMargin
 }

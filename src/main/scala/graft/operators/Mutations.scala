@@ -255,4 +255,38 @@ object Mutations {
        | SELECT user_id, tag FROM base_pairs UNION SELECT user_id, tag FROM upd_pairs)
        |SELECT user_id, string_agg(tag, ',' ORDER BY tag) AS tags, count(*) AS n_tags
        |FROM merged GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** q41: SCD-2 interval build — turn a change log into a versioned
+    * history table (the CDC/dimension-versioning shape: each event
+    * versions the user's "current activity state"; `valid_to` is the
+    * next change's timestamp, NULL on the open current version). The
+    * reference updates documents in place (promptController $set) — a
+    * warehouse keeps every version instead, and this operator is the
+    * batch rebuild of that history.
+    *
+    * Scale: ONE window over the HIGH-cardinality (user_id) key — slices
+    * are per-user change histories (bounded by per-user activity), never
+    * a corpus-wide or low-cardinality sort. The demo emits the history
+    * of a 3-user sample (the predicate pushes to the parquet scan); the
+    * full-table build is the same plan with the filter removed. */
+  def q41Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("valid_from_us"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("event_id"), col("user_id"), col("event_type").as("state"),
+        unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select("user_id", "event_id", "state", "valid_from_us", "valid_to_us", "is_current")
+      .orderBy("user_id", "valid_from_us", "event_id")
+  }
+
+  val q41Sql: String =
+    """SELECT user_id, event_id, event_type AS state,
+      | epoch_us(ts) AS valid_from_us,
+      | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS valid_to_us,
+      | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
+      |FROM events WHERE user_id % 50 = 0
+      |ORDER BY user_id, valid_from_us, event_id""".stripMargin
 }
