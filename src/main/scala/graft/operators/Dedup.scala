@@ -565,43 +565,82 @@ object Dedup {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) > 0.99
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** d11: SEMANTIC dedup (the SemDeDup recipe, arXiv:2303.09540) —
-    * cluster the embedding space coarsely, then keep ONE representative
-    * (lowest id) of every within-cluster near-duplicate group. Unlike d5
-    * (which blocks on stored label metadata and REPORTS pairs), d11
-    * derives its blocks from the geometry itself and emits the
-    * DEDUPLICATED corpus — the shape used to prune web-scale image/text
-    * corpora where no blocking metadata exists.
-    *
-    * Plan, stage by stage:
-    *  1. cluster assignment is MAP-ONLY: the 8-centroid codebook
-    *     collapses to one broadcast row and graft.functions.NearestIndex
-    *     computes the per-row argmax inside whole-stage codegen (the s4
-    *     IVF primitive) — zero corpus shuffle;
-    *  2. the dominance test is a broadcast LEFT ANTI hash join on cid
-    *     (survivor = no lower-id neighbor with cosine > τ in its
-    *     cluster); the corpus-as-build-side broadcast is fine here and
-    *     wrong at 100 TB — there the anti-join buckets on cid (IvfIndex's
-    *     cid-partitioned store) or salts the cluster key exactly as
-    *     d5EmbeddingNearDupSalted does, same output;
-    *  3. output is the surviving corpus, never the pair list.
-    * τ = 0.99 reuses d5's validated margin (planted exact copies score
-    * ~1; nothing organic crosses 0.99 in this corpus). */
-  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{VectorExpressions => V}
+  /** d11 corpus: base embeddings ∪ exact copies of every 20th vector
+    * (id+100000) — the d5 planting scheme, no label column (SemDeDup's
+    * whole premise is that no blocking metadata exists). */
+  private[operators] def d11Corpus(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val planted = e.filter(col("vec_id") % 20 === 0)
-      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
-    val corpus = e.unionByName(planted)
-    val cb = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    e.unionByName(e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
+  /** Trained codebook that BOTH engines can replicate bit-exactly: one
+    * k-medoids step. Per label, the exact-integer micro centroid (the v4
+    * order-independent fixed-point math), then the MEDOID — the stored
+    * vector nearest its centroid ("cos DESC, vec_id ASC"). Codebook
+    * entries are therefore raw corpus vectors (bit-identical floats in
+    * both engines), and the training is data-derived rather than "first k
+    * rows". Full Lloyd's-iteration k-means lives in
+    * [[d11SemanticDedupTrained]] (spec-validated): a float iterative
+    * fixpoint is not cross-engine reproducible, so it cannot back a
+    * hash-compared oracle (repo oracle rule, SURVEY oracle-rules).
+    *
+    * Centroid micro components are whole numbers < 2^24 (|component| <=
+    * 0.6 so |micro| <= 6e5), so the implicit double-to-float cast on the
+    * cosine input is EXACT — both engines score against the same reals.
+    *
+    * Scale: the per-dim agg is (labels × dim)-bound, the medoid argmax is
+    * a broadcast join + bounded top-1 aggregate, and the final codebook
+    * is one collect_list row over |labels| rows — nothing corpus-sized
+    * ever shuffles. */
+  private[operators] def d11MedoidCodebook(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{TopK, VectorExpressions => V}
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("v").cast("double") * 1e6)).as("sum_micro"))
+      .select(col("label"), col("dim"),
+        floor(col("sum_micro").cast("double") / col("n")).as("micro"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("micro")))).as("cm"))
+      .select(col("label"), expr("transform(cm, x -> cast(x.micro as float))").as("cemb"))
+    val medoidId = e.join(broadcast(cent), "label")
+      .groupBy("label")
+      .agg(TopK.topKByScore(V.cosine(col("embedding"), col("cemb")), col("vec_id"), 1).as("m"))
+      .select(col("label"), element_at(col("m"), 1).as("mid"))
+    broadcast(medoidId).join(e.select(col("vec_id"), col("embedding")), col("mid") === col("vec_id"))
       .groupBy()
-      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .agg(sort_array(collect_list(struct(col("label").as("cid"), col("embedding").as("cemb")))).as("cb"))
       .select(expr("transform(cb, c -> c.cid)").as("cids"),
               expr("transform(cb, c -> c.cemb)").as("cembs"))
-    val assigned = corpus.crossJoin(broadcast(cb))
+  }
+
+  /** Codebook from [[graft.sources.IvfIndex.train]]'s distributed k-means
+    * (the production path when labels don't exist); cid = centroid index. */
+  def d11TrainedCodebook(s: SparkSession, dir: String, k: Int = 10, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val cents = graft.sources.IvfIndex.train(Tables.embeddings(s, dir), k, seed)
+    Seq((cents.indices.toArray, cents)).toDF("cids", "cembs")
+  }
+
+  /** Map-only cluster assignment: codebook broadcast as one row,
+    * graft.functions.NearestIndex argmax inside whole-stage codegen (the
+    * s4 IVF primitive) — zero corpus shuffle. */
+  private def d11Assign(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    corpus.crossJoin(broadcast(codebook))
       .select(col("vec_id"), col("embedding"),
         element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+  }
+
+  /** Dominance test: survivor = no lower-id neighbor with cosine > 0.99
+    * in its cluster (τ reuses d5's validated margin — planted copies
+    * score ~1, nothing organic crosses 0.99). The corpus-as-build-side
+    * broadcast is fine at this size and wrong at 100 TB — the scale path
+    * is [[d11SurvivorsSalted]], same output (spec-asserted). */
+  private def d11Survivors(assigned: DataFrame): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
     val earlier = assigned
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid").as("b_cid"))
     assigned.join(broadcast(earlier),
@@ -612,22 +651,92 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** Scale path for the dominance test: salted shuffled anti-join on
+    * (cid, salt) — the d5EmbeddingNearDupSalted pattern. The probe side
+    * hashes into one of `salts` sub-blocks per cluster; the candidate
+    * side replicates once per salt, so any dominating neighbor is present
+    * in the probe row's own salt and the anti-join stays sound. Join-key
+    * cardinality is clusters × salts (no hot-cluster reducer pile-up) and
+    * nothing corpus-sized is broadcast — shuffle volume is |corpus| +
+    * salts × |corpus|, each partition a 1/salts slice of a cluster. */
+  private def d11SurvivorsSalted(assigned: DataFrame, salts: Int): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val probe = assigned.withColumn("salt", pmod(hash(col("vec_id")), lit(salts)))
+    val earlier = assigned
+      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"), col("cid").as("b_cid"))
+      .withColumn("salt_b", explode(array((0 until salts).map(lit(_)): _*)))
+    probe.join(earlier,
+        col("cid") === col("b_cid") && col("salt") === col("salt_b")
+          && col("b_id") < col("vec_id")
+          && V.cosine(col("embedding"), col("b_emb")) > 0.99,
+        "left_anti")
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+  }
+
+  /** d11: SEMANTIC dedup (the SemDeDup recipe, arXiv:2303.09540) —
+    * cluster the embedding space coarsely with a trained codebook, then
+    * keep ONE representative (lowest id) of every within-cluster
+    * near-duplicate group. Unlike d5 (which blocks on stored label
+    * metadata and REPORTS pairs), d11 derives its blocks from the
+    * geometry itself and emits the DEDUPLICATED corpus — the shape used
+    * to prune web-scale image/text corpora where no blocking metadata
+    * exists. Reference analogue: embedding-space dedup of the Pinecone
+    * namespace (controllers/embeddingController.js:10-57).
+    *
+    * Stages: trained medoid codebook → map-only NearestIndex assignment
+    * → anti-join dominance test → surviving corpus (never a pair list). */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    d11Survivors(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)))
+
+  /** d11 with the salted dominance join — identical output, no corpus
+    * broadcast (spec-asserted equal to [[d11SemanticDedup]]). */
+  def d11SemanticDedupSalted(s: SparkSession, dir: String, salts: Int = 8): DataFrame =
+    d11SurvivorsSalted(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)), salts)
+
+  /** d11 with a k-means codebook from IvfIndex.train — the label-free
+    * production path. The survivor set is codebook-INDEPENDENT (an exact
+    * copy always lands in its original's cluster; nothing organic crosses
+    * τ), which the spec asserts for a codebook the oracle never saw. */
+  def d11SemanticDedupTrained(s: SparkSession, dir: String, k: Int = 10): DataFrame =
+    d11Survivors(d11Assign(d11Corpus(s, dir), d11TrainedCodebook(s, dir, k)))
+
+  /** Oracle: same fixed-point centroid → medoid → argmax assignment →
+    * NOT EXISTS dominance, all cosines forced to double (matching the
+    * engine's float-inputs-double-accumulation contract). */
   val d11Sql: String =
     """WITH corpus AS (
       |  SELECT vec_id, embedding FROM embeddings
       |  UNION ALL
       |  SELECT vec_id + 100000 AS vec_id, embedding
       |  FROM embeddings WHERE vec_id % 20 = 0),
-      |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      |cent AS (
+      |  SELECT label, list(cast(micro AS double) ORDER BY dim) AS cemb
+      |  FROM (
+      |    SELECT label, dim,
+      |      cast(floor(cast(sum(cast(floor(cast(v AS double) * 1e6) AS bigint)) AS double)
+      |                 / count(*)) AS bigint) AS micro
+      |    FROM (SELECT label, unnest(embedding) AS v,
+      |                 unnest(range(len(embedding))) AS dim FROM embeddings)
+      |    GROUP BY label, dim)
+      |  GROUP BY label),
+      |medoid AS (
+      |  SELECT e.label AS cid, e.embedding AS cemb
+      |  FROM embeddings e JOIN cent c ON e.label = c.label
+      |  QUALIFY row_number() OVER (PARTITION BY e.label
+      |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |             e.vec_id ASC) = 1),
       |assigned AS (
-      | SELECT c.vec_id, c.embedding, cc.cid
-      | FROM corpus c CROSS JOIN cent cc
+      | SELECT c.vec_id, c.embedding, m.cid
+      | FROM corpus c CROSS JOIN medoid m
       | QUALIFY row_number() OVER (PARTITION BY c.vec_id
-      |   ORDER BY list_cosine_similarity(c.embedding, cc.cemb) DESC, cc.cid ASC) = 1)
+      |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                   CAST(m.cemb AS DOUBLE[])) DESC, m.cid ASC) = 1)
       |SELECT a.vec_id, a.cid FROM assigned a
       |WHERE NOT EXISTS (
       |  SELECT 1 FROM assigned b
       |  WHERE b.cid = a.cid AND b.vec_id < a.vec_id
-      |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.99)
+      |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+      |                               CAST(b.embedding AS DOUBLE[])) > 0.99)
       |ORDER BY vec_id""".stripMargin
 }

@@ -237,6 +237,37 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
     assert(saltedForm == broadcastForm)
   }
+
+  test("d11 semantic dedup keeps exactly the base corpus (every planted copy pruned)") {
+    val baseIds = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rows = Dedup.d11SemanticDedup(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == baseIds,
+      "survivors must be the base vec_ids: planted +100000 copies pruned, nothing organic lost")
+    // every cluster id is a real label (the medoid codebook's cid domain)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    assert(rows.map(_.getInt(1)).toSet.subsetOf(labels))
+  }
+
+  test("d11 salted dominance scale path returns identical survivors") {
+    val broadcastForm = Dedup.d11SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val saltedForm = Dedup.d11SemanticDedupSalted(spark, sfDir, salts = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(saltedForm == broadcastForm)
+  }
+
+  test("d11 survivor set is codebook-independent (trained k-means codebook)") {
+    val baseIds = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // a k-means codebook the oracle never saw: exact copies still collapse
+    // onto their originals (identical embedding -> identical cluster) and
+    // nothing organic crosses the 0.99 margin, so the survivor set is the
+    // same regardless of how the space was carved
+    val rows = Dedup.d11SemanticDedupTrained(spark, sfDir, k = 6).collect()
+    assert(rows.map(_.getLong(0)).toSet == baseIds)
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
