@@ -8,16 +8,29 @@ import org.apache.spark.sql.SparkSession
   * warmup; a fleet-wide service pays this once, not per query), then
   * three timed runs with a `noop`-sink write so the FULL result —
   * including final sort and all columns — is materialized (`count()`
-  * would let Catalyst prune most of the plan). Both the MIN (steady-state
-  * estimator, robust to co-tenant noise spikes — observed 40x) and the
-  * MEDIAN (typical-run estimator, robust to a lucky cache hit) are
-  * reported per query; `value` stays the min-sum for continuity with
-  * earlier rounds.
+  * would let Catalyst prune most of the plan).
+  *
+  * The timed runs are INTERLEAVED round-robin across queries (iteration 1
+  * of every query, then iteration 2 of every query, ...) rather than
+  * back-to-back per query: the round-5 driver run showed a time-local
+  * co-tenant disturbance poisoning ALL samples of the handful of queries
+  * that happened to be running during the spike (d8/d9/e1 at 5-6x with
+  * zero code change), which min-of-N cannot absorb when the N samples are
+  * seconds apart. Round-robin spaces one query's samples the full sweep
+  * apart (~40s), so a spike inflates at most one sample of many queries
+  * — which the MIN then discards — instead of every sample of a few.
+  *
+  * Per query, the MIN (steady-state estimator), MEDIAN (typical-run
+  * estimator) and MAX are all written to BENCH_DETAIL.json, so the
+  * spread itself is visible evidence of measurement noise; `value` stays
+  * the min-sum for continuity with earlier rounds.
   *
   * A query that throws reports -1 (never a small-but-fake elapsed time)
   * and is listed in `failed`. If a previous round's BENCH_r*.json is
   * present in the working directory, `delta_vs_prev` carries
-  * current_min / previous_min per query (>1 = regression).
+  * current_min / previous_min per query (>1 = regression); if BASELINE.md
+  * is present, `vs_baseline` carries current_min / best-known-min (the
+  * explicit 2x-gate denominator).
   */
 object Bench {
 
@@ -47,6 +60,16 @@ object Bench {
       }
   }
 
+  /** Parse `| query | seconds |` rows out of BASELINE.md; names are
+    * validated against the current query set, non-positive times dropped. */
+  private[graft] def baselineTimes(text: String, names: Set[String]): Map[String, Double] = {
+    val row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
+    row.findAllMatchIn(text)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter { case (k, v) => names.contains(k) && v > 0 }
+      .toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -69,20 +92,24 @@ object Bench {
       try runOnce(fn) catch { case _: Throwable => () }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 3).flatMap { _ =>
+    // round-robin: iteration i of EVERY query before iteration i+1 of any
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to 3).foreach { _ =>
+      ordered.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { runOnce(fn); Some((System.nanoTime() - t0) / 1e9) }
+        try { runOnce(fn); samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          None
         }
       }
-      (name, times)
     }
+    val results = ordered.map { case (name, _) => (name, samples(name)) }
     def fmt(d: Double): String = if (d < 0) "-1" else d.toString
     val mins = results.map { case (n, ts) => n -> (if (ts.size == 3) ts.min else -1.0) }
     val medians = results.map { case (n, ts) => n -> (if (ts.size == 3) ts.sorted.apply(1) else -1.0) }
+    val maxs = results.map { case (n, ts) => n -> (if (ts.size == 3) ts.max else -1.0) }
     val failed = mins.collect { case (n, t) if t < 0 => n }
 
     // previous round's per-query minimums, if a BENCH_r*.json is present
@@ -99,6 +126,22 @@ object Bench {
     val deltas = mins.collect {
       case (n, t) if t > 0 && prev.get(n).exists(_ > 0) =>
         n -> BigDecimal(t / prev(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+
+    // explicit 2x-gate denominator: best-known per-query min from BASELINE.md
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BASELINE.md")
+      if (!f.exists()) Map.empty
+      else try baselineTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)),
+        SparkEntry.queries.keySet)
+      catch { case _: Throwable => Map.empty[String, Double] }
+    }
+    val vsBaseline = mins.collect {
+      case (n, t) if t > 0 && baseline.get(n).exists(_ > 0) =>
+        n -> BigDecimal(t / baseline(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vsBaseline.filter(_._2 > 2.0).sortBy(-_._2).foreach { case (n, r) =>
+      System.err.println(f"[bench] $n is $r%.1fx its baseline min — regression to explain")
     }
 
     def obj(kvs: Seq[(String, String)]): String =
@@ -125,7 +168,9 @@ object Bench {
       "median_total" -> totalMedian.toString,
       "queries_min" -> obj(mins.map { case (k, v) => k -> fmt(v) }),
       "queries_median" -> obj(medians.map { case (k, v) => k -> fmt(v) }),
+      "queries_max" -> obj(maxs.map { case (k, v) => k -> fmt(v) }),
       "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
+      "vs_baseline" -> obj(vsBaseline.map { case (k, v) => k -> v.toString }),
       "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "sf" -> ("\"" + sfDir + "\"")))
     try java.nio.file.Files.write(

@@ -40,4 +40,30 @@ class BenchSpec extends AnyFunSuite {
     val text = """{"queries":{"q1_agg":-1.0,"nope":2.0,"e1_sessionize":0.9}}"""
     assert(Bench.prevTimes(text, names) == Map("e1_sessionize" -> 0.9))
   }
+
+  test("baselineTimes parses markdown table rows, ignoring prose and unknown names") {
+    val text =
+      """# BASELINE — numeric per-query gate
+        |Produced as the per-query MIN across rounds (min-of-5 each).
+        || query | baseline_sec |
+        ||---|---|
+        || q1_agg | 0.1234 |
+        || nope_query | 1.0000 |
+        || e1_sessionize | 0.6800 |
+        |""".stripMargin
+    assert(Bench.baselineTimes(text, names) ==
+      Map("q1_agg" -> 0.1234, "e1_sessionize" -> 0.68))
+  }
+
+  test("baselineTimes against the committed BASELINE.md covers the registered set") {
+    val f = new java.io.File("BASELINE.md")
+    assume(f.exists())
+    val t = Bench.baselineTimes(
+      new String(java.nio.file.Files.readAllBytes(f.toPath)), SparkEntry.queries.keySet)
+    // every baseline row names a registered query (no drifted keys)...
+    assert(t.nonEmpty)
+    // ...and at most the queries added after the baseline snapshot lack a row
+    val missing = SparkEntry.queries.keySet -- t.keySet
+    assert(missing.forall(_ == "d11_semantic_dedup"), s"unexpected baseline gaps: $missing")
+  }
 }
