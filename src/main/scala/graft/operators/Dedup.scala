@@ -375,7 +375,16 @@ object Dedup {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
 
-  def connectedComponents(edges: DataFrame): DataFrame = {
+  def connectedComponents(edges: DataFrame): DataFrame =
+    connectedComponentsWithRounds(edges)._1
+
+  /** As [[connectedComponents]], also reporting the propagation-round
+    * count. Dup-cluster graphs are SHALLOW (pairs within a block), so d7
+    * converges in 3-4 rounds; DupClustersSpec pins that bound so a data
+    * change that quietly inflates the iterative driver cost fails a test
+    * instead of surfacing as a bench regression. Deep graphs belong to
+    * [[connectedComponentsStar]] (O(log n) rounds). */
+  private[graft] def connectedComponentsWithRounds(edges: DataFrame): (DataFrame, Int) = {
     val sym0 = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
@@ -417,7 +426,7 @@ object Dedup {
     releaseCheckpoint(sym)
     // the final labels checkpoint stays persisted — it IS the result the
     // caller consumes; one bounded (one-row-per-node) block per call
-    labels
+    (labels, iter)
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR

@@ -356,7 +356,17 @@ object Events {
       .groupBy("user_id")
       .agg(max(col("us")).as("last_us"), count(lit(1)).as("n_events"))
       .withColumn("last_day", expr(s"last_us DIV $DayUs"))
-    val tot = per.agg(max(col("last_day")).as("corpus_day"))
+    // corpus max DIRECTLY from the scan (floor is monotone, so the global
+    // max day equals the max of per-user last days). Deriving it from
+    // `per` instead re-plans that whole subtree: column pruning strips
+    // n_events from the second branch, the two aggregates stop being
+    // canonically equal, exchange reuse is defeated, and the fact table
+    // pays a SECOND user-keyed shuffle just to take a one-row max
+    // (plan-asserted in ScaleShapeSpec). This branch is a map-combined
+    // one-row-per-partition max into a single-partition exchange.
+    val tot = Tables.events(s, dir)
+      .select(unix_micros(col("ts")).as("us"))
+      .agg(expr(s"max(us) DIV $DayUs").as("corpus_day"))
     per.crossJoin(broadcast(tot))
       .select(col("user_id"), col("n_events"),
         col("last_day"),

@@ -10,6 +10,17 @@ class DupClustersSpec extends SparkSpec {
     Dedup.connectedComponents(edges.toDF("u", "v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  test("d7's dup-cluster graph converges in at most 4 propagation rounds") {
+    // d7's cost is rounds × (join + agg) driver jobs; dup-cluster graphs
+    // are shallow by construction (pairs within a block), so a data change
+    // that inflates the round count should fail here, not surface as an
+    // unexplained bench regression
+    val edges = Dedup.d2NgramJaccard(spark, sfDir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val (_, rounds) = Dedup.connectedComponentsWithRounds(edges)
+    assert(rounds <= 4, s"dup-cluster graph took $rounds propagation rounds")
+  }
+
   test("chains collapse transitively to the minimum id (multi-hop)") {
     // 1-2, 2-3, 3-4, 4-5: diameter 4 forces several propagation rounds
     val got = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))

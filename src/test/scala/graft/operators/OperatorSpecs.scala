@@ -449,6 +449,31 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"bucket-walk d3 must not self-join:\n$plan")
     assert(plan.contains("minhash_sig"), s"signature must be the fused expression:\n$plan")
   }
+
+  test("q39 cube: one fact scan, one Expand, one aggregate exchange") {
+    val plan = Analytics.q39Cube(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).size == 1,
+      s"cube must expand once, inline:\n$plan")
+    assert("FileScan|Scan parquet".r.findAllIn(plan).size == 1,
+      s"cube must read the fact table once:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"cube needs exactly the one grouping-sets agg exchange:\n$plan")
+  }
+
+  test("q40 share-of-day plans with NO Window (the low-cardinality-key anti-shape)") {
+    val plan = Analytics.q40ShareOfDay(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q40's whole point is avoiding the day-partitioned window:\n$plan")
+  }
+
+  test("e9 churn: no Window, one user-keyed aggregate exchange, broadcast corpus max") {
+    val plan = Events.e9Churn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"e9 must not window:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"only the per-user max agg may hash-exchange:\n$plan")
+    assert(plan.contains("Broadcast"),
+      s"the one-row corpus max must broadcast back:\n$plan")
+  }
 }
 
 class DebounceSpec extends SparkSpec {
