@@ -25,6 +25,8 @@ object EventStreams {
   case class Ev(user_id: Long, ts_us: Long, value: Double)
   case class OpenSession(start_us: Long, end_us: Long, n: Long, total: Double)
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
+  case class ChurnState(last_day: Long, churned: Boolean)
+  case class ChurnEvent(user_id: Long, kind: String, day: Long)
 
   val GapUs: Long = 30L * 60 * 1000 * 1000
 
@@ -54,6 +56,48 @@ object EventStreams {
           }
           open.foreach(state.update)
           closed.result().iterator
+      }
+  }
+
+  /** e9's streaming twin: churn/reactivation TRANSITIONS as they happen,
+    * instead of the batch report's point-in-time snapshot. Per-user state
+    * is one small (last_day, churned) pair regardless of history length —
+    * bounded by the user population exactly like e9's per-user aggregate.
+    *
+    * Mechanics: an event-time timeout is armed at last_day + ChurnDays;
+    * when the watermark passes it the user is emitted as "churned"
+    * (state kept, flagged). A new event from a churned user — or one
+    * whose gap since last_day reaches ChurnDays even if the timeout has
+    * not fired yet — emits "reactivated" and re-arms the timeout.
+    * Input: a streaming frame with (user_id, ts) columns. */
+  def churnTransitions(events: DataFrame): Dataset[ChurnEvent] = {
+    import events.sparkSession.implicits._
+    val DayMs = 86400000L
+    val ChurnDays = graft.operators.Events.ChurnDays
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ChurnState, ChurnEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[ChurnState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.update(st.copy(churned = true)) // no new timeout: quiet users emit once
+            Iterator(ChurnEvent(uid, "churned", st.last_day + ChurnDays))
+          } else {
+            val maxDay = rows.map(_._2.getTime / DayMs).max
+            val out = state.getOption match {
+              case Some(st) if st.churned || maxDay - st.last_day >= ChurnDays =>
+                Iterator(ChurnEvent(uid, "reactivated", maxDay))
+              case _ => Iterator.empty
+            }
+            val newLast = math.max(state.getOption.map(_.last_day).getOrElse(Long.MinValue), maxDay)
+            state.update(ChurnState(newLast, churned = false))
+            state.setTimeoutTimestamp((newLast + ChurnDays) * DayMs)
+            out
+          }
       }
   }
 }

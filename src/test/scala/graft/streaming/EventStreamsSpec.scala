@@ -46,4 +46,39 @@ class EventStreamsSpec extends SparkSpec {
     q.stop()
     assert(closed == Seq((1L, t0, t0 + 5L * 60 * 1000000, 2L, 3.0)))
   }
+
+  test("streaming churn emits churn on quiet timeout and reactivation on return, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)] // (user_id, ts_us)
+    val events = mem.toDF().toDF("user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.churnTransitions(events)
+      .writeStream.format("memory").queryName("churn").outputMode("append").start()
+    val day = 86400L * 1000000L
+    val t0 = 1700000000L * 1000000L
+
+    mem.addData((1L, t0), (2L, t0))
+    q.processAllAvailable()
+    assert(spark.sql("select * from churn").count() == 0) // everyone active
+
+    // user 1 returns 20 days later: gap >= 14 -> reactivated (emitted now);
+    // the same batch advances the watermark past user 2's timeout
+    mem.addData((1L, t0 + 20L * day))
+    q.processAllAvailable()
+    // next batch fires user 2's event-time timeout -> churned
+    mem.addData((3L, t0 + 21L * day))
+    q.processAllAvailable()
+
+    val got = spark.sql("select user_id, kind, day from churn order by user_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val t0Day = t0 / day
+    assert(got == Seq(
+      (1L, "reactivated", t0Day + 20),
+      (2L, "churned", t0Day + graft.operators.Events.ChurnDays)))
+    // bounded state: one row per user ever seen, regardless of event count
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows == 3, s"state must be one row per user, got $stateRows")
+  }
 }
