@@ -12,6 +12,21 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle or spec: $missing")
   }
 
+  test("every registered query has a docs/PLANS.md snapshot (no inventory drift)") {
+    // the committed plan snapshots are the scale-audit surface; a query
+    // registered without one is invisible to the per-round plan review
+    val f = new java.io.File("docs/PLANS.md")
+    assert(f.exists(), "docs/PLANS.md missing — regenerate with graft.tools.Explain")
+    // headers look like "## q1_agg  (rows=6)" — the key is the first token
+    val snapshots = scala.io.Source.fromFile(f, "UTF-8").getLines()
+      .collect { case l if l.startsWith("## ") =>
+        l.stripPrefix("## ").trim.split("\\s+").head }.toSet
+    val missing = SparkEntry.queries.keySet -- snapshots
+    assert(missing.isEmpty, s"queries without a PLANS.md snapshot: $missing")
+    val stale = snapshots -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"PLANS.md snapshots for unregistered queries: $stale")
+  }
+
   test("q37 (rn <= 3) plans through TopKRowsByScore under the driver session shape") {
     def freshSession(withExt: Boolean) = {
       org.apache.spark.sql.SparkSession.clearActiveSession()
