@@ -603,7 +603,7 @@ object Dedup {
     * is one collect_list row over |labels| rows — nothing corpus-sized
     * ever shuffles. */
   private[operators] def d11MedoidCodebook(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{TopK, VectorExpressions => V}
+    import graft.functions.{VectorExpressions => V}
     val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
     val cent = e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
@@ -614,13 +614,18 @@ object Dedup {
       .groupBy("label")
       .agg(array_sort(collect_list(struct(col("dim"), col("micro")))).as("cm"))
       .select(col("label"), expr("transform(cm, x -> cast(x.micro as float))").as("cemb"))
-    val medoidId = e.join(broadcast(cent), "label")
+    // payload-carrying bounded top-1 keeps the winning vector WITH its id
+    // ("cos DESC, vec_id ASC" tie-break) — no join back onto the corpus
+    // to re-fetch the medoid's embedding, one fewer scan
+    val medoid = e.join(broadcast(cent), "label")
       .groupBy("label")
-      .agg(TopK.topKByScore(V.cosine(col("embedding"), col("cemb")), col("vec_id"), 1).as("m"))
-      .select(col("label"), element_at(col("m"), 1).as("mid"))
-    broadcast(medoidId).join(e.select(col("vec_id"), col("embedding")), col("mid") === col("vec_id"))
-      .groupBy()
-      .agg(sort_array(collect_list(struct(col("label").as("cid"), col("embedding").as("cemb")))).as("cb"))
+      .agg(graft.functions.TopKRows.topKRowsByScore(
+        V.cosine(col("embedding"), col("cemb")), col("vec_id"),
+        struct(col("embedding")), 1).as("w"))
+      .select(col("label").as("cid"),
+        element_at(col("w"), 1).getField("embedding").as("cemb"))
+    medoid.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
       .select(expr("transform(cb, c -> c.cid)").as("cids"),
               expr("transform(cb, c -> c.cemb)").as("cembs"))
   }
