@@ -88,6 +88,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
     "d10_line_dedup"    -> (Dedup.d10LineDedup _),
     "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
+    "d12_fuzzy_dedup"   -> (Dedup.d12FuzzyDedup _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -235,6 +236,7 @@ object SparkEntry {
     "d9_incremental_dedup" -> Dedup.d9Sql,
     "d10_line_dedup"    -> Dedup.d10Sql,
     "d11_semantic_dedup" -> Dedup.d11Sql,
+    "d12_fuzzy_dedup"   -> Dedup.d12Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

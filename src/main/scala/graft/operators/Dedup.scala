@@ -282,7 +282,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  lazy val d3Sql: String = {
+  /** d3's candidate-pair query WITHOUT the final ORDER BY — composable as
+    * a CTE body (d12 embeds it the way d7 embeds d2PairsSql). */
+  lazy val d3PairsSql: String = {
     val mins = (0 until NumHashes).map(i =>
       s"min((${hashA(i)} * h + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
@@ -305,9 +307,10 @@ object Dedup {
        |  $bandSelects)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  lazy val d3Sql: String = d3PairsSql + "\nORDER BY doc_a, doc_b"
 
   /** d4: SimHash near-dup pairs — 64-bit fingerprint (graft.functions.SimHash64,
     * codegen'd FNV-1a majority vote over whitespace tokens), pairs within a
@@ -753,4 +756,53 @@ object Dedup {
       |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
       |                               CAST(b.embedding AS DOUBLE[])) > 0.99)
       |ORDER BY vec_id""".stripMargin
+
+  /** d12: end-to-end FUZZY DEDUP — the full MinHash pipeline a web-scale
+    * text corpus actually runs (the FineWeb/RefinedWeb recipe): d3's LSH
+    * candidate pairs → connected components → keep the MIN-id document of
+    * every near-dup cluster → emit the SURVIVING corpus with its collapsed
+    * duplicate count. d3 reports candidate pairs and d7 reports cluster
+    * labels; d12 is the actionable artifact — the deduplicated corpus.
+    *
+    * Plan: pairs and components are activity-bound (docs that collide in
+    * some LSH band — a sliver of the corpus); the only corpus-sized
+    * operation is one doc_id-keyed left join of the corpus against that
+    * sliver. Conservation invariant (spec-asserted): every corpus doc is
+    * counted exactly once — sum(n_dups + 1) over survivors = |corpus|.
+    * Recall is d3's: an LSH-missed pair leaves both docs surviving, which
+    * is the honest semantics of candidate-based dedup. */
+  def d12FuzzyDedup(s: SparkSession, dir: String): DataFrame = {
+    val edges = d3MinHashLsh(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val labels = connectedComponents(edges)
+    val comp = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    corpusNear(s, dir).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("label") === col("doc_id"))
+      .join(comp, Seq("label"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_members") - 1, lit(0L)).as("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: d3's pair CTE + recursive closure (the d7 pattern) +
+    * survivor filter with the same conservation arithmetic. */
+  lazy val d12Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3PairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labels AS (SELECT u AS id, min(v) AS label FROM reach GROUP BY u),
+       |comp AS (SELECT label, count(*) AS n_members FROM labels GROUP BY label),
+       |corpus AS ($corpusNearSql)
+       |SELECT c.doc_id, cast(coalesce(cm.n_members - 1, 0) AS bigint) AS n_dups
+       |FROM corpus c
+       |LEFT JOIN labels l ON c.doc_id = l.id
+       |LEFT JOIN comp cm ON l.label = cm.label
+       |WHERE l.id IS NULL OR l.label = c.doc_id
+       |ORDER BY doc_id""".stripMargin
 }

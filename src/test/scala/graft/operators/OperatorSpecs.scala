@@ -258,6 +258,22 @@ class DedupSpec extends SparkSpec {
     assert(saltedForm == broadcastForm)
   }
 
+  test("d12 fuzzy dedup conserves the corpus and collapses planted near-dups") {
+    val rows = Dedup.d12FuzzyDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val corpusSize = graft.Tables.documents(spark, sfDir).count() +
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0).count()
+    // conservation: every corpus doc is counted exactly once
+    assert(rows.map(_._2 + 1).sum == corpusSize)
+    // recall is d3's: >= 80% of planted (id, id+100000) near-dups collapse
+    val survivors = rows.map(_._1).toSet
+    val planted = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0).select("doc_id").collect().map(_.getLong(0))
+    val collapsed = planted.count(id => !(survivors.contains(id) && survivors.contains(id + 100000)))
+    assert(collapsed >= planted.length * 8 / 10,
+      s"only $collapsed of ${planted.length} planted near-dup pairs collapsed")
+  }
+
   test("d11 survivor set is codebook-independent (trained k-means codebook)") {
     val baseIds = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
