@@ -77,6 +77,7 @@ object SparkEntry {
     "t13_pack_sequences"-> (Corpus.t13PackSequences _),
     "t14_mixture_weights" -> (Corpus.t14MixtureWeights _),
     "t15_shard_assign"  -> (Corpus.t15ShardAssign _),
+    "t16_apply_mixture" -> (Corpus.t16ApplyMixture _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -227,6 +228,7 @@ object SparkEntry {
     "t13_pack_sequences"-> Corpus.t13Sql,
     "t14_mixture_weights" -> Corpus.t14Sql,
     "t15_shard_assign"  -> Corpus.t15Sql,
+    "t16_apply_mixture" -> Corpus.t16Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,

@@ -184,4 +184,62 @@ object Corpus {
        |  ELSE NULL END AS weight_ppm
        |FROM dom CROSS JOIN tot
        |ORDER BY lang, source""".stripMargin
+
+  /** t16: APPLY the t14 mixture — materialize the resampled corpus.
+    * t14 PLANS the mixture (weight_ppm per domain); this operator
+    * EXECUTES it deterministically: every doc gets floor(w/1e6)
+    * guaranteed copies plus one more iff its content-hash ppm lands
+    * below w mod 1e6 — a reproducible Bernoulli residual with no RNG,
+    * no seed plumbing, and no drift across reruns or task retries (the
+    * t15 hashing rule). Output per (lang, source): input size,
+    * materialized copy count, achieved rate — exact integers.
+    *
+    * Scale: weights are domain-count-bound and broadcast; the corpus
+    * pass is map-only (hash + broadcast join + integer arithmetic) into
+    * one group-count-bound agg. At 100 TB the materialization itself is
+    * `explode(sequence(1, copies))` on this same map pass — these counts
+    * are its audit trail. */
+  def t16ApplyMixture(s: SparkSession, dir: String): DataFrame = {
+    val w = t14MixtureWeights(s, dir)
+      .select(col("lang"), col("source"),
+        coalesce(col("weight_ppm"), lit(0L)).as("wppm"))
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        (graft.functions.Md5PrefixModF(col("text"), Dedup.P) % 1000000L).as("hppm"))
+    docs.join(broadcast(w), Seq("lang", "source"))
+      .select(col("lang"), col("source"),
+        (expr("wppm DIV 1000000") +
+          when(col("hppm") < expr("wppm % 1000000"), 1L).otherwise(0L)).as("copies"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("copies").as("n_copies"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_copies"),
+        expr("n_copies * 1000000L DIV n_docs").as("achieved_ppm"))
+      .orderBy("lang", "source")
+  }
+
+  val t16Sql: String =
+    s"""WITH base AS (
+       | SELECT lang, source,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok,
+       |  ('0x' || substr(md5(text), 1, 15))::bigint % ${Dedup.P} % 1000000 AS hppm
+       | FROM documents),
+       |dom AS (
+       | SELECT lang, source, cast(sum(tok) AS bigint) AS n_tokens
+       | FROM base GROUP BY lang, source),
+       |tot AS (SELECT cast(sum(n_tokens) AS bigint) AS total_tokens,
+       |  count(*) AS n_domains FROM dom),
+       |w AS (
+       | SELECT lang, source,
+       |  coalesce(CASE WHEN n_tokens > 0
+       |   THEN least(total_tokens * 1000000 // (n_domains * n_tokens), $MixtureCapPpm)
+       |   END, 0) AS wppm
+       | FROM dom CROSS JOIN tot),
+       |c AS (
+       | SELECT b.lang, b.source,
+       |  wppm // 1000000 + CASE WHEN hppm < wppm % 1000000 THEN 1 ELSE 0 END AS copies
+       | FROM base b JOIN w ON b.lang = w.lang AND b.source = w.source)
+       |SELECT lang, source, count(*) AS n_docs,
+       | cast(sum(copies) AS bigint) AS n_copies,
+       | cast(sum(copies) * 1000000 // count(*) AS bigint) AS achieved_ppm
+       |FROM c GROUP BY lang, source ORDER BY lang, source""".stripMargin
 }

@@ -261,7 +261,9 @@ object Dedup {
     * pair explode → distinct. Bucket lists are near-dup-group-sized by
     * the banding guarantee (degenerate-band collapse is prevented by the
     * wrapped multipliers above). */
-  def d3MinHashLsh(s: SparkSession, dir: String): DataFrame = {
+  /** d3's candidate pairs without the presentation sort — d12 consumes
+    * this directly (its CC loop re-shuffles anyway). */
+  private[operators] def d3Pairs(s: SparkSession, dir: String): DataFrame = {
     val c = corpusNear(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
@@ -279,8 +281,10 @@ object Dedup {
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  def d3MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    d3Pairs(s, dir).orderBy("doc_a", "doc_b")
 
   /** d3's candidate-pair query WITHOUT the final ORDER BY — composable as
     * a CTE body (d12 embeds it the way d7 embeds d2PairsSql). */
@@ -772,7 +776,7 @@ object Dedup {
     * Recall is d3's: an LSH-missed pair leaves both docs surviving, which
     * is the honest semantics of candidate-based dedup. */
   def d12FuzzyDedup(s: SparkSession, dir: String): DataFrame = {
-    val edges = d3MinHashLsh(s, dir)
+    val edges = d3Pairs(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val labels = connectedComponents(edges)
     val comp = labels.groupBy("label").agg(count(lit(1)).as("n_members"))

@@ -64,6 +64,6 @@ class BenchSpec extends AnyFunSuite {
     assert(t.nonEmpty)
     // ...and at most the queries added after the baseline snapshot lack a row
     val missing = SparkEntry.queries.keySet -- t.keySet
-    assert(missing.subsetOf(Set("d12_fuzzy_dedup")), s"unexpected baseline gaps: $missing")
+    assert(missing.isEmpty, s"unexpected baseline gaps: $missing")
   }
 }

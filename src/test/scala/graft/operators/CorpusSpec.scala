@@ -83,4 +83,22 @@ class CorpusSpec extends SparkSpec {
     // floor rounding loses at most 1 ppm per domain
     assert(shareSum <= 1000000L && shareSum >= 1000000L - nDomains)
   }
+
+  test("t16 materialized copies stay within the deterministic bounds t14's weights imply") {
+    val w = Corpus.t14MixtureWeights(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        if (r.isNullAt(5)) 0L else r.getLong(5))).toMap
+    val rows = Corpus.t16ApplyMixture(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      val (n, c) = (r.getLong(2), r.getLong(3))
+      // every doc gets floor(w/1e6) copies, at most one residual extra
+      val full = w(k) / 1000000L
+      assert(c >= full * n && c <= (full + 1) * n,
+        s"domain $k: n_docs=$n n_copies=$c weight=${w(k)}")
+    }
+    // no RNG anywhere: a second run reproduces the counts exactly
+    assert(Corpus.t16ApplyMixture(spark, sfDir).collect().toSeq == rows.toSeq)
+  }
 }
