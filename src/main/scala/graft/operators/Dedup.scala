@@ -780,10 +780,14 @@ object Dedup {
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     val labels = connectedComponents(edges)
     val comp = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    // sliver joins sliver (members × their cluster size) BEFORE the corpus
+    // is involved, so the corpus-sized table goes through exactly ONE
+    // doc_id-keyed join
+    val members = labels.join(comp, Seq("label"))
+      .select(col("id").as("doc_id"), col("label"), col("n_members"))
     corpusNear(s, dir).select(col("doc_id"))
-      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .join(members, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("label") === col("doc_id"))
-      .join(comp, Seq("label"), "left")
       .select(col("doc_id"),
         coalesce(col("n_members") - 1, lit(0L)).as("n_dups"))
       .orderBy("doc_id")
