@@ -90,6 +90,7 @@ object SparkEntry {
     "d10_line_dedup"    -> (Dedup.d10LineDedup _),
     "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
     "d12_fuzzy_dedup"   -> (Dedup.d12FuzzyDedup _),
+    "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -239,6 +240,7 @@ object SparkEntry {
     "d10_line_dedup"    -> Dedup.d10Sql,
     "d11_semantic_dedup" -> Dedup.d11Sql,
     "d12_fuzzy_dedup"   -> Dedup.d12Sql,
+    "d13_split_leakage" -> Dedup.d13Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

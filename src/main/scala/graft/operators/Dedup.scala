@@ -793,6 +793,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Train fraction of the d13 content-hash split, in ppm. */
+  val TrainPpm = 900000L
+
+  /** d13: dedup-aware SPLIT-LEAKAGE audit — the check a training
+    * pipeline runs before shipping a train/validation split: assign
+    * every doc to a split by content hash (reproducible, no RNG — the
+    * t15/t16 rule; train iff hash-ppm < [[TrainPpm]]), then count the
+    * near-dup pairs that CROSS the split. A crossing pair leaks training
+    * content into validation (the contamination d3/d12 exist to prevent),
+    * so the leak count is the split's integrity metric; the fix is
+    * splitting by d12 CLUSTER instead of by document.
+    *
+    * Plan: the split flags ride the corpus scan (map-only hash); the
+    * audit joins the ACTIVITY-BOUND pair sliver against the corpus twice
+    * — keyed on doc id, so at 100 TB both joins semi-reduce the corpus
+    * side to pair members before anything wide moves (the pair set is
+    * broadcastable by construction: it's the d3 collision sliver).
+    * Output is one row: split sizes, pair count, leak count. */
+  def d13SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val split = corpusNear(s, dir).select(col("doc_id"),
+      (graft.functions.Md5PrefixModF(col("text"), P) % 1000000L < TrainPpm).as("in_train"))
+    val pairs = d3Pairs(s, dir)
+    val sa = split.select(col("doc_id").as("doc_a"), col("in_train").as("train_a"))
+    val sb = split.select(col("doc_id").as("doc_b"), col("in_train").as("train_b"))
+    val audited = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("train_a") =!= col("train_b"), 1L).otherwise(0L)).as("n_leaks"))
+    val sizes = split.agg(
+      sum(when(col("in_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("in_train"), 1L).otherwise(0L)).as("n_val"))
+    sizes.crossJoin(audited)
+      .select(col("n_train"), col("n_val"), col("n_pairs"), col("n_leaks"))
+  }
+
+  lazy val d13Sql: String =
+    s"""WITH pairs AS ($d3PairsSql),
+       |split AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5(text), 1, 15))::bigint % $P % 1000000 < $TrainPpm AS in_train
+       |  FROM ($corpusNearSql)),
+       |audited AS (
+       |  SELECT count(*) AS n_pairs,
+       |    cast(sum(CASE WHEN a.in_train <> b.in_train THEN 1 ELSE 0 END) AS bigint) AS n_leaks
+       |  FROM pairs p
+       |  JOIN split a ON p.doc_a = a.doc_id
+       |  JOIN split b ON p.doc_b = b.doc_id),
+       |sizes AS (
+       |  SELECT cast(sum(CASE WHEN in_train THEN 1 ELSE 0 END) AS bigint) AS n_train,
+       |    cast(sum(CASE WHEN in_train THEN 0 ELSE 1 END) AS bigint) AS n_val
+       |  FROM split)
+       |SELECT n_train, n_val, n_pairs, n_leaks FROM sizes CROSS JOIN audited""".stripMargin
+
   /** Oracle: d3's pair CTE + recursive closure (the d7 pattern) +
     * survivor filter with the same conservation arithmetic. */
   lazy val d12Sql: String =

@@ -274,6 +274,21 @@ class DedupSpec extends SparkSpec {
       s"only $collapsed of ${planted.length} planted near-dup pairs collapsed")
   }
 
+  test("d13 split leakage counts exactly the near-dup pairs crossing the hash split") {
+    val row = Dedup.d13SplitLeakage(spark, sfDir).head()
+    val (nTrain, nVal, nPairs, nLeaks) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // the split partitions the corpus (base + planted near-dups)
+    val corpusSize = graft.Tables.documents(spark, sfDir).count() +
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0).count()
+    assert(nTrain + nVal == corpusSize)
+    assert(nLeaks >= 0 && nLeaks <= nPairs)
+    // ~90/10 split: train side must dominate but not swallow everything
+    assert(nTrain > nVal && nVal > 0)
+    // deterministic across runs (content-hash split, no RNG)
+    assert(Dedup.d13SplitLeakage(spark, sfDir).head() == row)
+  }
+
   test("d11 survivor set is codebook-independent (trained k-means codebook)") {
     val baseIds = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
