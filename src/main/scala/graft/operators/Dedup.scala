@@ -34,7 +34,7 @@ object Dedup {
   private val NearTail = " and the query data system window"
 
   /** base ∪ near-duplicate variants (appended tail) of every 10th doc. */
-  private def corpusNear(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpusNear(s: SparkSession, dir: String): DataFrame = {
     val d = base(s, dir)
     d.unionByName(d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 100000).as("doc_id"),
