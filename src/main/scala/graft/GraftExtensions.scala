@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => CharNgramJaccard(args(0), args(1),
         args(2).eval().asInstanceOf[Int])))
     ext.injectFunction((
+      FunctionIdentifier("word_bigram_jaccard"),
+      info("word_bigram_jaccard", "word_bigram_jaccard(a, b) - Jaccard of word-bigram sets"),
+      (args: Seq[Expression]) => WordBigramJaccard(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),
       info("winnow_fingerprints", "winnow_fingerprints(text) - rolling-hash winnowing fingerprint set"),
       (args: Seq[Expression]) => WinnowFingerprints(args(0))))

@@ -78,6 +78,8 @@ object SparkEntry {
     "t14_mixture_weights" -> (Corpus.t14MixtureWeights _),
     "t15_shard_assign"  -> (Corpus.t15ShardAssign _),
     "t16_apply_mixture" -> (Corpus.t16ApplyMixture _),
+    "t17_unigram_lm"    -> (Quality.t17UnigramLm _),
+    "t18_fuzzy_decontam" -> (Quality.t18FuzzyDecontam _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -91,6 +93,7 @@ object SparkEntry {
     "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
     "d12_fuzzy_dedup"   -> (Dedup.d12FuzzyDedup _),
     "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
+    "d14_cluster_split" -> (Dedup.d14ClusterSplit _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -100,6 +103,7 @@ object SparkEntry {
     "e7_wau"            -> (Events.e7Wau _),
     "e8_debounce"       -> (Events.e8Debounce _),
     "e9_churn"          -> (Events.e9Churn _),
+    "e10_anomaly_days"  -> (Events.e10AnomalyDays _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -230,6 +234,8 @@ object SparkEntry {
     "t14_mixture_weights" -> Corpus.t14Sql,
     "t15_shard_assign"  -> Corpus.t15Sql,
     "t16_apply_mixture" -> Corpus.t16Sql,
+    "t17_unigram_lm"    -> Quality.t17Sql,
+    "t18_fuzzy_decontam" -> Quality.t18Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
@@ -241,6 +247,7 @@ object SparkEntry {
     "d11_semantic_dedup" -> Dedup.d11Sql,
     "d12_fuzzy_dedup"   -> Dedup.d12Sql,
     "d13_split_leakage" -> Dedup.d13Sql,
+    "d14_cluster_split" -> Dedup.d14Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,
@@ -250,6 +257,7 @@ object SparkEntry {
     "e7_wau"            -> Events.e7Sql,
     "e8_debounce"       -> Events.e8Sql,
     "e9_churn"          -> Events.e9Sql,
+    "e10_anomaly_days"  -> Events.e10Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

@@ -31,7 +31,7 @@ object Dedup {
       .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  private val NearTail = " and the query data system window"
+  private[operators] val NearTail = " and the query data system window"
 
   /** base ∪ near-duplicate variants (appended tail) of every 10th doc. */
   private[graft] def corpusNear(s: SparkSession, dir: String): DataFrame = {
@@ -261,10 +261,12 @@ object Dedup {
     * pair explode → distinct. Bucket lists are near-dup-group-sized by
     * the banding guarantee (degenerate-band collapse is prevented by the
     * wrapped multipliers above). */
-  /** d3's candidate pairs without the presentation sort — d12 consumes
-    * this directly (its CC loop re-shuffles anyway). */
-  private[operators] def d3Pairs(s: SparkSession, dir: String): DataFrame = {
-    val c = corpusNear(s, dir)
+  /** LSH candidate pairs over ANY (doc_id, text) corpus — the banded
+    * MinHash core shared by d3 (within-corpus near-dup), t18
+    * (cross-corpus decontamination, ids partitioned by side), and d14
+    * (cluster-split). Same plan as documented on d3MinHashLsh. */
+  private[operators] def lshPairs(corpus: DataFrame): DataFrame = {
+    val c = corpus
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
     val as = (0 until NumHashes).map(hashA)
@@ -283,19 +285,24 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b")).distinct()
   }
 
+  /** d3's candidate pairs without the presentation sort — d12 consumes
+    * this directly (its CC loop re-shuffles anyway). */
+  private[operators] def d3Pairs(s: SparkSession, dir: String): DataFrame =
+    lshPairs(corpusNear(s, dir))
+
   def d3MinHashLsh(s: SparkSession, dir: String): DataFrame =
     d3Pairs(s, dir).orderBy("doc_a", "doc_b")
 
-  /** d3's candidate-pair query WITHOUT the final ORDER BY — composable as
-    * a CTE body (d12 embeds it the way d7 embeds d2PairsSql). */
-  lazy val d3PairsSql: String = {
+  /** DuckDB analogue of [[lshPairs]] for an arbitrary corpus CTE body —
+    * the oracle-side twin of the shared LSH core. */
+  private[operators] def lshPairsSqlFor(corpusSql: String): String = {
     val mins = (0 until NumHashes).map(i =>
       s"min((${hashA(i)} * h + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
     val bandSelects = (0 until NumHashes / BandSize).map { bnd =>
       val ks = (0 until BandSize).map(j => s"m${bnd * BandSize + j}").mkString(", ")
       s"SELECT doc_id, $bnd AS band, concat_ws('_', $ks) AS key FROM mh"
     }.mkString("\n  UNION ALL ")
-    s"""WITH corpus AS ($corpusNearSql),
+    s"""WITH corpus AS ($corpusSql),
        |sh AS (
        | SELECT DISTINCT doc_id,
        |  ('0x' || substr(md5(s), 1, 15))::bigint % $P AS h
@@ -313,6 +320,10 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id""".stripMargin
   }
+
+  /** d3's candidate-pair query WITHOUT the final ORDER BY — composable as
+    * a CTE body (d12 embeds it the way d7 embeds d2PairsSql). */
+  lazy val d3PairsSql: String = lshPairsSqlFor(corpusNearSql)
 
   lazy val d3Sql: String = d3PairsSql + "\nORDER BY doc_a, doc_b"
 
@@ -833,6 +844,74 @@ object Dedup {
        |  SELECT doc_id,
        |    ('0x' || substr(md5(text), 1, 15))::bigint % $P % 1000000 < $TrainPpm AS in_train
        |  FROM ($corpusNearSql)),
+       |audited AS (
+       |  SELECT count(*) AS n_pairs,
+       |    cast(sum(CASE WHEN a.in_train <> b.in_train THEN 1 ELSE 0 END) AS bigint) AS n_leaks
+       |  FROM pairs p
+       |  JOIN split a ON p.doc_a = a.doc_id
+       |  JOIN split b ON p.doc_b = b.doc_id),
+       |sizes AS (
+       |  SELECT cast(sum(CASE WHEN in_train THEN 1 ELSE 0 END) AS bigint) AS n_train,
+       |    cast(sum(CASE WHEN in_train THEN 0 ELSE 1 END) AS bigint) AS n_val
+       |  FROM split)
+       |SELECT n_train, n_val, n_pairs, n_leaks FROM sizes CROSS JOIN audited""".stripMargin
+
+  /** d14: CLUSTER-keyed train/validation split — the FIX d13's audit
+    * exists to motivate: instead of splitting by document (which strands
+    * the two halves of a near-dup pair on opposite sides of the split),
+    * every document inherits its d12 cluster representative (min doc_id
+    * of its connected component; singletons represent themselves) and
+    * the content-hash split keys on the REPRESENTATIVE. All members of
+    * a near-dup cluster therefore land on the same side by construction
+    * and the leak count is structurally zero — the d13 audit re-run on
+    * this split (same output shape: sizes, pairs, leaks) proves it.
+    *
+    * Plan: labels come from CC over the ACTIVITY-BOUND collision graph
+    * (a sliver — only docs that collide in some LSH band); the corpus
+    * flows through ONE doc_id-keyed left join to pick up its rep, and
+    * the audit joins the pair sliver back twice on doc id (both
+    * semi-reduce the corpus side at scale, as in d13). The split hash
+    * keys on the rep ID rather than rep text so no second corpus pass
+    * is needed to fetch representative content. */
+  def d14ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3Pairs(s, dir)
+    val labels = connectedComponents(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val split = corpusNear(s, dir).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (graft.functions.Md5PrefixModF(
+          coalesce(col("label"), col("doc_id")).cast("string"), P)
+          % 1000000L < TrainPpm).as("in_train"))
+    val sa = split.select(col("doc_id").as("doc_a"), col("in_train").as("train_a"))
+    val sb = split.select(col("doc_id").as("doc_b"), col("in_train").as("train_b"))
+    val audited = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("train_a") =!= col("train_b"), 1L).otherwise(0L)).as("n_leaks"))
+    val sizes = split.agg(
+      sum(when(col("in_train"), 1L).otherwise(0L)).as("n_train"),
+      sum(when(!col("in_train"), 1L).otherwise(0L)).as("n_val"))
+    sizes.crossJoin(audited)
+      .select(col("n_train"), col("n_val"), col("n_pairs"), col("n_leaks"))
+  }
+
+  /** Oracle: d3 pairs + recursive closure (the d12 pattern) for the rep,
+    * then the d13 audit arithmetic keyed on the representative hash. */
+  lazy val d14Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3PairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labels AS (SELECT u AS id, min(v) AS label FROM reach GROUP BY u),
+       |split AS (
+       |  SELECT c.doc_id,
+       |    ('0x' || substr(md5(cast(coalesce(l.label, c.doc_id) AS varchar)), 1, 15))::bigint
+       |      % $P % 1000000 < $TrainPpm AS in_train
+       |  FROM ($corpusNearSql) c LEFT JOIN labels l ON c.doc_id = l.id),
        |audited AS (
        |  SELECT count(*) AS n_pairs,
        |    cast(sum(CASE WHEN a.in_train <> b.in_train THEN 1 ELSE 0 END) AS bigint) AS n_leaks

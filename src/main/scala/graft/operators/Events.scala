@@ -386,4 +386,75 @@ object Events {
        | corpus_day - last_day >= $ChurnDays AS churned
        |FROM per CROSS JOIN tot
        |ORDER BY user_id""".stripMargin
+
+  /** Trailing-window length for e10's baseline statistics. */
+  val ZWin = 7
+
+  /** z-score threshold in milli-units (3.0 σ). */
+  val ZThreshMilli = 3000L
+
+  /** e10: trailing z-score anomaly detection per event type — e6's
+    * fixed-ratio day-over-day alert generalized to a SELF-CALIBRATING
+    * one: each (type, day) count is scored against the mean/stddev of
+    * that type's previous [[ZWin]] observed days, and |z| ≥ 3σ flags the
+    * day. The rolling baseline adapts per type (a chatty event type
+    * needs a bigger absolute jump to alarm than a quiet one), which is
+    * why ops alerting uses z-scores rather than e6's global 1.5× ratio.
+    *
+    * Determinism contract: the window accumulates INTEGER sums (Σc,
+    * Σc²), so frame-order never matters; the z-score is computed in one
+    * algebraic shot, z = (n·c − Σc) / √(n·Σc² − (Σc)²), with exactly one
+    * IEEE multiply-divide-sqrt chain and one floor into milli-units
+    * (the t12 score_micro rule). A zero variance window yields NULL.
+    *
+    * Scale shape: ONE group-count-bound aggregation reduces the corpus
+    * to (type × day) rows; the window then runs over that TINY table —
+    * its low-cardinality partition key (event_type) is harmless there,
+    * unlike the q15 anti-shape of windowing the raw events. ROWS frame
+    * (last 7 observed days), so a silent day doesn't stall the baseline. */
+  def e10AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(-ZWin, -1)
+    // c² is materialized BEFORE the window so all three accumulators are
+    // plain column refs over one frame — a single Window node (sum(c*c)
+    // inline would force ExtractWindowExpressions to split the Window in
+    // two around the product's projection)
+    d.withColumn("c2", col("c") * col("c"))
+      .withColumn("n", count(col("c")).over(w))
+      .withColumn("s1", sum(col("c")).over(w))
+      .withColumn("s2", sum(col("c2")).over(w))
+      .filter(col("n") === ZWin)
+      .withColumn("z_milli",
+        when(col("n") * col("s2") === col("s1") * col("s1"), lit(null))
+          .otherwise(floor(lit(1000.0) * (col("n") * col("c") - col("s1")) /
+            sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double")))))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("c"), col("z_milli"),
+        coalesce(abs(col("z_milli")) >= ZThreshMilli, lit(false)).as("anomaly"))
+      .orderBy("event_type", "day")
+  }
+
+  val e10Sql: String =
+    s"""WITH d AS (
+       | SELECT event_type, cast(ts AS date) AS day, count(*) AS c
+       | FROM events GROUP BY 1, 2),
+       |win AS (
+       | SELECT event_type, day, c,
+       |  count(c) OVER w AS n, sum(c) OVER w AS s1, sum(c * c) OVER w AS s2
+       | FROM d
+       | WINDOW w AS (PARTITION BY event_type ORDER BY day
+       |              ROWS BETWEEN $ZWin PRECEDING AND 1 PRECEDING)),
+       |scored AS (
+       | SELECT event_type, day, c,
+       |  CASE WHEN n * s2 = s1 * s1 THEN NULL
+       |       ELSE cast(floor(1000.0 * (n * c - s1) /
+       |                       sqrt(cast(n * s2 - s1 * s1 AS double))) AS bigint)
+       |  END AS z_milli
+       | FROM win WHERE n = $ZWin)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, z_milli,
+       | coalesce(abs(z_milli) >= $ZThreshMilli, false) AS anomaly
+       |FROM scored ORDER BY event_type, day""".stripMargin
 }

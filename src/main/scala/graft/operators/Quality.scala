@@ -375,4 +375,149 @@ object Quality {
        |FROM scored
        |QUALIFY rank <= $TfidfK
        |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- t17: unigram language-model quality score ----
+
+  /** t17: per-document unigram-LM surprisal — the CCNet-style quality
+    * signal: score every document by how "surprising" its tokens are
+    * under a unigram model TRAINED ON THE CORPUS ITSELF (per-token cost
+    * = ln(total_tokens / corpus_term_frequency), i.e. the token's
+    * self-information in nats). Low mean surprisal ≈ common, fluent
+    * text; high ≈ rare-token noise — the bucket boundaries a pipeline
+    * filters or re-weights on (Wenzek et al. 2020 use a KenLM trained
+    * off-corpus; the self-trained unigram variant is the zero-dependency
+    * in-engine form, and the plumbing is identical).
+    *
+    * Determinism contract: the ONLY float op is one ln → one multiply →
+    * one floor per DISTINCT (term) — `cost_micro = floor(ln(total/ctf)
+    * × 1e6)` (the t12 score_micro precedent) — after which everything
+    * is exact integer arithmetic, so per-doc SUMS are order-independent
+    * and cross-engine hash-stable. mean_micro uses integer division
+    * (both operands positive).
+    *
+    * Scale: same skeleton as t12 — one (doc,term)-keyed map-combined
+    * count off the scan, a vocabulary-bound term rollup for ctf, a
+    * one-row broadcast total, and a doc-keyed final agg. Nothing
+    * corpus-text-sized shuffles; the ctf join is vocabulary-bound
+    * (AQE broadcasts it when it fits, hash-joins when it doesn't). */
+  def t17UnigramLm(s: SparkSession, dir: String): DataFrame = {
+    // the explicit isNotNull matches the null-filter the join below infers
+    // on its key, so all three consumers of `tf` (probe, ctf, total) stay
+    // CANONICALLY EQUAL and AQE reuses one (doc,term) shuffle for the
+    // whole plan instead of re-scanning the corpus per branch (the e9
+    // exchange-reuse lesson; plan-asserted in ScaleShapeSpec)
+    val tf = Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    tf.join(ctf, Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("cost_micro",
+        floor(log(col("total").cast("double") / col("ctf")) * 1e6))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cost_micro")).as("surprisal_micro"))
+      .withColumn("mean_micro", expr("surprisal_micro div n_tokens"))
+      .select("doc_id", "n_tokens", "surprisal_micro", "mean_micro")
+      .orderBy("doc_id")
+  }
+
+  val t17Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term
+       | FROM documents),
+       |tfc AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |ctfc AS (SELECT term, sum(tf) AS ctf FROM tfc GROUP BY term),
+       |tot AS (SELECT sum(ctf) AS total FROM ctfc),
+       |costed AS (
+       | SELECT doc_id, tf,
+       |  cast(floor(ln(cast(total AS double) / ctf) * 1e6) AS bigint) AS cost_micro
+       | FROM tfc JOIN ctfc USING (term) CROSS JOIN tot)
+       |SELECT doc_id,
+       | cast(sum(tf) AS bigint) AS n_tokens,
+       | cast(sum(tf * cost_micro) AS bigint) AS surprisal_micro,
+       | cast(sum(tf * cost_micro) // sum(tf) AS bigint) AS mean_micro
+       |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t18: fuzzy benchmark decontamination ----
+
+  /** Benchmark set for t18: every 7th corpus doc, PERTURBED (appended
+    * tail) so exact matching — t10's 8-gram overlap or d1's hash — would
+    * miss it; ids offset to 500000+ so one LSH pass separates sides. */
+  private def t18Corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    d.unionByName(d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(Dedup.NearTail)).as("text")))
+  }
+
+  private val t18CorpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id, text || '${Dedup.NearTail}' AS text
+       |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** Verify-stage threshold: planted perturbed twins score ≥ 0.6
+    * word-bigram Jaccard (≥ 9 text bigrams vs ≤ 6 tail-added ones at
+    * the 10-word corpus minimum) while unrelated LSH band collisions
+    * measure ≤ 0.12 on this corpus — 0.4 splits the gap with margin. */
+  val DecontamTau = 0.4
+
+  /** t18: FUZZY decontamination — flag training documents that
+    * NEAR-match a held-out benchmark document, the companion to t10's
+    * exact 8-gram screen: t10 catches verbatim inclusion, t18 catches
+    * the paraphrased / reformatted / tail-perturbed inclusion exact
+    * n-grams miss (the fuzzy decontamination step in FineWeb/Dolma-style
+    * pipelines). Two stages, the shape every production near-dup
+    * pipeline runs: (1) CANDIDATES from one [[Dedup.lshPairs]] pass over
+    * the union of both sides (ids disjoint by construction), (2) VERIFY
+    * each candidate with the exact word-bigram Jaccard
+    * ([[graft.functions.WordBigramJaccard]], codegen'd) — LSH banding
+    * admits ~1%-of-corpus false collisions by design, and the verify
+    * stage kills them (spec asserts zero false positives survive).
+    * Output is the removal list: training doc ids with the number of
+    * benchmark docs each verifiably near-matches.
+    *
+    * Plan: signatures are one codegen'd expression per doc, the only
+    * corpus-sized shuffle is 4 (band,key) rows per doc, pairs emerge
+    * from a row-local bucket walk, and the verify joins attach TEXT to
+    * the candidate SLIVER (broadcast build side — pairs are
+    * collision-bound), so bigram sets are computed only for candidates.
+    * At 100 TB the benchmark side is MB-scale, so the union costs
+    * nothing and banding cost stays corpus-linear. */
+  def t18FuzzyDecontam(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordBigramJaccard
+    val c = t18Corpus(s, dir)
+    val cand = Dedup.lshPairs(c)
+      .filter(col("doc_a") < 500000 && col("doc_b") >= 500000)
+    val ta = c.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = c.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    // both text-attach joins PROBE the corpus with the broadcast sliver
+    // as build side — candidate texts are filtered map-side, nothing
+    // corpus-sized shuffles (the d13 audit-join shape)
+    tb.join(broadcast(ta.join(broadcast(cand), Seq("doc_a"))), Seq("doc_b"))
+      .filter(WordBigramJaccard(col("text_a"), col("text_b")) >= DecontamTau)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t18Sql: String =
+    s"""WITH pairs AS (${Dedup.lshPairsSqlFor(t18CorpusSql)}),
+       |bg AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+       | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |       FROM ($t18CorpusSql))
+       | WHERE len(t) >= 2)
+       |SELECT doc_a AS doc_id, count(*) AS n_bench_hits
+       |FROM pairs p
+       |JOIN bg a ON p.doc_a = a.doc_id
+       |JOIN bg b ON p.doc_b = b.doc_id
+       |WHERE doc_a < 500000 AND doc_b >= 500000
+       |  AND cast(len(list_intersect(a.bg, b.bg)) AS double)
+       |      / len(list_distinct(list_concat(a.bg, b.bg))) >= $DecontamTau
+       |GROUP BY doc_a ORDER BY doc_id""".stripMargin
 }

@@ -31,10 +31,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |                  array(cast(1.0 as float), cast(0.0 as float))) AS c,
         |       vec_dot(array(cast(2.0 as float)), array(cast(3.0 as float))) AS d,
         |       simhash64(array('a', 'b')) AS sh,
-        |       char_ngram_jaccard('abcd', 'abcd', 3) AS j""".stripMargin).head()
+        |       char_ngram_jaccard('abcd', 'abcd', 3) AS j,
+        |       word_bigram_jaccard('a b c', 'a b d') AS wj""".stripMargin).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getDouble(1) == 6.0)
     assert(r.getDouble(3) == 1.0)
+    // bigram sets {ab, bc} vs {ab, bd}: |∩|=1, |∪|=3
+    assert(r.getDouble(4) == 1.0 / 3.0)
   }
 
   test("SQL double-array literals are implicitly cast to float arrays") {

@@ -289,6 +289,22 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.d13SplitLeakage(spark, sfDir).head() == row)
   }
 
+  test("d14 cluster-keyed split audits to structurally zero leakage") {
+    val row = Dedup.d14ClusterSplit(spark, sfDir).head()
+    val (nTrain, nVal, nPairs, nLeaks) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // same partition-of-the-corpus invariants as d13
+    val corpusSize = graft.Tables.documents(spark, sfDir).count() +
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0).count()
+    assert(nTrain + nVal == corpusSize)
+    assert(nTrain > nVal && nVal > 0)
+    // the FIX d13 motivates: splitting by cluster representative makes
+    // cross-split near-dup pairs impossible by construction
+    assert(nLeaks == 0L, s"cluster-keyed split leaked $nLeaks of $nPairs pairs")
+    // same detector as d13's audit: identical pair universe
+    assert(nPairs == Dedup.d13SplitLeakage(spark, sfDir).head().getLong(2))
+  }
+
   test("d11 survivor set is codebook-independent (trained k-means codebook)") {
     val baseIds = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
@@ -442,6 +458,36 @@ class SpikeDaysSpec extends SparkSpec {
     // daily counts partition the events table
     assert(rows.map(_._3).sum == graft.Tables.events(spark, sfDir).count())
   }
+
+  test("e10 z-scores match a driver-side recompute of the trailing-window stats") {
+    val rows = Events.e10AnomalyDays(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // independent daily counts (grouping reuses Spark's date cast; the
+    // window math under test is recomputed from scratch below)
+    val daily = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").count()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (et, rs) =>
+      val ordered = rs.sortBy(_._2)
+      ordered.indices.filter(_ >= Events.ZWin).map { i =>
+        val frame = ordered.slice(i - Events.ZWin, i).map(_._3)
+        val (n, s1, s2) = (Events.ZWin.toLong, frame.sum, frame.map(c => c * c).sum)
+        val z = if (n * s2 == s1 * s1) None
+          else Some(math.floor(1000.0 * (n * ordered(i)._3 - s1) /
+            math.sqrt((n * s2 - s1 * s1).toDouble)).toLong)
+        (et, ordered(i)._2) -> ((ordered(i)._3, z))
+      }
+    }
+    assert(rows.length == want.size, s"${rows.length} rows vs ${want.size} expected")
+    rows.foreach { case (et, day, c, z, anomaly) =>
+      val (wc, wz) = want((et, day))
+      assert(c == wc && z == wz, s"$et $day: got ($c, $z) want ($wc, $wz)")
+      assert(anomaly == z.exists(v => math.abs(v) >= Events.ZThreshMilli), s"$et $day flag")
+    }
+  }
 }
 
 class WauSpec extends SparkSpec {
@@ -504,6 +550,43 @@ class ScaleShapeSpec extends SparkSpec {
       s"only the per-user max agg may hash-exchange:\n$plan")
     assert(plan.contains("Broadcast"),
       s"the one-row corpus max must broadcast back:\n$plan")
+  }
+
+  test("t17 reads the corpus ONCE at runtime: ctf and total reuse the tf shuffle") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = Quality.t17UnigramLm(spark, sfDir)
+    df.collect()
+    val aqe = df.queryExecution.executedPlan
+      .collectFirst { case a: AdaptiveSparkPlanExec => a }.get
+    val finalPlan = aqe.executedPlan.toString
+    assert("FileScan parquet".r.findAllIn(finalPlan).size == 1,
+      s"all three consumers of tf must reuse one corpus scan+shuffle:\n$finalPlan")
+    assert(!finalPlan.contains("Window"), s"t17 must not window:\n$finalPlan")
+  }
+
+  test("t18: bucket-walk candidates, broadcast-sliver verify joins only") {
+    val plan = Quality.t18FuzzyDecontam(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_sig"), s"signature must be the fused expression:\n$plan")
+    // the verify stage attaches text via the broadcast candidate sliver;
+    // the corpus itself must never shuffle for a join
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"verify joins must build on the broadcast sliver:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"exactly the two text-attach joins:\n$plan")
+    assert(plan.contains("word_bigram_jaccard"),
+      s"verify scorer must be the codegen'd expression:\n$plan")
+  }
+
+  test("e10 windows AFTER the daily rollup: one scan, one Window node") {
+    val plan = Events.e10AnomalyDays(spark, sfDir).queryExecution.executedPlan.toString
+    assert("Scan parquet|FileScan".r.findAllIn(plan).size == 1,
+      s"e10 must read events once:\n$plan")
+    assert("Window".r.findAllIn(plan).size == 1,
+      s"all three accumulators must share ONE Window node:\n$plan")
+    // the window's sort must sit above the (type, day) agg exchange, i.e.
+    // exactly two hash exchanges: the rollup and the window partition
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2,
+      s"window must run over the group-count-bound rollup:\n$plan")
   }
 }
 

@@ -71,6 +71,65 @@ class QualitySpec extends SparkSpec {
     rows.foreach { r => assert(r.getLong(4) >= 1 && r.getLong(3) >= 1) }
   }
 
+  test("t17 surprisal matches a driver-side unigram model over the corpus") {
+    val rows = Quality.t17UnigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.nonEmpty)
+    // independent model: tokenize driver-side with the same regex
+    val wordRe = "[a-z0-9]+".r
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> wordRe.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val ctf = docs.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = ctf.values.sum
+    docs.foreach { case (id, toks) =>
+      if (toks.isEmpty) assert(!rows.contains(id))
+      else {
+        val surprisal = toks.map(t =>
+          math.floor(math.log(total.toDouble / ctf(t)) * 1e6).toLong).sum
+        val want = (toks.size.toLong, surprisal, surprisal / toks.size)
+        assert(rows(id) == want, s"doc $id: got ${rows(id)} want $want")
+      }
+    }
+  }
+
+  test("t18 verified flags are true near-matches; planted twins are recalled") {
+    val flagged = Quality.t18FuzzyDecontam(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side ground truth: word-bigram jaccard of every train doc
+    // against every benchmark doc (bench = perturbed %7 twins). NOTE the
+    // corpus contains NATURAL near-dup text pairs (e.g. docs 157 ≈ 56),
+    // so a non-%7 doc near-matching a benchmark twin is a TRUE hit.
+    def bigrams(s: String): Set[String] =
+      s.trim.split("\\s+").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSet
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> bigrams(r.getString(1)))
+    val bench = docs.filter(_._1 % 7 == 0)
+      .map { case (id, _) => id } // twins share the id; bigrams recomputed with tail
+    val benchBg = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), concat(col("text"), lit(Dedup.NearTail)).as("text"))
+      .collect().map(r => r.getLong(0) -> bigrams(r.getString(1)))
+    val trueHits = docs.map { case (id, bg) =>
+      id -> benchBg.count { case (_, bbg) =>
+        val inter = (bg & bbg).size
+        val union = (bg | bbg).size
+        union > 0 && inter.toDouble / union >= Quality.DecontamTau
+      }
+    }.filter(_._2 > 0).toMap
+    // zero false positives: the verify stage must kill every LSH band
+    // collision that is not a genuine near-match
+    flagged.foreach { case (id, hits) =>
+      assert(trueHits.contains(id), s"doc $id flagged but is no true near-match")
+      assert(hits >= 1 && hits <= trueHits(id), s"doc $id hit count $hits")
+    }
+    // every planted twin is a true match by construction...
+    assert(bench.forall(trueHits.contains), "a planted twin fell below tau")
+    // ...and recall over ALL true matches is banding-bound (the d12 rule)
+    assert(flagged.size >= trueHits.size * 8 / 10,
+      s"only ${flagged.size} of ${trueHits.size} true near-matches caught")
+  }
+
   test("t11 vocabulary is frequency-ranked with df <= tf and df >= 1") {
     val rows = Quality.t11VocabTopK(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= Quality.VocabK)
