@@ -27,6 +27,9 @@ object EventStreams {
   case class ClosedSession(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
   case class ChurnState(last_day: Long, churned: Boolean)
   case class ChurnEvent(user_id: Long, kind: String, day: Long)
+  case class AnomalyState(open: Map[Long, Long], tail: Seq[(Long, Long)])
+  case class AnomalyAlert(event_type: String, day: Long, c: Long,
+    z_milli: Option[Long], anomaly: Boolean)
 
   val GapUs: Long = 30L * 60 * 1000 * 1000
 
@@ -70,6 +73,58 @@ object EventStreams {
     * whose gap since last_day reaches ChurnDays even if the timeout has
     * not fired yet — emits "reactivated" and re-arms the timeout.
     * Input: a streaming frame with (user_id, ts) columns. */
+  /** e10's streaming twin: trailing z-score anomaly ALERTS as days close,
+    * instead of the batch report's full-history table. Keyed by
+    * event_type; per-key state is the open day counts (normally one
+    * entry) plus the last [[graft.operators.Events.ZWin]] finalized
+    * (day, count) pairs — bounded regardless of stream length.
+    *
+    * A day finalizes when a LATER day for the same type arrives
+    * (finalize-on-successor), which keeps the twin deterministic and
+    * batch-equal under in-order micro-batch replay — the same input
+    * contract StreamingNearDup documents. A deployment with genuinely
+    * late data would arm an event-time timeout per open day instead
+    * (the churnTransitions mechanics); the z-score math is identical
+    * either way. Alert rows replicate e10's arithmetic bit-exactly:
+    * integer Σc/Σc² over the 7-day tail, one IEEE
+    * multiply-divide-sqrt-floor chain (spec asserts equality to the
+    * batch operator on the same events). */
+  def anomalyAlerts(events: DataFrame): Dataset[AnomalyAlert] = {
+    import events.sparkSession.implicits._
+    val zwin = graft.operators.Events.ZWin
+    val thresh = graft.operators.Events.ZThreshMilli
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (et: String, rows: Iterator[(String, Long)], state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(AnomalyState(Map.empty, Nil))
+          val open = rows.foldLeft(st.open) { case (m, (_, d)) =>
+            m.updated(d, m.getOrElse(d, 0L) + 1L)
+          }
+          val maxDay = open.keys.max
+          val (toClose, stillOpen) = open.partition(_._1 < maxDay)
+          var tail = st.tail
+          val out = Seq.newBuilder[AnomalyAlert]
+          toClose.toSeq.sortBy(_._1).foreach { case (d, c) =>
+            if (tail.size == zwin) {
+              val n = zwin.toLong
+              val s1 = tail.map(_._2).sum
+              val s2 = tail.map(t => t._2 * t._2).sum
+              val z = if (n * s2 == s1 * s1) None
+                else Some(math.floor(1000.0 * (n * c - s1) /
+                  math.sqrt((n * s2 - s1 * s1).toDouble)).toLong)
+              out += AnomalyAlert(et, d, c, z, z.exists(v => math.abs(v) >= thresh))
+            }
+            tail = (tail :+ (d, c)).takeRight(zwin)
+          }
+          state.update(AnomalyState(stillOpen, tail))
+          out.result().iterator
+      }
+  }
+
   def churnTransitions(events: DataFrame): Dataset[ChurnEvent] = {
     import events.sparkSession.implicits._
     val DayMs = 86400000L

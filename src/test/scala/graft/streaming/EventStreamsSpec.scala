@@ -47,6 +47,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(closed == Seq((1L, t0, t0 + 5L * 60 * 1000000, 2L, 3.0)))
   }
 
+  test("streaming anomaly alerts equal the batch e10 rows on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)] // (event_type, ts_us)
+    val events = mem.toDF().toDF("event_type", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val q = EventStreams.anomalyAlerts(events)
+      .writeStream.format("memory").queryName("anomaly").outputMode("append").start()
+    // replay the real corpus in ts order across several micro-batches
+    // (the in-order contract the twin documents)
+    val corpus = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .orderBy("us", "event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    corpus.grouped(math.max(1, corpus.length / 5)).foreach { batch =>
+      mem.addData(batch.toSeq)
+      q.processAllAvailable()
+    }
+    val got = spark.sql("select event_type, day, c, z_milli, anomaly from anomaly")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // batch rows, minus each type's LAST day (no successor arrives to
+    // finalize it online — the one structural difference)
+    val batch = graft.operators.Events.e10AnomalyDays(spark, sfDir).collect()
+      .map(r => (r.getString(0), java.time.LocalDate.parse(r.getString(1)).toEpochDay,
+        r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    val lastDay = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val expected = batch.filterNot { case (et, d, _, _, _) => d == lastDay(et) }.toSet
+    assert(got == expected, s"stream/batch divergence: ${(got diff expected) ++ (expected diff got)}")
+    assert(got.nonEmpty)
+    // bounded state: one row per event type, regardless of event count
+    assert(stateRows == corpus.map(_._1).distinct.length.toLong,
+      s"state must be one row per type, got $stateRows")
+  }
+
   test("streaming churn emits churn on quiet timeout and reactivation on return, state bounded") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
