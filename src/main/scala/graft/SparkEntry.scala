@@ -94,6 +94,7 @@ object SparkEntry {
     "d12_fuzzy_dedup"   -> (Dedup.d12FuzzyDedup _),
     "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
     "d14_cluster_split" -> (Dedup.d14ClusterSplit _),
+    "d15_bloom_dedup"   -> (Dedup.d15BloomDedup _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -248,6 +249,7 @@ object SparkEntry {
     "d12_fuzzy_dedup"   -> Dedup.d12Sql,
     "d13_split_leakage" -> Dedup.d13Sql,
     "d14_cluster_split" -> Dedup.d14Sql,
+    "d15_bloom_dedup"   -> Dedup.d15Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

@@ -80,16 +80,9 @@ object Dedup {
     * the high-cardinality fp — batch-sized shuffles, and the 100 TB
     * corpus contributes one column, not its text. */
   def d9IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
-    val d = base(s, dir)
-    val existing = d.filter(col("doc_id") < 400)
-    val newBatch = d.filter(col("doc_id") >= 400)
-      .unionByName(d.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
-      .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") % 20 === 0)
-        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
-    val existingFp = existing
+    val existingFp = base(s, dir).filter(col("doc_id") < 400)
       .select(md5(col("text").cast("binary")).as("fp")).distinct()
-    newBatch
+    d9NewBatch(s, dir)
       .withColumn("fp", md5(col("text").cast("binary")))
       .join(existingFp, Seq("fp"), "left_anti")
       .groupBy("fp")
@@ -856,6 +849,81 @@ object Dedup {
        |  FROM split)
        |SELECT n_train, n_val, n_pairs, n_leaks FROM sizes CROSS JOIN audited""".stripMargin
 
+  /** d9's new batch: remaining docs ∪ re-crawls of every 10th existing
+    * doc ∪ in-batch copies of every 20th new doc (shared with d15). */
+  private def d9NewBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = base(s, dir)
+    d.filter(col("doc_id") >= 400)
+      .unionByName(d.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+  }
+
+  /** New-batch rows probed against a Bloom filter of the existing
+    * corpus's fingerprints: adds a `maybe` column (false ⇒ DEFINITELY
+    * not in the existing corpus — Bloom filters have no false
+    * negatives). Split out so the spec can assert the pruning
+    * properties directly. */
+  private[operators] def d15Probe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.graftshim.Shim
+    val existingFp = base(s, dir).filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")).as("fp"))
+    // distributed build: each partition folds its fps into a local sketch,
+    // partials OR together — ONE compact binary row. Delivered to the
+    // probe as a SCALAR SUBQUERY (the mechanics Spark's own runtime-filter
+    // injection uses): evaluated once per query, passed to executors by
+    // reference — never a megabyte literal in the generated code, never a
+    // driver collect in the operator body.
+    val bfAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(Shim.expression(col("fp"))), 42L),
+      Literal(1000000L), Literal(8L * 1024 * 1024))
+    val bloomPlan = Shim.logicalPlan(
+      existingFp.select(Shim.column(bfAgg.toAggregateExpression()).as("bf")))
+    d9NewBatch(s, dir)
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withColumn("maybe", Shim.column(BloomFilterMightContain(
+        ScalarSubquery(bloomPlan),
+        new XxHash64(Seq(Shim.expression(col("fp"))), 42L))))
+  }
+
+  /** d15: BLOOM-PREFILTERED incremental dedup — d9's exact semantics
+    * (oracle: the same SQL) behind the plan a recurring crawl actually
+    * runs at 100 TB: the stored dedup index is far too large to anti-join
+    * every new batch against, so the batch is first screened MAP-SIDE
+    * against a compact Bloom filter of the index. `might_contain = false`
+    * rows (the overwhelming majority of a fresh crawl) are provably new
+    * and skip the join entirely; only the maybe-sliver (true re-crawls +
+    * the filter's ~0.1% false positives) pays the exact fp anti-join.
+    * The shuffle is maybe-sliver-sized, not batch-sized.
+    *
+    * Engine mechanics: the filter builds DISTRIBUTED via Spark's
+    * TypedImperativeAggregate Bloom sketch (partials merged by OR), is
+    * embedded as a foldable binary literal, and the probe is the
+    * codegen'd BloomFilterMightContain over xxhash64(fp) — the exact
+    * machinery Spark's own runtime-filter injection uses, driven
+    * explicitly. Spec asserts: result ≡ d9 row-for-row, zero false
+    * negatives, and the maybe-sliver is a small fraction of the batch. */
+  def d15BloomDedup(s: SparkSession, dir: String): DataFrame = {
+    val probe = d15Probe(s, dir)
+    val existingFp = base(s, dir).filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+    val definitelyNew = probe.filter(!col("maybe")).select("doc_id", "fp")
+    val survivors = probe.filter(col("maybe")).select("doc_id", "fp")
+      .join(existingFp, Seq("fp"), "left_anti")
+    definitelyNew.unionByName(survivors)
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
+      .select("doc_id", "fp", "batch_copies")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: identical to d9's — d15 is the same report computed the way
+    * a 100 TB deployment computes it. */
+  val d15Sql: String = d9Sql
+
   /** d14: CLUSTER-keyed train/validation split — the FIX d13's audit
     * exists to motivate: instead of splitting by document (which strands
     * the two halves of a near-dup pair on opposite sides of the split),
@@ -874,7 +942,11 @@ object Dedup {
     * keys on the rep ID rather than rep text so no second corpus pass
     * is needed to fetch representative content. */
   def d14ClusterSplit(s: SparkSession, dir: String): DataFrame = {
-    val pairs = d3Pairs(s, dir)
+    // the pair sliver feeds BOTH the CC loop and the audit joins —
+    // materialize it once (sliver-sized; ContextCleaner reclaims it when
+    // the result frame dies) instead of paying the corpus-wide LSH pass
+    // twice, which at 100 TB would double the operator's dominant term
+    val pairs = d3Pairs(s, dir).localCheckpoint()
     val labels = connectedComponents(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     val split = corpusNear(s, dir).select(col("doc_id"))

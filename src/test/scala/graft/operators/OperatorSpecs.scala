@@ -305,6 +305,38 @@ class DedupSpec extends SparkSpec {
     assert(nPairs == Dedup.d13SplitLeakage(spark, sfDir).head().getLong(2))
   }
 
+  test("d15 bloom-prefiltered dedup: identical to d9, no false negatives, real pruning") {
+    val d15 = Dedup.d15BloomDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val d9 = Dedup.d9IncrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(d15 == d9, "bloom path must be result-identical to the exact anti-join")
+    // probe properties: maybe=false rows are provably absent from the
+    // existing corpus (no false negatives) ...
+    val probe = Dedup.d15Probe(spark, sfDir)
+      .select("doc_id", "fp", "maybe").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val existingFp = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+    probe.filter(!_._3).foreach { case (id, fp, _) =>
+      assert(!existingFp.contains(fp), s"false negative: doc $id fp in corpus but maybe=false")
+    }
+    // ... every true re-crawl is caught ...
+    probe.filter(p => existingFp.contains(p._2)).foreach { case (id, _, maybe) =>
+      assert(maybe, s"doc $id is a re-crawl but bloom said definitely-new")
+    }
+    // ... and the maybe-sliver is actually a sliver: true hits + tiny FP
+    // margin, far below the batch size (the point of the pre-filter)
+    val trueHits = probe.count(p => existingFp.contains(p._2))
+    val maybes = probe.count(_._3)
+    assert(maybes < probe.length / 2,
+      s"pre-filter prunes nothing: $maybes maybe of ${probe.length}")
+    assert(maybes - trueHits <= probe.length / 100 + 2,
+      s"false-positive rate too high: ${maybes - trueHits} of ${probe.length}")
+  }
+
   test("d11 survivor set is codebook-independent (trained k-means codebook)") {
     val baseIds = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
