@@ -95,6 +95,7 @@ object SparkEntry {
     "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
     "d14_cluster_split" -> (Dedup.d14ClusterSplit _),
     "d15_bloom_dedup"   -> (Dedup.d15BloomDedup _),
+    "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -250,6 +251,7 @@ object SparkEntry {
     "d13_split_leakage" -> Dedup.d13Sql,
     "d14_cluster_split" -> Dedup.d14Sql,
     "d15_bloom_dedup"   -> Dedup.d15Sql,
+    "p1_pipeline_budget" -> Corpus.p1Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

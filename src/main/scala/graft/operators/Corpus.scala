@@ -242,4 +242,68 @@ object Corpus {
        | cast(sum(copies) AS bigint) AS n_copies,
        | cast(sum(copies) * 1000000 // count(*) AS bigint) AS achieved_ppm
        |FROM c GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---- p1: composed pipeline — screen → dedup → per-domain budget ----
+
+  /** p1: the COMPOSED pretraining-data pipeline in one query — the
+    * end-to-end report every data team runs before a training cut:
+    * quality-screen the raw crawl (token-count bounds + stopword
+    * presence, the cheap Gopher-style gate), collapse exact duplicates
+    * (d1's fp rule, min doc_id wins), then report the per-(lang, source)
+    * TRAINING BUDGET: surviving docs, surviving tokens, raw input docs,
+    * and the keep rate in exact integer ppm. Demonstrates that the
+    * engine's screens and dedup compose into a single plan rather than
+    * existing as isolated queries.
+    *
+    * Single-pass design: the screen is MAP-ONLY (rides the scan); the
+    * dedup is ONE map-combined fp aggregate that carries the survivor's
+    * metadata via min(struct(doc_id, ...)) AND the pre-dedup copy count
+    * (cnt) — so the raw-input denominator needs NO second corpus pass;
+    * the domain rollup is group-count-bound. No joins, no windows: scan
+    * → map → fp agg → domain agg. Exact copies inherit their origin's
+    * metadata, so attributing collapsed copies to the survivor's domain
+    * is exact. */
+  def p1PipelineBudget(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang", "source")
+    val corpus = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"), col("source")))
+    val screened = corpus
+      .withColumn("tok",
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long"))
+      .filter(col("tok") >= 10 && col("tok") <= 2000 &&
+        lower(col("text")).rlike("\\b(the|a|of|and|to|in|is)\\b"))
+    screened
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("tok"))).as("k"),
+        count(lit(1)).as("cnt"))
+      .groupBy(col("k.lang").as("lang"), col("k.source").as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k.tok")).as("n_tokens"),
+        sum(col("cnt")).as("n_input"))
+      .withColumn("kept_ppm", expr("n_docs * 1000000 div n_input"))
+      .orderBy("lang", "source")
+  }
+
+  val p1Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text, lang, source
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |screened AS (
+      |  SELECT doc_id, text, lang, source,
+      |    cast(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS bigint) AS tok
+      |  FROM corpus
+      |  WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) BETWEEN 10 AND 2000
+      |    AND regexp_matches(lower(text), '\b(the|a|of|and|to|in|is)\b')),
+      |surv AS (
+      |  SELECT md5(text) AS fp,
+      |    min_by(lang, doc_id) AS lang, min_by(source, doc_id) AS source,
+      |    min_by(tok, doc_id) AS tok, count(*) AS cnt
+      |  FROM screened GROUP BY fp)
+      |SELECT lang, source, count(*) AS n_docs,
+      | cast(sum(tok) AS bigint) AS n_tokens,
+      | cast(sum(cnt) AS bigint) AS n_input,
+      | cast(count(*) * 1000000 // sum(cnt) AS bigint) AS kept_ppm
+      |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin
 }

@@ -101,4 +101,35 @@ class CorpusSpec extends SparkSpec {
     // no RNG anywhere: a second run reproduces the counts exactly
     assert(Corpus.t16ApplyMixture(spark, sfDir).collect().toSeq == rows.toSeq)
   }
+
+  test("p1 composed pipeline matches a driver-side screen→dedup→rollup recompute") {
+    val got = Corpus.p1PipelineBudget(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    // independent recompute with plain Scala
+    val wordRe = "[a-z0-9]+".r
+    val base = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val corpus = base ++ base.filter(_._1 % 10 == 0)
+      .map { case (id, t, l, src) => (id + 100000L, t, l, src) }
+    val stopRe = "\\b(the|a|of|and|to|in|is)\\b".r
+    val screened = corpus.map { case (id, t, l, src) =>
+      (id, t, l, src, wordRe.findAllIn(t.toLowerCase).size.toLong)
+    }.filter { case (_, t, _, _, tok) =>
+      tok >= 10 && tok <= 2000 && stopRe.findFirstIn(t.toLowerCase).isDefined
+    }
+    val want = screened.groupBy(_._2).values.map { g =>
+      val s = g.minBy(_._1) // survivor = min doc_id
+      (s._3, s._4, s._5, g.size.toLong)
+    }.toSeq.groupBy(s => (s._1, s._2)).map { case (k, ss) =>
+      val (nDocs, nTokens, nInput) = (ss.size.toLong, ss.map(_._3).sum, ss.map(_._4).sum)
+      k -> ((nDocs, nTokens, nInput, nDocs * 1000000L / nInput))
+    }
+    assert(got == want, s"pipeline divergence: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    // planted exact dups actually collapsed somewhere
+    assert(got.values.exists { case (n, _, in, _) => in > n },
+      "no domain shows collapsed duplicates")
+  }
 }
