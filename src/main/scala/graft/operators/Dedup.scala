@@ -865,28 +865,44 @@ object Dedup {
     * not in the existing corpus — Bloom filters have no false
     * negatives). Split out so the spec can assert the pruning
     * properties directly. */
-  private[operators] def d15Probe(s: SparkSession, dir: String): DataFrame = {
+  /** Bloom-probe core over ANY (existingFp: one `fp` column, batch:
+    * `doc_id`+`fp`) pair — factored out so fixtures can drive the edge
+    * cases the driver corpus never produces (empty index, all-new batch).
+    *
+    * Distributed build: each partition folds its fps into a local sketch,
+    * partials OR together — ONE compact binary row. Delivered to the
+    * probe as a SCALAR SUBQUERY (the mechanics Spark's own runtime-filter
+    * injection uses): evaluated once per query, passed to executors by
+    * reference — never a megabyte literal in the generated code, never a
+    * driver collect in the operator body.
+    *
+    * The `coalesce(..., false)` guards the EMPTY-INDEX case: an empty
+    * aggregate yields a NULL sketch, might_contain(NULL, x) is NULL, and
+    * without the guard BOTH probe branches (maybe / !maybe) would drop
+    * every row — silently emptying the batch. NULL collapses to "not in
+    * the index", which is exactly what an empty index means
+    * (fixture-asserted). */
+  private[operators] def bloomProbe(existingFp: DataFrame, batch: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
     import org.apache.spark.sql.graftshim.Shim
-    val existingFp = base(s, dir).filter(col("doc_id") < 400)
-      .select(md5(col("text").cast("binary")).as("fp"))
-    // distributed build: each partition folds its fps into a local sketch,
-    // partials OR together — ONE compact binary row. Delivered to the
-    // probe as a SCALAR SUBQUERY (the mechanics Spark's own runtime-filter
-    // injection uses): evaluated once per query, passed to executors by
-    // reference — never a megabyte literal in the generated code, never a
-    // driver collect in the operator body.
     val bfAgg = new BloomFilterAggregate(
       new XxHash64(Seq(Shim.expression(col("fp"))), 42L),
       Literal(1000000L), Literal(8L * 1024 * 1024))
     val bloomPlan = Shim.logicalPlan(
       existingFp.select(Shim.column(bfAgg.toAggregateExpression()).as("bf")))
-    d9NewBatch(s, dir)
-      .withColumn("fp", md5(col("text").cast("binary")))
-      .withColumn("maybe", Shim.column(BloomFilterMightContain(
+    batch.withColumn("maybe", coalesce(
+      Shim.column(BloomFilterMightContain(
         ScalarSubquery(bloomPlan),
-        new XxHash64(Seq(Shim.expression(col("fp"))), 42L))))
+        new XxHash64(Seq(Shim.expression(col("fp"))), 42L))),
+      lit(false)))
+  }
+
+  private[operators] def d15Probe(s: SparkSession, dir: String): DataFrame = {
+    val existingFp = base(s, dir).filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")).as("fp"))
+    bloomProbe(existingFp,
+      d9NewBatch(s, dir).withColumn("fp", md5(col("text").cast("binary"))))
   }
 
   /** d15: BLOOM-PREFILTERED incremental dedup — d9's exact semantics

@@ -337,6 +337,28 @@ class DedupSpec extends SparkSpec {
       s"false-positive rate too high: ${maybes - trueHits} of ${probe.length}")
   }
 
+  test("bloomProbe against an EMPTY index keeps the whole batch (null-sketch guard)") {
+    import spark.implicits._
+    val existing = Seq.empty[String].toDF("fp")
+    val batch = Seq((1L, "aa"), (2L, "bb")).toDF("doc_id", "fp")
+    val rows = Dedup.bloomProbe(existing, batch)
+      .select("doc_id", "maybe").collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(rows.toSet == Set((1L, false), (2L, false)),
+      s"empty index must mark every row definitely-new, got ${rows.toSeq}")
+  }
+
+  test("bloomProbe flags every indexed fp and keeps an all-new batch intact") {
+    import spark.implicits._
+    val existing = Seq("x1", "x2", "x3").toDF("fp")
+    val hits = Seq((1L, "x1"), (2L, "x3")).toDF("doc_id", "fp")
+    assert(Dedup.bloomProbe(existing, hits).select("maybe")
+      .collect().forall(_.getBoolean(0)), "an indexed fp must probe maybe=true")
+    val misses = Seq((3L, "y1"), (4L, "y2"), (5L, "y3")).toDF("doc_id", "fp")
+    // tiny universe: FPs astronomically unlikely at 8M bits / 3 items
+    assert(Dedup.bloomProbe(existing, misses).select("maybe")
+      .collect().forall(!_.getBoolean(0)), "an all-new batch must pass untouched")
+  }
+
   test("d11 survivor set is codebook-independent (trained k-means codebook)") {
     val baseIds = graft.Tables.embeddings(spark, sfDir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
