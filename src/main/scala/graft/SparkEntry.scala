@@ -58,6 +58,7 @@ object SparkEntry {
     "s3_knn_join"       -> (Similarity.s3KnnJoin _),
     "s4_ivf_topk"       -> (Similarity.s4IvfTopK _),
     "s5_filtered_ann"   -> (Similarity.s5FilteredTopK _),
+    "s6_recall_eval"    -> (Similarity.s6RecallEval _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
@@ -217,6 +218,7 @@ object SparkEntry {
     "s3_knn_join"         -> Similarity.s3Sql,
     "s4_ivf_topk"         -> Similarity.s4Sql,
     "s5_filtered_ann"     -> Similarity.s5Sql,
+    "s6_recall_eval"      -> Similarity.s6Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v3_index_stats"      -> Similarity.v3Sql,

@@ -265,6 +265,48 @@ object Similarity {
       .agg(count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_checksum"))
       .orderBy("label")
 
+  /** s6: ANN RECALL EVALUATION — the index-tuning loop every vector
+    * deployment runs: score each approximate method (s2's LSH buckets,
+    * s4's IVF probe) against s1's brute-force ground truth and report
+    * recall@k in exact integer ppm. This is how nlist/nprobe/band
+    * hyperparameters actually get chosen; making it a first-class query
+    * means the evaluation runs where the index lives instead of in a
+    * notebook.
+    *
+    * Scale: the underlying queries are sample-bound by construction
+    * (queries × k rows each); the hit-counting semi-joins and the
+    * one-row totals all operate on those slivers, so the eval adds
+    * nothing corpus-shaped beyond the index queries it measures. */
+  def s6RecallEval(s: SparkSession, dir: String): DataFrame = {
+    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor")
+    def row(method: String, approx: DataFrame): DataFrame =
+      approx.select("qid", "neighbor")
+        .join(truth, Seq("qid", "neighbor"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("total"))))
+        .select(lit(method).as("method"), col("hits"), col("total"),
+          expr("hits * 1000000 div total").as("recall_ppm"))
+    row("ivf", s4IvfTopK(s, dir))
+      .unionByName(row("lsh", s2LshTopK(s, dir)))
+      .orderBy("method")
+  }
+
+  lazy val s6Sql: String =
+    s"""WITH truth AS ($s1Sql),
+       |lsh AS ($s2Sql),
+       |ivf AS ($s4Sql),
+       |tot AS (SELECT count(*) AS total FROM truth),
+       |h AS (
+       |  SELECT 'ivf' AS method, count(*) AS hits
+       |  FROM ivf JOIN truth USING (qid, neighbor)
+       |  UNION ALL
+       |  SELECT 'lsh' AS method, count(*) AS hits
+       |  FROM lsh JOIN truth USING (qid, neighbor))
+       |SELECT method, cast(hits AS bigint) AS hits,
+       | cast(total AS bigint) AS total,
+       | cast(hits * 1000000 // total AS bigint) AS recall_ppm
+       |FROM h CROSS JOIN tot ORDER BY method""".stripMargin
+
   // ---- oracle SQL (same constants, independent engine) ----
 
   val s1Sql: String =

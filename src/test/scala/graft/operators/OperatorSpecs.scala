@@ -67,6 +67,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s6 recall equals a recompute from the component queries") {
+    val rows = Similarity.s6RecallEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val truth = Similarity.s1BruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame): Long = df.collect()
+      .count(r => truth.contains((r.getLong(0), r.getLong(2)))).toLong
+    val want = Map(
+      "ivf" -> hits(Similarity.s4IvfTopK(spark, sfDir)),
+      "lsh" -> hits(Similarity.s2LshTopK(spark, sfDir)))
+    assert(rows.keySet == want.keySet)
+    rows.foreach { case (m, (h, t, ppm)) =>
+      assert(t == truth.size.toLong, s"$m total")
+      assert(h == want(m), s"$m hits: got $h want ${want(m)}")
+      assert(ppm == h * 1000000L / t, s"$m ppm arithmetic")
+      // lsh recall can legitimately be 0 at tiny scale factors (hyperplane
+      // buckets shatter a sparse corpus) — that is exactly the signal the
+      // eval exists to surface, so only the upper bound is structural
+      assert(h <= t, s"$m recall out of range")
+    }
+    // IVF probes the true nearest centroid's list, so it recalls at
+    // least something at every scale factor
+    assert(rows("ivf")._1 >= 1, "ivf recall unexpectedly zero")
+  }
+
   test("v1 upsert preserves the key count (no duplicate vec_ids)") {
     val total = Similarity.v1Upsert(spark, sfDir).agg(sum("cnt")).head().getLong(0)
     assert(total == graft.Tables.embeddings(spark, sfDir).count())
