@@ -96,6 +96,7 @@ object SparkEntry {
     "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
     "d14_cluster_split" -> (Dedup.d14ClusterSplit _),
     "d15_bloom_dedup"   -> (Dedup.d15BloomDedup _),
+    "d16_dup_profile"   -> (Dedup.d16DupProfile _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
@@ -107,6 +108,7 @@ object SparkEntry {
     "e8_debounce"       -> (Events.e8Debounce _),
     "e9_churn"          -> (Events.e9Churn _),
     "e10_anomaly_days"  -> (Events.e10AnomalyDays _),
+    "e11_gap_percentiles" -> (Events.e11GapPercentiles _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
   )
@@ -253,6 +255,7 @@ object SparkEntry {
     "d13_split_leakage" -> Dedup.d13Sql,
     "d14_cluster_split" -> Dedup.d14Sql,
     "d15_bloom_dedup"   -> Dedup.d15Sql,
+    "d16_dup_profile"   -> Dedup.d16Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
@@ -264,6 +267,7 @@ object SparkEntry {
     "e8_debounce"       -> Events.e8Sql,
     "e9_churn"          -> Events.e9Sql,
     "e10_anomaly_days"  -> Events.e10Sql,
+    "e11_gap_percentiles" -> Events.e11Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
   )

@@ -797,6 +797,58 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d16: DUPLICATION PROFILE — the corpus-health report a dedup run is
+    * judged by (the cluster-size histogram in every dedup writeup): how
+    * many near-dup clusters exist at each size, and how many documents
+    * they absorb. Size-1 row = documents that collide in no LSH band
+    * (the unique mass); sizes ≥ 2 come from connected components over
+    * the d3 candidate graph. sum(n_docs) over the profile = |corpus|
+    * (spec-asserted conservation, the d12 invariant).
+    *
+    * Plan: components are collision-sliver-bound; the singleton count is
+    * two one-row aggregates (corpus count − labeled count) cross-joined —
+    * the corpus-sized table contributes ONE map-combined count, no join.
+    * The histogram is a double group-count-bound rollup (label → size →
+    * histogram). */
+  def d16DupProfile(s: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(d3Pairs(s, dir)
+      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val hist = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+      .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
+      .select(col("csize"), col("n_clusters"),
+        (col("csize") * col("n_clusters")).as("n_docs"))
+    val singles = corpusNear(s, dir).agg(count(lit(1)).as("nc"))
+      .crossJoin(broadcast(labels.agg(count(lit(1)).as("nl"))))
+      .select(lit(1L).as("csize"), (col("nc") - col("nl")).as("n_clusters"),
+        (col("nc") - col("nl")).as("n_docs"))
+    singles.unionByName(hist).orderBy("csize")
+  }
+
+  /** Oracle: d3 pairs + recursive closure (the d12 pattern), sizes
+    * histogram, singleton row from the two counts. */
+  lazy val d16Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3PairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labels AS (SELECT u AS id, min(v) AS label FROM reach GROUP BY u),
+       |sizes AS (SELECT label, count(*) AS csize FROM labels GROUP BY label),
+       |hist AS (
+       |  SELECT csize, count(*) AS n_clusters, csize * count(*) AS n_docs
+       |  FROM sizes GROUP BY csize),
+       |corpus AS ($corpusNearSql)
+       |SELECT cast(1 AS bigint) AS csize,
+       |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM labels) AS n_clusters,
+       |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM labels) AS n_docs
+       |UNION ALL
+       |SELECT cast(csize AS bigint), cast(n_clusters AS bigint), cast(n_docs AS bigint)
+       |FROM hist
+       |ORDER BY csize""".stripMargin
+
   /** Train fraction of the d13 content-hash split, in ppm. */
   val TrainPpm = 900000L
 

@@ -387,6 +387,53 @@ object Events {
        |FROM per CROSS JOIN tot
        |ORDER BY user_id""".stripMargin
 
+  /** e11: inter-event GAP percentiles per event type — the
+    * re-engagement-latency distribution (how long until the same user
+    * fires the same event again): gap = time since the user's previous
+    * event of the same type, then EXACT rank-based p50/p95 per type via
+    * the q15 two-pass quantile machinery. The debounce interval (e8),
+    * session gap (e1), and churn threshold (e9) are all tuned off this
+    * distribution — it closes the loop on those operators' constants.
+    *
+    * Scale: the lag window runs on the HIGH-cardinality (user, type)
+    * composite key (per-user-per-type history slices — the e8 shape);
+    * the quantile passes are histogram-bucket- and group-count-bound
+    * (see Quantiles.exactGroupedQuantiles), never a per-type global
+    * sort. Gaps are exact micros cast to double (< 2^53, lossless). */
+  def e11GapPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val gaps = Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", (col("us") - lag(col("us"), 1).over(w)).cast("double"))
+      .filter(col("gap").isNotNull)
+      .select("event_type", "gap")
+    Quantiles.exactGroupedQuantiles(gaps, key = "event_type", value = "gap",
+        probs = Seq("p50" -> 0.5, "p95" -> 0.95))
+      .groupBy("event_type")
+      .agg(max(when(col("which") === "p50", col("v"))).as("p50_gap_us"),
+           max(when(col("which") === "p95", col("v"))).as("p95_gap_us"),
+           max(col("n_events")).as("n_gaps"))
+      .orderBy("event_type")
+  }
+
+  val e11Sql: String =
+    """WITH g AS (
+      | SELECT event_type,
+      |  cast(us - lag(us) OVER (PARTITION BY user_id, event_type
+      |                          ORDER BY us, event_id) AS double) AS gap
+      | FROM (SELECT event_type, user_id, event_id, epoch_us(ts) AS us FROM events)),
+      |v AS (
+      | SELECT event_type, gap,
+      |  row_number() OVER (PARTITION BY event_type ORDER BY gap) AS rn,
+      |  count(*) OVER (PARTITION BY event_type) AS n
+      | FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type,
+      | max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN gap END) AS p50_gap_us,
+      | max(CASE WHEN rn = cast(ceil(0.95 * n) AS bigint) THEN gap END) AS p95_gap_us,
+      | count(*) AS n_gaps
+      |FROM v GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Trailing-window length for e10's baseline statistics. */
   val ZWin = 7
 

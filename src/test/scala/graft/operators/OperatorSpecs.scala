@@ -362,6 +362,27 @@ class DedupSpec extends SparkSpec {
       s"false-positive rate too high: ${maybes - trueHits} of ${probe.length}")
   }
 
+  test("d16 duplication profile conserves the corpus and agrees with d12") {
+    val rows = Dedup.d16DupProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.head._1 == 1L, "profile must start at size 1")
+    rows.foreach { case (cs, nc, nd) =>
+      assert(nd == cs * nc, s"size-$cs row: $nd docs != $cs * $nc")
+    }
+    // conservation: the profile partitions the corpus (the d12 invariant)
+    val corpusSize = graft.Tables.documents(spark, sfDir).count() +
+      graft.Tables.documents(spark, sfDir).filter(col("doc_id") % 10 === 0).count()
+    assert(rows.map(_._3).sum == corpusSize)
+    // sizes >= 2 clusters match d12's surviving-doc dup counts: a cluster
+    // of size k surfaces in d12 as one survivor with k-1 collapsed dups
+    val d12Sizes = Dedup.d12FuzzyDedup(spark, sfDir).collect()
+      .map(_.getLong(1)).filter(_ > 0).map(_ + 1)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.filter(_._1 >= 2).foreach { case (cs, nc, _) =>
+      assert(d12Sizes.getOrElse(cs, 0L) == nc, s"size-$cs cluster count vs d12")
+    }
+  }
+
   test("bloomProbe against an EMPTY index keeps the whole batch (null-sketch guard)") {
     import spark.implicits._
     val existing = Seq.empty[String].toDF("fp")
@@ -536,6 +557,26 @@ class SpikeDaysSpec extends SparkSpec {
     }
     // daily counts partition the events table
     assert(rows.map(_._3).sum == graft.Tables.events(spark, sfDir).count())
+  }
+
+  test("e11 gap percentiles match a driver-side exact-rank recompute") {
+    val got = Events.e11GapPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val evs = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((et, _), rs) =>
+      rs.toSeq.sortBy(r => (r._4, r._3)).sliding(2).collect {
+        case Seq(a, b) => et -> (b._4 - a._4).toDouble
+      }
+    }.groupBy(_._1).map { case (et, gs) =>
+      val sorted = gs.map(_._2).sorted
+      def pct(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+      et -> ((pct(0.5), pct(0.95), sorted.length.toLong))
+    }
+    assert(got == want, s"divergence: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
   }
 
   test("e10 z-scores match a driver-side recompute of the trailing-window stats") {
