@@ -91,7 +91,9 @@ object SparkEntry {
     "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),
     "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),
     "d10_line_dedup"    -> (Dedup.d10LineDedup _),
-    "d11_semantic_dedup" -> (Dedup.d11SemanticDedup _),
+    // registered default is the salted dominance join — identical output
+    // to the broadcast form (spec-asserted), nothing corpus-sized broadcast
+    "d11_semantic_dedup" -> ((s, dir) => Dedup.d11SemanticDedupSalted(s, dir)),
     "d12_fuzzy_dedup"   -> (Dedup.d12FuzzyDedup _),
     "d13_split_leakage" -> (Dedup.d13SplitLeakage _),
     "d14_cluster_split" -> (Dedup.d14ClusterSplit _),

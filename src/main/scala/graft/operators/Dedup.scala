@@ -662,8 +662,9 @@ object Dedup {
   /** Dominance test: survivor = no lower-id neighbor with cosine > 0.99
     * in its cluster (τ reuses d5's validated margin — planted copies
     * score ~1, nothing organic crosses 0.99). The corpus-as-build-side
-    * broadcast is fine at this size and wrong at 100 TB — the scale path
-    * is [[d11SurvivorsSalted]], same output (spec-asserted). */
+    * broadcast is fine at small data and wrong at 100 TB, so this form
+    * is the small-data VARIANT only; the registered default is
+    * [[d11SurvivorsSalted]], same output (spec-asserted). */
   private def d11Survivors(assigned: DataFrame): DataFrame = {
     import graft.functions.{VectorExpressions => V}
     val earlier = assigned
@@ -710,12 +711,21 @@ object Dedup {
     * namespace (controllers/embeddingController.js:10-57).
     *
     * Stages: trained medoid codebook → map-only NearestIndex assignment
-    * → anti-join dominance test → surviving corpus (never a pair list). */
+    * → anti-join dominance test → surviving corpus (never a pair list).
+    *
+    * This broadcast-dominance form is the SMALL-DATA variant (the corpus
+    * is the broadcast build side); the registered `d11_semantic_dedup`
+    * query is [[d11SemanticDedupSalted]], which plans the same output
+    * with a shuffled salted anti-join instead. */
   def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
     d11Survivors(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)))
 
-  /** d11 with the salted dominance join — identical output, no corpus
-    * broadcast (spec-asserted equal to [[d11SemanticDedup]]). */
+  /** d11 with the salted dominance join — identical output to
+    * [[d11SemanticDedup]] (spec-asserted), no corpus-sized broadcast
+    * anywhere in the plan (plan-asserted). This is the registered
+    * default: at 100 TB the corpus can never be a broadcast build side,
+    * while the codebook (one row) and the per-label centroid frame stay
+    * broadcast-safe at any corpus size. */
   def d11SemanticDedupSalted(s: SparkSession, dir: String, salts: Int = 8): DataFrame =
     d11SurvivorsSalted(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)), salts)
 
