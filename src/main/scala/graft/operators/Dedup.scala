@@ -721,11 +721,14 @@ object Dedup {
     d11Survivors(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)))
 
   /** d11 with the salted dominance join — identical output to
-    * [[d11SemanticDedup]] (spec-asserted), no corpus-sized broadcast
-    * anywhere in the plan (plan-asserted). This is the registered
-    * default: at 100 TB the corpus can never be a broadcast build side,
-    * while the codebook (one row) and the per-label centroid frame stay
-    * broadcast-safe at any corpus size. */
+    * [[d11SemanticDedup]] (spec-asserted, OperatorSpecs "d11 salted
+    * dominance", auto-broadcast disabled so the shuffled path is the one
+    * validated), no corpus-sized broadcast anywhere in the plan
+    * (plan-asserted, ScaleSpecs SemanticDedupPlanSpec: the dominance
+    * anti-join must be a shuffled join, never BroadcastHashJoin). This is
+    * the registered default: at 100 TB the corpus can never be a
+    * broadcast build side, while the codebook (one row) and the
+    * per-label centroid frame stay broadcast-safe at any corpus size. */
   def d11SemanticDedupSalted(s: SparkSession, dir: String, salts: Int = 8): DataFrame =
     d11SurvivorsSalted(d11Assign(d11Corpus(s, dir), d11MedoidCodebook(s, dir)), salts)
 

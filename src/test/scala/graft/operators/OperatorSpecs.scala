@@ -278,9 +278,18 @@ class DedupSpec extends SparkSpec {
   test("d11 salted dominance scale path returns identical survivors") {
     val broadcastForm = Dedup.d11SemanticDedup(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1))).toSeq
-    val saltedForm = Dedup.d11SemanticDedupSalted(spark, sfDir, salts = 4).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSeq
-    assert(saltedForm == broadcastForm)
+    // with auto-broadcast disabled the salted form must take its real
+    // shuffled anti-join path (at this corpus size the replicated build
+    // side is tiny enough that the default 10 MB threshold would quietly
+    // auto-broadcast it, validating the wrong plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val saltedForm = Dedup.d11SemanticDedupSalted(spark, sfDir, salts = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(saltedForm == broadcastForm)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
   }
 
   test("d12 fuzzy dedup conserves the corpus and collapses planted near-dups") {

@@ -94,3 +94,32 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 }
+
+class SemanticDedupPlanSpec extends SparkSpec {
+  test("registered d11 plan never broadcasts anything corpus-sized") {
+    // auto-broadcast off: whatever broadcasts now does so only via an
+    // explicit hint — i.e. the one-row codebook and the per-label centroid
+    // frame, both bounded at any corpus size. The dominance anti-join
+    // (the only corpus×corpus-shaped operator) must plan as a SHUFFLED
+    // join on (cid, salt): a BroadcastHashJoin LeftAnti here would mean
+    // the corpus itself became a broadcast build side — the r6
+    // scale-killer this assertion exists to keep dead.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.SparkEntry.queries("d11_semantic_dedup")(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"dominance anti-join missing:\n$plan")
+      assert(!"""BroadcastHashJoin[^\n]*LeftAnti""".r.findFirstIn(plan).isDefined,
+        s"dominance anti-join broadcasts a corpus-sized side:\n$plan")
+      // the broadcasts that remain are the hinted bounded frames, and the
+      // corpus parquet scan must not feed any of them: every
+      // BroadcastExchange subtree in the formatted plan reads embeddings
+      // only under the codebook/centroid aggregates (one-row / per-label)
+      val antiIsShuffled = """(SortMergeJoin|ShuffledHashJoin)[^\n]*LeftAnti""".r
+        .findFirstIn(plan).isDefined
+      assert(antiIsShuffled, s"anti-join is neither sort-merge nor shuffled-hash:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+}
