@@ -274,16 +274,27 @@ object Similarity {
     * notebook.
     *
     * Scale: the underlying queries are sample-bound by construction
-    * (queries × k rows each); the hit-counting semi-joins and the
-    * one-row totals all operate on those slivers, so the eval adds
-    * nothing corpus-shaped beyond the index queries it measures. */
+    * (queries × k rows each); the hit-counting joins and the one-row
+    * totals all operate on those slivers, so the eval adds nothing
+    * corpus-shaped beyond the index queries it measures.
+    *
+    * The brute-force ground truth — the O(queries × corpus) scan that
+    * dominates the eval's cost — is materialized ONCE (localCheckpoint
+    * of a queries × k sliver) and every downstream reference reads the
+    * materialized rows; without this, the truth subtree would be inlined
+    * at each of its references and the most expensive scan in the query
+    * would run once per reference (plan-asserted: the s6 physical plan
+    * holds exactly two RDD scans — the one truth sliver, read once per
+    * method — and no duplicated brute-force subtree;
+    * SimilarityPlanSpec). Each method row then needs truth only once:
+    * hits and total come from a single left join + one aggregate over
+    * the sliver (count(*) = |truth|, count(hit) = |approx ∩ truth|). */
   def s6RecallEval(s: SparkSession, dir: String): DataFrame = {
-    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor")
+    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor").localCheckpoint()
     def row(method: String, approx: DataFrame): DataFrame =
-      approx.select("qid", "neighbor")
-        .join(truth, Seq("qid", "neighbor"), "left_semi")
-        .agg(count(lit(1)).as("hits"))
-        .crossJoin(broadcast(truth.agg(count(lit(1)).as("total"))))
+      truth.join(approx.select(col("qid"), col("neighbor"), lit(1).as("hit")),
+          Seq("qid", "neighbor"), "left")
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("total"))
         .select(lit(method).as("method"), col("hits"), col("total"),
           expr("hits * 1000000 div total").as("recall_ppm"))
     row("ivf", s4IvfTopK(s, dir))

@@ -123,3 +123,17 @@ class SemanticDedupPlanSpec extends SparkSpec {
     }
   }
 }
+
+class SimilarityPlanSpec extends SparkSpec {
+  test("s6 materializes the brute-force truth once (two RDD reads, no inlined subtree)") {
+    // the truth sliver is localCheckpoint'd: the physical plan must read
+    // it as an RDD scan exactly twice (once per method row) instead of
+    // inlining the O(queries x corpus) brute-force subtree at each
+    // reference — before this materialization the subtree appeared four
+    // times (two semi-joins + two total counts)
+    val plan = Similarity.s6RecallEval(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).length
+    assert(rddScans == 2, s"expected exactly 2 truth reads, got $rddScans:\n$plan")
+  }
+}
