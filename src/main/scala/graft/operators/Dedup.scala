@@ -778,6 +778,35 @@ object Dedup {
       |                               CAST(b.embedding AS DOUBLE[])) > 0.99)
       |ORDER BY vec_id""".stripMargin
 
+  /** The dedup family's SHARED ARTIFACT: the d3 LSH collision sliver
+    * (candidate pairs) and its connected-component labels, computed once
+    * per (session, corpus dir) and reused by every consumer — d12
+    * (surviving corpus), d13 (split audit), d14 (cluster split), d16
+    * (duplication profile). A real pipeline runs these as one job over
+    * one corpus; before this artifact each query independently re-paid
+    * the corpus-wide LSH pass and (except d13) its own CC loop — at
+    * 100 TB that dominant term was being paid four times for identical
+    * results. Both frames are sliver-bound: pairs = band collisions,
+    * labels = one row per colliding doc; `pairs` is localCheckpoint'd
+    * and `labels` is the CC loop's final checkpoint, so every reuse
+    * reads materialized rows instead of re-deriving the lineage.
+    *
+    * Memoization is keyed on the exact (SparkSession, dir) identity:
+    * a new session or corpus recomputes; entries live for the session
+    * (bounded — two sliver-sized persisted frames per corpus). */
+  private val clusterArtifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** (pairs, labels) for the corpusNear LSH collision graph — see
+    * [[clusterArtifactCache]]. */
+  private[operators] def clusterArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    clusterArtifactCache.getOrElseUpdate((s, dir), {
+      val pairs = d3Pairs(s, dir).localCheckpoint()
+      val labels = connectedComponents(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      (pairs, labels)
+    })
+
   /** d12: end-to-end FUZZY DEDUP — the full MinHash pipeline a web-scale
     * text corpus actually runs (the FineWeb/RefinedWeb recipe): d3's LSH
     * candidate pairs → connected components → keep the MIN-id document of
@@ -785,17 +814,16 @@ object Dedup {
     * duplicate count. d3 reports candidate pairs and d7 reports cluster
     * labels; d12 is the actionable artifact — the deduplicated corpus.
     *
-    * Plan: pairs and components are activity-bound (docs that collide in
-    * some LSH band — a sliver of the corpus); the only corpus-sized
-    * operation is one doc_id-keyed left join of the corpus against that
-    * sliver. Conservation invariant (spec-asserted): every corpus doc is
+    * Plan: pairs and components come from the family's shared
+    * [[clusterArtifact]] (activity-bound — docs that collide in some LSH
+    * band, a sliver of the corpus); the only corpus-sized operation is
+    * one doc_id-keyed left join of the corpus against that sliver.
+    * Conservation invariant (spec-asserted): every corpus doc is
     * counted exactly once — sum(n_dups + 1) over survivors = |corpus|.
     * Recall is d3's: an LSH-missed pair leaves both docs surviving, which
     * is the honest semantics of candidate-based dedup. */
   def d12FuzzyDedup(s: SparkSession, dir: String): DataFrame = {
-    val edges = d3Pairs(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val labels = connectedComponents(edges)
+    val labels = clusterArtifact(s, dir)._2
     val comp = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     // sliver joins sliver (members × their cluster size) BEFORE the corpus
     // is involved, so the corpus-sized table goes through exactly ONE
@@ -818,14 +846,14 @@ object Dedup {
     * the d3 candidate graph. sum(n_docs) over the profile = |corpus|
     * (spec-asserted conservation, the d12 invariant).
     *
-    * Plan: components are collision-sliver-bound; the singleton count is
-    * two one-row aggregates (corpus count − labeled count) cross-joined —
-    * the corpus-sized table contributes ONE map-combined count, no join.
+    * Plan: components come from the family's shared [[clusterArtifact]]
+    * (collision-sliver-bound); the singleton count is two one-row
+    * aggregates (corpus count − labeled count) cross-joined — the
+    * corpus-sized table contributes ONE map-combined count, no join.
     * The histogram is a double group-count-bound rollup (label → size →
     * histogram). */
   def d16DupProfile(s: SparkSession, dir: String): DataFrame = {
-    val labels = connectedComponents(d3Pairs(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val labels = clusterArtifact(s, dir)._2
     val hist = labels.groupBy("label").agg(count(lit(1)).as("csize"))
       .groupBy("csize").agg(count(lit(1)).as("n_clusters"))
       .select(col("csize"), col("n_clusters"),
@@ -875,7 +903,8 @@ object Dedup {
     * splitting by d12 CLUSTER instead of by document.
     *
     * Plan: the split flags ride the corpus scan (map-only hash); the
-    * audit joins the ACTIVITY-BOUND pair sliver against the corpus twice
+    * pair sliver is the family's shared [[clusterArtifact]], and the
+    * audit joins that ACTIVITY-BOUND sliver against the corpus twice
     * — keyed on doc id, so at 100 TB both joins semi-reduce the corpus
     * side to pair members before anything wide moves (the pair set is
     * broadcastable by construction: it's the d3 collision sliver).
@@ -883,7 +912,7 @@ object Dedup {
   def d13SplitLeakage(s: SparkSession, dir: String): DataFrame = {
     val split = corpusNear(s, dir).select(col("doc_id"),
       (graft.functions.Md5PrefixModF(col("text"), P) % 1000000L < TrainPpm).as("in_train"))
-    val pairs = d3Pairs(s, dir)
+    val pairs = clusterArtifact(s, dir)._1
     val sa = split.select(col("doc_id").as("doc_a"), col("in_train").as("train_a"))
     val sb = split.select(col("doc_id").as("doc_b"), col("in_train").as("train_b"))
     val audited = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -1023,13 +1052,11 @@ object Dedup {
     * keys on the rep ID rather than rep text so no second corpus pass
     * is needed to fetch representative content. */
   def d14ClusterSplit(s: SparkSession, dir: String): DataFrame = {
-    // the pair sliver feeds BOTH the CC loop and the audit joins —
-    // materialize it once (sliver-sized; ContextCleaner reclaims it when
-    // the result frame dies) instead of paying the corpus-wide LSH pass
-    // twice, which at 100 TB would double the operator's dominant term
-    val pairs = d3Pairs(s, dir).localCheckpoint()
-    val labels = connectedComponents(
-      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    // the pair sliver feeds BOTH the CC loop and the audit joins — the
+    // shared family artifact materializes it (and the labels) once per
+    // session+corpus instead of paying the corpus-wide LSH pass twice,
+    // which at 100 TB would double the operator's dominant term
+    val (pairs, labels) = clusterArtifact(s, dir)
     val split = corpusNear(s, dir).select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"),

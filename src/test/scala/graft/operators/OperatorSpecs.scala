@@ -392,6 +392,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup family shares ONE cluster artifact per (session, corpus)") {
+    // d12/d13/d14/d16 must all consume the same materialized pair sliver
+    // + label frame — the corpus-wide LSH pass and the CC loop run once
+    // per corpus, not once per report
+    val (p1, l1) = Dedup.clusterArtifact(spark, sfDir)
+    val (p2, l2) = Dedup.clusterArtifact(spark, sfDir)
+    assert((p1 eq p2) && (l1 eq l2), "artifact recomputed for the same (session, dir)")
+    // and it is the d3 pair set (not some divergent copy)
+    val fromArtifact = p1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = Dedup.d3MinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fromArtifact == direct)
+  }
+
   test("bloomProbe against an EMPTY index keeps the whole batch (null-sketch guard)") {
     import spark.implicits._
     val existing = Seq.empty[String].toDF("fp")
