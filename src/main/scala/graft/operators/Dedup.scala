@@ -240,20 +240,6 @@ object Dedup {
   def hashA(i: Int): Long = ((i + 1L) * 2654435761L) % P
   def hashB(i: Int): Long = ((i + 7L) * 40503L * 9973L) % P
 
-  /** d3: MinHash signature + banded LSH candidate pairs.
-    *
-    * The signature is ONE codegen'd expression per document
-    * ([[graft.functions.MinHashSig]] — md5-prefix base hash and all 16
-    * permutation minima in a single pass over the row), replacing the
-    * round-1 formulation's shingle explode + doc-keyed 16-min shuffle:
-    * nothing doc×shingle-shaped is ever exchanged. Candidate pairs then
-    * come from ONE shuffle of (band, key, doc_id) rows — 4 per document
-    * — into band buckets, where each bucket's sorted member list emits
-    * its pairs row-locally (the classic LSH bucket walk). No self-join,
-    * no second scan: the whole operator is map → one bucket shuffle →
-    * pair explode → distinct. Bucket lists are near-dup-group-sized by
-    * the banding guarantee (degenerate-band collapse is prevented by the
-    * wrapped multipliers above). */
   /** LSH candidate pairs over ANY (doc_id, text) corpus — the banded
     * MinHash core shared by d3 (within-corpus near-dup), t18
     * (cross-corpus decontamination, ids partitioned by side), and d14
@@ -283,6 +269,20 @@ object Dedup {
   private[operators] def d3Pairs(s: SparkSession, dir: String): DataFrame =
     lshPairs(corpusNear(s, dir))
 
+  /** d3: MinHash signature + banded LSH candidate pairs.
+    *
+    * The signature is ONE codegen'd expression per document
+    * ([[graft.functions.MinHashSig]] — md5-prefix base hash and all 16
+    * permutation minima in a single pass over the row), replacing the
+    * round-1 formulation's shingle explode + doc-keyed 16-min shuffle:
+    * nothing doc×shingle-shaped is ever exchanged. Candidate pairs then
+    * come from ONE shuffle of (band, key, doc_id) rows — 4 per document
+    * — into band buckets, where each bucket's sorted member list emits
+    * its pairs row-locally (the classic LSH bucket walk). No self-join,
+    * no second scan: the whole operator is map → one bucket shuffle →
+    * pair explode → distinct. Bucket lists are near-dup-group-sized by
+    * the banding guarantee (degenerate-band collapse is prevented by the
+    * wrapped multipliers above). */
   def d3MinHashLsh(s: SparkSession, dir: String): DataFrame =
     d3Pairs(s, dir).orderBy("doc_a", "doc_b")
 
@@ -361,6 +361,18 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Unpersist the RDD behind a localCheckpoint'd frame. Each
+    * localCheckpoint persists blocks that Spark never evicts on its own;
+    * a loop that abandons its intermediate frames without this leaks one
+    * persisted RDD per iteration for the life of the session (and a
+    * long-lived service session runs MANY such loops). Only frames that
+    * are never read again may be released — a localCheckpoint has no
+    * lineage to recompute from. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components by iterative min-label propagation over an
     * undirected edge list (u, v) — each iteration is one distributed
     * join + map-side-combined min aggregate; the loop runs until no
@@ -374,18 +386,6 @@ object Dedup {
     * propagation loop for the two-phase large-star/small-star variant
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14) — same join-shape per round, O(log n) rounds. */
-  /** Unpersist the RDD behind a localCheckpoint'd frame. Each
-    * localCheckpoint persists blocks that Spark never evicts on its own;
-    * a loop that abandons its intermediate frames without this leaks one
-    * persisted RDD per iteration for the life of the session (and a
-    * long-lived service session runs MANY such loops). Only frames that
-    * are never read again may be released — a localCheckpoint has no
-    * lineage to recompute from. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
-
   def connectedComponents(edges: DataFrame): DataFrame =
     connectedComponentsWithRounds(edges)._1
 
@@ -954,11 +954,6 @@ object Dedup {
         .select((col("doc_id") + 200000).as("doc_id"), col("text")))
   }
 
-  /** New-batch rows probed against a Bloom filter of the existing
-    * corpus's fingerprints: adds a `maybe` column (false ⇒ DEFINITELY
-    * not in the existing corpus — Bloom filters have no false
-    * negatives). Split out so the spec can assert the pruning
-    * properties directly. */
   /** Bloom-probe core over ANY (existingFp: one `fp` column, batch:
     * `doc_id`+`fp`) pair — factored out so fixtures can drive the edge
     * cases the driver corpus never produces (empty index, all-new batch).
@@ -992,6 +987,11 @@ object Dedup {
       lit(false)))
   }
 
+  /** d15's new batch probed against a Bloom filter of the existing
+    * corpus's fingerprints: adds a `maybe` column (false ⇒ DEFINITELY
+    * not in the existing corpus — Bloom filters have no false
+    * negatives). Split out so the spec can assert the pruning
+    * properties directly. */
   private[operators] def d15Probe(s: SparkSession, dir: String): DataFrame = {
     val existingFp = base(s, dir).filter(col("doc_id") < 400)
       .select(md5(col("text").cast("binary")).as("fp"))

@@ -460,8 +460,15 @@ object Events {
     * unlike the q15 anti-shape of windowing the raw events. ROWS frame
     * (last 7 observed days), so a silent day doesn't stall the baseline. */
   def e10AnomalyDays(s: SparkSession, dir: String): DataFrame = {
+    // day = fixed-UTC epoch-day arithmetic, NOT ts.cast("date"): the cast
+    // resolves through the session time zone, while the streaming twin
+    // (EventStreams.anomalyAlerts) buckets by unix_micros div 86400e6 —
+    // deriving both from the same epoch arithmetic makes the documented
+    // batch/stream bit-equality structural instead of
+    // true-only-when-the-session-happens-to-run-UTC
     val d = Tables.events(s, dir)
-      .select(col("event_type"), col("ts").cast("date").as("day"))
+      .select(col("event_type"),
+        expr("date_from_unix_date(cast(unix_micros(ts) div 86400000000 as int))").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
     val w = Window.partitionBy("event_type").orderBy("day")
       .rowsBetween(-ZWin, -1)

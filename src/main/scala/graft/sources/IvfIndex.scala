@@ -82,7 +82,12 @@ object IvfIndex {
       .agg(TopK.topKByScore(col("csim"), col("cidx").cast("long"), nprobe).as("probe_cids"),
            first(col("qemb")).as("qemb"))
       .select(col("qid"), col("qemb"), explode(col("probe_cids")).as("cid"))
-    // bounded scan parameter: the distinct probed list ids
+    // bounded driver collect — |queries| × nprobe list ids at most, a
+    // scan PARAMETER rather than data movement. Inlining it as isin()
+    // makes the predicate foldable, so the filter prunes the
+    // cid-partitioned inverted-list files at planning time
+    // (PartitionFilters in the scan) — the probe reads only the probed
+    // lists, which is the entire point of IVF
     val probed = qcids.select("cid").distinct().collect().map(_.getLong(0))
     val lists = s.read.parquet(path)
       .filter(col("cid").isin(probed.map(java.lang.Long.valueOf): _*))

@@ -26,6 +26,11 @@ object VectorStoreSink {
       .withColumn("qemb", graft.functions.CharHistEmbedF.embed(col("question")))
       .withColumn("qbucket", graft.operators.Similarity.lshBucket(col("qemb")))
       .select(col("query_id"), col("qemb"), col("qbucket"))
+    // bounded driver collect — at most 2^NumPlanes = 256 distinct bucket
+    // ids (and in practice |queries| of them), a scan parameter. The
+    // isin() over the bucket PARTITION column prunes non-matching
+    // partition directories at planning time, so retrieval reads only
+    // the buckets the queries hash into
     val buckets = q.select("qbucket").distinct().collect().map(_.getInt(0))
     val candidates = s.read.parquet(path)
       .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
