@@ -113,6 +113,7 @@ object SparkEntry {
     "e11_gap_percentiles" -> (Events.e11GapPercentiles _),
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
+    "m3_semantic_dedup" -> ((s, dir) => Multimodal.m3SemanticDedup(s, dir)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -272,5 +273,6 @@ object SparkEntry {
     "e11_gap_percentiles" -> Events.e11Sql,
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
+    "m3_semantic_dedup" -> Multimodal.m3Sql,
   )
 }

@@ -58,4 +58,101 @@ object Multimodal {
        |   unnest(range(0, cast(n_chars AS int), $FrameStride)) AS i
        |  FROM documents WHERE n_chars > 0)
        |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** m3's asset corpus: every document as a typed media asset, plus
+    * planted byte-identical copies of every 10th asset (id+100000,
+    * media_type preserved) — the re-uploaded-asset shape semantic dedup
+    * exists to collapse. */
+  private[operators] def m3Corpus(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val base = MultimodalDecode.assetsFromDocuments(s, dir)
+    val planted = base.toDF().filter(col("asset_id") % 10 === 0)
+      .select((col("asset_id") + 100000).as("asset_id"),
+        col("media_type"), col("payload"))
+      .as[MultimodalDecode.Asset]
+    base.unionByName(planted)
+  }
+
+  /** m3: MULTIMODAL SEMANTIC DEDUP — the d11 SemDeDup recipe composed
+    * with the multimodal decode front: media assets → per-partition
+    * decode + stub embedding ([[MultimodalDecode.embedAssets]]) →
+    * coarse clustering against a deterministic codebook (the s4
+    * pattern: assets with id < 8 are the coarse centroids) → salted
+    * shuffled dominance anti-join (the registered d11 scale path) →
+    * surviving assets. A byte-identical re-upload embeds identically,
+    * lands in its original's cluster, and is dominated by the lower id.
+    *
+    * Scale shape: the decode/embed pass is map-only (partition count
+    * bounds decoder concurrency); the codebook is a one-row broadcast;
+    * assignment is codegen'd NearestIndex argmax, zero corpus shuffle;
+    * the dominance join shuffles on (cid, salt) with nothing
+    * corpus-sized broadcast — identical plan family to d11, which
+    * SemanticDedupPlanSpec pins. */
+  def m3SemanticDedup(s: SparkSession, dir: String, salts: Int = 8): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val e = MultimodalDecode.embedAssets(m3Corpus(s, dir)).toDF()
+    val cb = e.filter(col("asset_id") < 8)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("asset_id").as("cid"),
+        col("embedding").as("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("asset_id"), col("media_type"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+    val probe = assigned.withColumn("salt", pmod(hash(col("asset_id")), lit(salts)))
+    val earlier = assigned
+      .select(col("asset_id").as("b_id"), col("embedding").as("b_emb"), col("cid").as("b_cid"))
+      .withColumn("salt_b", explode(array((0 until salts).map(lit(_)): _*)))
+    probe.join(earlier,
+        col("cid") === col("b_cid") && col("salt") === col("salt_b")
+          && col("b_id") < col("asset_id")
+          && V.cosine(col("embedding"), col("b_emb")) > 0.99,
+        "left_anti")
+      .select("asset_id", "media_type", "cid")
+      .orderBy("asset_id")
+  }
+
+  /** The stub embedding as SQL, over a corpus CTE exposing (asset_id,
+    * media_type, text): dims 0-1 from the decode-stub geometry (payload
+    * length only), dims 2-7 md5-derived — every component k/1024, cast
+    * to double (bit-identical to the engine's float32 values). */
+  private def embedSqlList: String = {
+    val wh = Seq(
+      "cast((16 + (octet_length(text::blob) % 16) * 8) * 4 - 512 AS double) / 1024",
+      "cast((16 + ((octet_length(text::blob) // 16) % 16) * 8) * 4 - 512 AS double) / 1024")
+    val hashed = (2 until 8).map(j =>
+      s"cast((('0x' || substr(md5('$j' || text), 1, 15))::bigint % 1024) - 512 AS double) / 1024")
+    (wh ++ hashed).mkString("[", ",\n    ", "]")
+  }
+
+  lazy val m3Sql: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id AS asset_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS asset_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       |    text
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |emb AS (
+       |  SELECT asset_id, media_type,
+       |    $embedSqlList AS embedding
+       |  FROM corpus),
+       |cent AS (SELECT asset_id AS cid, embedding AS cemb FROM emb WHERE asset_id < 8),
+       |assigned AS (
+       |  SELECT e.asset_id, e.media_type, e.embedding, c.cid
+       |  FROM emb e CROSS JOIN cent c
+       |  QUALIFY row_number() OVER (PARTITION BY e.asset_id
+       |    ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1)
+       |SELECT a.asset_id, a.media_type, a.cid FROM assigned a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM assigned b
+       |  WHERE b.cid = a.cid AND b.asset_id < a.asset_id
+       |    AND list_cosine_similarity(a.embedding, b.embedding) > 0.99)
+       |ORDER BY asset_id""".stripMargin
 }

@@ -50,6 +50,47 @@ object MultimodalDecode {
     }
   }
 
+  case class AssetEmbed(asset_id: Long, media_type: String, embedding: Array[Float])
+
+  /** Decode + EMBED in one per-partition pass — the multimodal front of
+    * m3's semantic dedup. Each asset becomes an 8-dim stub embedding:
+    * dims 0-1 are the decode stub's frame geometry (width/height of
+    * frame 0, payload-length-derived), dims 2-7 are content-hash
+    * components (md5 of the dimension index + payload). A real
+    * deployment swaps this for a CLIP/CLAP-style encoder behind the same
+    * mapPartitions batch contract; everything downstream (clustering,
+    * dominance, survivors) is encoder-agnostic.
+    *
+    * Determinism contract (the d11 rule): every component is k/1024
+    * with |k| ≤ 512 — dyadic rationals exactly representable in BOTH
+    * float32 and float64, so the DuckDB oracle (which computes the same
+    * arithmetic in double) scores bit-identical cosines. */
+  def embedAssets(assets: Dataset[Asset]): Dataset[AssetEmbed] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val (w, h, _) = decodeFrame(a.payload, 0)
+        val emb = new Array[Float](8)
+        emb(0) = (w * 4 - 512) / 1024.0f
+        emb(1) = (h * 4 - 512) / 1024.0f
+        var j = 2
+        while (j < 8) {
+          md.reset()
+          md.update(j.toString.getBytes("UTF-8"))
+          md.update(a.payload)
+          // first 15 hex chars of the digest, as in Md5PrefixMod / the
+          // oracle's ('0x' || substr(md5(...), 1, 15))::bigint
+          val hex = md.digest().take(8).map(b => f"$b%02x").mkString
+          val v = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          emb(j) = ((v % 1024) - 512) / 1024.0f
+          j += 1
+        }
+        AssetEmbed(a.asset_id, a.media_type, emb)
+      }
+    }
+  }
+
   /** Assemble a typed asset table from `documents` (text bytes standing in
     * for the media payload) — binary column + typed metadata. */
   def assetsFromDocuments(s: SparkSession, dir: String): Dataset[Asset] = {

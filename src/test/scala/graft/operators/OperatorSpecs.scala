@@ -807,4 +807,50 @@ class MultimodalDecodeSpec extends SparkSpec {
     val (w, h, luma) = MultimodalDecode.decodeFrame(Array.emptyByteArray, 2)
     assert(w == 16 && h == 16 && luma == 0.0)
   }
+
+  test("embedAssets matches the SQL-expression arithmetic component for component") {
+    // ties the typed mapPartitions embed (what m3 runs) to the exact
+    // arithmetic the DuckDB oracle computes: dims 0-1 decode geometry,
+    // dims 2-7 md5-prefix mod 1024, all k/1024 dyadic
+    val assets = MultimodalDecode.assetsFromDocuments(spark, sfDir)
+    val typed = MultimodalDecode.embedAssets(assets).collect()
+      .map(e => e.asset_id -> e.embedding.toSeq).toMap
+    val viaSql = assets.toDF()
+      .withColumn("text", col("payload").cast("string"))
+      .select(col("asset_id"), expr(
+        """array(
+          | cast(((16 + pmod(octet_length(payload), 16) * 8) * 4 - 512) / double(1024) as float),
+          | cast(((16 + pmod(octet_length(payload) div 16, 16) * 8) * 4 - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('2', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('3', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('4', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('5', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('6', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float),
+          | cast((pmod(cast(conv(substring(md5(concat('7', text)), 1, 15), 16, 10) as bigint), 1024) - 512) / double(1024) as float))""".stripMargin).as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(typed.keySet == viaSql.keySet)
+    typed.foreach { case (id, e) => assert(e == viaSql(id), s"asset $id") }
+  }
+
+  test("m3 multimodal semantic dedup prunes every planted re-upload, keeps media_type") {
+    val rows = Multimodal.m3SemanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val baseIds = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = rows.map(_._1).toSet
+    // every planted +100000 copy embeds identically to its original and
+    // must be dominated away
+    assert(survivors.forall(baseIds.contains), "a planted copy survived")
+    // organic assets may legitimately collide in the 8-dim stub space,
+    // but never more than a sliver of the corpus
+    assert(survivors.size >= baseIds.size * 95 / 100,
+      s"only ${survivors.size} of ${baseIds.size} organic assets survived")
+    // media_type rides through unchanged
+    val types = graft.Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => id -> (id % 3 match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video" })).toMap
+    rows.foreach { case (id, mt, _) => assert(types(id) == mt, s"asset $id") }
+    // cluster ids come from the 8-entry codebook
+    assert(rows.map(_._3).toSet.subsetOf((0L until 8L).toSet))
+  }
 }
