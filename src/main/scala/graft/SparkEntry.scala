@@ -59,6 +59,7 @@ object SparkEntry {
     "s4_ivf_topk"       -> (Similarity.s4IvfTopK _),
     "s5_filtered_ann"   -> (Similarity.s5FilteredTopK _),
     "s6_recall_eval"    -> (Similarity.s6RecallEval _),
+    "s7_tuning_curve"   -> (Similarity.s7TuningCurve _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
@@ -224,6 +225,7 @@ object SparkEntry {
     "s4_ivf_topk"         -> Similarity.s4Sql,
     "s5_filtered_ann"     -> Similarity.s5Sql,
     "s6_recall_eval"      -> Similarity.s6Sql,
+    "s7_tuning_curve"     -> Similarity.s7Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v3_index_stats"      -> Similarity.v3Sql,

@@ -42,15 +42,17 @@ object Similarity {
   private def planeSqlLiteral(p: Array[Float]): String =
     p.map(v => f"${v.toDouble}%.10f").mkString("[", ", ", "]")
 
-  /** Spark-side LSH bucket id: bit i = sign(dot(v, plane_i)). */
-  def lshBucket(vec: Column): Column =
-    planes.zipWithIndex.map { case (p, i) =>
+  /** Spark-side LSH bucket id: bit i = sign(dot(v, plane_i)). Fewer
+    * planes → coarser buckets → more candidates → higher recall (the s7
+    * tuning axis). */
+  def lshBucket(vec: Column, nPlanes: Int = NumPlanes): Column =
+    planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
       when(V.dot(vec, typedlit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
   /** DuckDB-side bucket, same constants. */
-  def lshBucketSql(vecCol: String): String =
-    planes.zipWithIndex.map { case (p, i) =>
+  def lshBucketSql(vecCol: String, nPlanes: Int = NumPlanes): String =
+    planes.take(nPlanes).zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product($vecCol, ${planeSqlLiteral(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
 
@@ -300,6 +302,149 @@ object Similarity {
     row("ivf", s4IvfTopK(s, dir))
       .unionByName(row("lsh", s2LshTopK(s, dir)))
       .orderBy("method")
+  }
+
+  /** s7's parameter grids. */
+  val IvfNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val LshPlaneCounts: Seq[Int] = Seq(4, 6, 8)
+
+  /** s7: RECALL/LATENCY TUNING CURVE — the sweep that actually chooses
+    * an ANN deployment's hyperparameters, as one first-class query
+    * instead of a notebook loop: IVF probed at nprobe ∈ {1,2,4,8} and
+    * LSH bucketed at {4,6,8} hyperplanes, each scored against the s1
+    * brute-force ground truth. Output: (method, param, hits, total,
+    * recall_ppm) — the curve an operator reads the knee off.
+    *
+    * Scale: the s6 materialization discipline throughout — the truth
+    * sliver and the IVF assignment (the inverted-file index — built
+    * ONCE, probed once per nprobe, exactly how a real index amortizes
+    * across parameter sweeps) are localCheckpoint'd; each parameter
+    * point adds only its probe-sized join (candidate lists for IVF,
+    * one bucket-equality join per plane count for LSH — the three LSH
+    * bucket ids ride one scan). Nothing corpus-sized is broadcast;
+    * everything is (params × queries × k)-bound past the one
+    * assignment pass.
+    *
+    * Invariant (spec-asserted): recall is monotone non-decreasing in
+    * nprobe, and nprobe = nlist = 8 probes every list — brute force by
+    * construction, recall_ppm = 1000000 exactly. LSH recall is monotone
+    * non-increasing in plane count (finer buckets admit fewer
+    * candidates). */
+  def s7TuningCurve(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor").localCheckpoint()
+    def recallRow(method: String, param: Int, approx: DataFrame): DataFrame =
+      truth.join(approx.select(col("qid"), col("neighbor"), lit(1).as("hit")),
+          Seq("qid", "neighbor"), "left")
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("total"))
+        .select(lit(method).as("method"), lit(param.toLong).as("param"),
+          col("hits"), col("total"),
+          expr("hits * 1000000 div total").as("recall_ppm"))
+
+    // IVF: the s4 deterministic codebook (vec_id < 8); assignment = the
+    // index build, materialized once and probed at every nprobe
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val cb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+      .localCheckpoint()
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    // per query: ALL centroids ranked once (queries × nlist rows); each
+    // nprobe point just filters the rank
+    val qc = queries.crossJoin(broadcast(cent))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), 8).as("ranked"),
+           first(col("qemb")).as("qemb"))
+      .select(col("qid"), col("qemb"), posexplode(col("ranked")).as(Seq("r0", "pcid")))
+      .select(col("qid"), col("qemb"), (col("r0") + 1).as("crank"), col("pcid"))
+    def ivfAt(n: Int): DataFrame = {
+      val probes = qc.filter(col("crank") <= n).select("qid", "qemb", "pcid")
+      val grouped = assigned.join(broadcast(probes),
+          col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+        .groupBy("qid")
+        .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+      explodeRanks(grouped).select("qid", "neighbor")
+    }
+
+    // LSH: all three bucket granularities ride ONE corpus projection
+    val bucketed = e.select(Seq(col("vec_id"), col("embedding")) ++
+      LshPlaneCounts.map(p => lshBucket(col("embedding"), p).as(s"b$p")): _*)
+    val qb = bucketed.filter(col("vec_id") < 10)
+    def lshAt(p: Int): DataFrame = {
+      val q = qb.select(Seq(col("vec_id").as("qid"), col("embedding").as("qemb"),
+        col(s"b$p").as("qbucket")): _*)
+      val grouped = bucketed.join(broadcast(q),
+          col(s"b$p") === col("qbucket") && col("vec_id") =!= col("qid"))
+        .groupBy("qid")
+        .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
+      explodeRanks(grouped).select("qid", "neighbor")
+    }
+
+    (IvfNprobes.map(n => recallRow("ivf", n, ivfAt(n))) ++
+     LshPlaneCounts.map(p => recallRow("lsh", p, lshAt(p))))
+      .reduce(_ unionByName _)
+      .orderBy("method", "param")
+  }
+
+  /** Oracle: same grids, each point a brute-force SQL recompute (the
+    * oracle is allowed to be O(grid × corpus) — it is the referee, not
+    * the plan). */
+  lazy val s7Sql: String = {
+    val ivfParts = IvfNprobes.map { n =>
+      s"""SELECT 'ivf' AS method, $n AS param, count(*) AS hits
+         |FROM (
+         |  SELECT p.qid, v.vec_id AS neighbor
+         |  FROM probes p
+         |  JOIN assigned v ON v.cid = p.cid AND v.vec_id <> p.qid
+         |  JOIN embeddings qe ON qe.vec_id = p.qid
+         |  WHERE p.crank <= $n
+         |  QUALIFY row_number() OVER (PARTITION BY p.qid
+         |    ORDER BY list_cosine_similarity(qe.embedding, v.embedding) DESC,
+         |             v.vec_id ASC) <= 5
+         |) r JOIN truth t ON r.qid = t.qid AND r.neighbor = t.neighbor""".stripMargin
+    }
+    val lshParts = LshPlaneCounts.map { p =>
+      s"""SELECT 'lsh' AS method, $p AS param, count(*) AS hits
+         |FROM (
+         |  SELECT q.vec_id AS qid, v.vec_id AS neighbor
+         |  FROM lshb q JOIN lshb v ON q.b$p = v.b$p AND v.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 10
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+         |             v.vec_id ASC) <= 5
+         |) r JOIN truth t ON r.qid = t.qid AND r.neighbor = t.neighbor""".stripMargin
+    }
+    val lshCols = LshPlaneCounts.map(p => s"${lshBucketSql("embedding", p)} AS b$p").mkString(",\n  ")
+    s"""WITH truth AS ($s1Sql),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       | SELECT e.vec_id, e.embedding, c.cid
+       | FROM embeddings e CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
+       |probes AS (
+       | SELECT q.vec_id AS qid, c.cid,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(q.embedding, c.cemb) DESC, c.cid ASC) AS crank
+       | FROM embeddings q CROSS JOIN cent c
+       | WHERE q.vec_id < 10),
+       |lshb AS (
+       | SELECT vec_id, embedding,
+       |  $lshCols
+       | FROM embeddings),
+       |tot AS (SELECT count(*) AS total FROM truth),
+       |pts AS (
+       |${(ivfParts ++ lshParts).mkString("\nUNION ALL\n")})
+       |SELECT method, cast(param AS bigint) AS param, cast(hits AS bigint) AS hits,
+       | cast(total AS bigint) AS total,
+       | cast(hits * 1000000 // total AS bigint) AS recall_ppm
+       |FROM pts CROSS JOIN tot ORDER BY method, param""".stripMargin
   }
 
   lazy val s6Sql: String =

@@ -92,6 +92,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows("ivf")._1 >= 1, "ivf recall unexpectedly zero")
   }
 
+  test("s7 tuning curve: recall monotone in nprobe, exact at nprobe=nlist, anti-monotone in planes") {
+    val rows = Similarity.s7TuningCurve(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(4)).toMap
+    val ivf = Similarity.IvfNprobes.map(n => rows(("ivf", n.toLong)))
+    // more lists probed can only add candidates -> recall non-decreasing
+    ivf.sliding(2).foreach { case Seq(a, b) => assert(a <= b, s"ivf curve not monotone: $ivf") }
+    // nprobe = nlist probes every inverted list: brute force by
+    // construction, recall exactly 1
+    assert(rows(("ivf", 8L)) == 1000000L, s"full probe must be exact: $rows")
+    // more hyperplanes -> finer buckets -> fewer candidates -> recall
+    // non-increasing
+    val lsh = Similarity.LshPlaneCounts.map(p => rows(("lsh", p.toLong)))
+    lsh.sliding(2).foreach { case Seq(a, b) => assert(a >= b, s"lsh curve not anti-monotone: $lsh") }
+    // s6 and s7 agree where their grids overlap (ivf nprobe=1 is s4's
+    // probe; lsh 8 planes is s2's bucket)
+    val s6 = Similarity.s6RecallEval(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(rows(("ivf", 1L)) == s6("ivf"))
+    assert(rows(("lsh", 8L)) == s6("lsh"))
+  }
+
   test("v1 upsert preserves the key count (no duplicate vec_ids)") {
     val total = Similarity.v1Upsert(spark, sfDir).agg(sum("cnt")).head().getLong(0)
     assert(total == graft.Tables.embeddings(spark, sfDir).count())
