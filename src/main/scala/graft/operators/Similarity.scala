@@ -273,7 +273,10 @@ object Similarity {
     * recall@k in exact integer ppm. This is how nlist/nprobe/band
     * hyperparameters actually get chosen; making it a first-class query
     * means the evaluation runs where the index lives instead of in a
-    * notebook.
+    * notebook. It is also the evidence for the repo's HNSW substitution
+    * (the reference serves hnswlib; this engine bulk-builds LSH/IVF —
+    * decision record in SURVEY.md §4): the substitution is measured
+    * here, and tuned by [[s7TuningCurve]].
     *
     * Scale: the underlying queries are sample-bound by construction
     * (queries × k rows each); the hit-counting joins and the one-row
