@@ -12,10 +12,11 @@ object TimeQueries {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val plain = args.contains("--plain")
     val names = args.drop(1).filterNot(_.startsWith("--"))
-    val b = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+    val b = graft.SessionTuning.inputSplits(
+      SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", 32)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false"))
     val spark = (if (plain) b else b.withExtensions(new graft.GraftExtensions)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs: Seq[String] =

@@ -13,6 +13,14 @@ built for; correctness at sf1 compares Spark and DuckDB on the SAME
 files, so the heavier duplicate structure stresses both engines
 equally.
 
+Files are written UNCOMPRESSED with bounded row groups: the replicated
+payloads dictionary-compress ~50x, and Spark sizes input splits from
+compressed file bytes — a compressed sf1 documents file is <1 MB on
+disk for ~50 MB of scoring work, so every scan of it collapses to ONE
+task no matter how maxPartitionBytes is tuned. Uncompressed, file
+bytes track logical work and the SPARK_GRAFT_MAX_PARTITION_BYTES
+session knob (graft.SessionTuning) yields honest scan parallelism.
+
 Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/data/sf1)
 """
 import os
@@ -42,6 +50,10 @@ OFFSET_COLS = {
 }
 SHARED = ["region", "nation"]
 
+# rows per parquet row group, sized so uncompressed groups land ~2-8 MB
+ROW_GROUP = {"documents": 4096, "embeddings": 4096, "lineitem": 65536,
+             "orders": 65536, "customer": 32768}
+
 
 def replicate_sql(table: str) -> None:
     keys = OFFSET_COLS[table]
@@ -53,8 +65,10 @@ def replicate_sql(table: str) -> None:
             f"{c} + {r * OFF} AS {c}" if c in keys else c for c in cols)
         selects.append(f"SELECT {proj} FROM '{SRC}/{table}.parquet'")
     union = "\nUNION ALL\n".join(selects)
+    rg = ROW_GROUP.get(table, 65536)
     con.execute(
-        f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+        f"COPY ({union}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET, "
+        f"COMPRESSION UNCOMPRESSED, ROW_GROUP_SIZE {rg})")
     n = con.execute(f"select count(*) from '{OUT}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
@@ -84,7 +98,8 @@ def replicate_events() -> None:
             cols[name] = col
         parts.append(pa.table(cols, schema=t.schema))
     big = pa.concat_tables(parts)
-    pq.write_table(big, f"{OUT}/events.parquet")
+    pq.write_table(big, f"{OUT}/events.parquet",
+                   compression="none", row_group_size=65536)
     print(f"events: {big.num_rows} rows (timestamp[ns] preserved)")
 
 
