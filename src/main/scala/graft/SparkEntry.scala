@@ -55,7 +55,7 @@ object SparkEntry {
     "q41_scd2_intervals"-> (Mutations.q41Scd2Intervals _),
     "s1_bruteforce_topk"-> (Similarity.s1BruteForceTopK _),
     "s2_lsh_topk"       -> (Similarity.s2LshTopK _),
-    "s3_knn_join"       -> (Similarity.s3KnnJoin _),
+    "s3_knn_join"       -> ((s, d) => Similarity.s3KnnJoinCollapsed(s, d)),
     "s4_ivf_topk"       -> (Similarity.s4IvfTopK _),
     "s5_filtered_ann"   -> (Similarity.s5FilteredTopK _),
     "s6_recall_eval"    -> (Similarity.s6RecallEval _),
@@ -83,11 +83,11 @@ object SparkEntry {
     "t17_unigram_lm"    -> (Quality.t17UnigramLm _),
     "t18_fuzzy_decontam" -> (Quality.t18FuzzyDecontam _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
-    "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccard _),
+    "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
     "d4_simhash"        -> (Dedup.d4SimHash _),
-    "d5_embedding_neardup" -> (Dedup.d5EmbeddingNearDup _),
-    "d6_winnowing"      -> (Dedup.d6Winnowing _),
+    "d5_embedding_neardup" -> ((s, d) => Dedup.d5EmbeddingNearDupCollapsed(s, d)),
+    "d6_winnowing"      -> (Dedup.d6WinnowingCollapsed _),
     "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
     "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),
     "d9_incremental_dedup" -> (Dedup.d9IncrementalDedup _),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -207,6 +207,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d2 registered default: exact-collapse before the quadratic stage
+    * (same move as [[d5EmbeddingNearDupCollapsed]], over text). Distinct
+    * texts group once with their sorted member ids; the blocked pair scan
+    * scores DISTINCT-text pairs, so cost grows with the square of
+    * distinct texts per block, not raw rows — under the sf1 decade's 10×
+    * byte-identical replication the naive form's pair count grows 100×
+    * while this form's is unchanged. Members expand back relationally;
+    * within-group pairs score jaccard(t,t) = 1.0 exactly (the ngram set
+    * is never empty — a short text hashes as one whole-string window),
+    * the same value the naive form computes for an identical-text pair,
+    * and the explicit filter keeps equality structural. Identical output
+    * to [[d2NgramJaccard]] (spec-asserted). */
+  def d2NgramJaccardCollapsed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharNgramJaccard
+    val c = corpusNear(s, dir)
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(substring(col("text"), 1, 40).as("blk"), col("text"), col("ids"))
+    val a = c.select(col("blk"), col("text").as("text_a"), col("ids").as("ids_a"))
+    val b = c.select(col("blk").as("blk_b"), col("text").as("text_b"),
+      col("ids").as("ids_b"))
+    val cross = a.join(broadcast(b), col("blk") === col("blk_b")
+        && col("ids_a").getItem(0) < col("ids_b").getItem(0))
+      .withColumn("jaccard", CharNgramJaccard(col("text_a"), col("text_b"), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("jaccard"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val within = c.filter(size(col("ids")) > 1)
+      .withColumn("jaccard", CharNgramJaccard(col("text"), col("text"), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("ids")).as("a"), col("ids"), col("jaccard"))
+      .select(col("a"), explode(col("ids")).as("b"), col("jaccard"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
+  }
+
   /** d2 candidate pairs as a reusable CTE body (no ORDER BY) — d7's
     * recursive-clustering oracle builds on the same pair set. */
   val d2PairsSql: String =
@@ -361,6 +400,45 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** d6 registered default: exact-collapse before the quadratic stage
+    * (the [[d2NgramJaccardCollapsed]] move). Winnowing fingerprints are
+    * computed ONCE per distinct text (under 10× replication the naive
+    * form recomputes every rolling-hash pass 10×), and pair scoring runs
+    * over distinct-text groups. The within-group score is the same
+    * array_intersect expression the naive form evaluates on an
+    * identical-text pair — array_intersect de-duplicates, so a
+    * fingerprint list with repeats scores below 1.0 and assuming
+    * lit(1.0) would diverge; computing it keeps equality structural.
+    * Identical output to [[d6Winnowing]] (spec-asserted). */
+  def d6WinnowingCollapsed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Winnow
+    val g = corpusNear(s, dir)
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(substring(col("text"), 1, 40).as("blk"),
+        Winnow.fingerprints(col("text")).as("fp"), col("ids"))
+    val a = g.select(col("blk"), col("fp").as("fp_a"), col("ids").as("ids_a"))
+    val b = g.select(col("blk").as("blk_b"), col("fp").as("fp_b"), col("ids").as("ids_b"))
+    def shared(x: Column, y: Column): Column =
+      size(array_intersect(x, y)).cast("double") / greatest(size(x), size(y))
+    val cross = a.join(broadcast(b), col("blk") === col("blk_b")
+        && col("ids_a").getItem(0) < col("ids_b").getItem(0))
+      .withColumn("shared", shared(col("fp_a"), col("fp_b")))
+      .filter(col("shared") >= 0.6)
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("shared"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("shared"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("shared"))
+    val within = g.filter(size(col("ids")) > 1)
+      .withColumn("shared", shared(col("fp"), col("fp")))
+      .filter(col("shared") >= 0.6)
+      .select(explode(col("ids")).as("a"), col("ids"), col("shared"))
+      .select(col("a"), explode(col("ids")).as("b"), col("shared"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("shared"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
+  }
+
   /** Unpersist the RDD behind a localCheckpoint'd frame. Each
     * localCheckpoint persists blocks that Spark never evicts on its own;
     * a loop that abandons its intermediate frames without this leaks one
@@ -508,7 +586,7 @@ object Dedup {
   /** d7: near-dup CLUSTERS — connected components over the d2 pair set;
     * cluster id = min doc_id in the component (the surviving document). */
   def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = d2NgramJaccard(s, dir)
+    val edges = d2NgramJaccardCollapsed(s, dir)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
     connectedComponents(edges)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -572,6 +650,54 @@ object Dedup {
       .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
       .select("vec_a", "vec_b", "label")
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** d5 registered default: exact-collapse BEFORE the quadratic stage.
+    * Identical (label, embedding) rows are grouped once — d1's move
+    * applied ahead of pairwise scoring — and the cosine scan runs over
+    * DISTINCT vector groups, so scored pairs grow with the square of
+    * distinct vectors, not raw rows. The sf1 decade (10× byte-identical
+    * replicas) put the naive all-pairs form at 19× sf0.1's time;
+    * collapsed, the pair count at sf1 equals sf0.1's. Member ids expand
+    * back relationally: cross-group pairs explode both sorted member
+    * lists (least/greatest normalizes orientation; each unordered pair
+    * appears exactly once because group pairs score with
+    * min-member-id ordering), within-group pairs explode one list twice
+    * — identical vectors score cosine 1 > τ, but the explicit
+    * self-cosine filter keeps equality with the naive form structural
+    * even for a degenerate (zero) vector. The group-pair join is the
+    * salted replicate join (nothing corpus-sized broadcast, parallelism
+    * = labels × salts). Identical output to [[d5EmbeddingNearDup]]
+    * (spec-asserted). */
+  def d5EmbeddingNearDupCollapsed(s: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val planted = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
+    val g = e.unionByName(planted)
+      .groupBy(col("label"), col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+    val l = g.select(col("label"), col("embedding").as("emb_a"), col("ids").as("ids_a"))
+      .withColumn("salt", pmod(hash(col("ids_a").getItem(0)), lit(salts)))
+    val r = g.select(col("label").as("label_b"), col("embedding").as("emb_b"),
+        col("ids").as("ids_b"))
+      .withColumn("salt_b", explode(array((0 until salts).map(lit(_)): _*)))
+    val cross = l.join(r, col("label") === col("label_b")
+        && col("salt") === col("salt_b")
+        && col("ids_a").getItem(0) < col("ids_b").getItem(0))
+      .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
+      .select(col("label"), explode(col("ids_a")).as("a"), col("ids_b"))
+      .select(col("label"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"), col("label"))
+    val within = g.filter(size(col("ids")) > 1)
+      .filter(V.cosine(col("embedding"), col("embedding")) > 0.99)
+      .select(col("label"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("label"), col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("label"))
+    cross.unionByName(within).orderBy("vec_a", "vec_b")
   }
 
   val d5Sql: String =

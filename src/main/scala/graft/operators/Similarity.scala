@@ -105,6 +105,47 @@ object Similarity {
     explodeRanks(grouped)
   }
 
+  /** s3 registered default: exact-collapse before the quadratic stage.
+    * Identical (label, embedding) rows group once, and cosine is
+    * evaluated per DISTINCT-vector group pair — under duplicate
+    * multiplicity m the naive form pays m² scores per distinct pair,
+    * this form pays one. Exactness of the top-k reconstruction:
+    * duplicate neighbors share a score and rank by vec_id ASC (the
+    * TopKByScore tie-break, same as the oracle's ORDER BY), so (a) only
+    * a neighbor group's first k+1 ids can ever appear in any query's
+    * top k — at most ONE candidate (the query itself) is excluded, and
+    * only from the query's own group — and (b) a per-query-group top
+    * k+1 over those sliced candidates contains every member query's top
+    * k after self-removal. The per-query step is then a bounded
+    * array filter + slice, no scoring. Identical output to
+    * [[s3KnnJoin]] (spec-asserted; the sf1 decade put the naive form at
+    * 93× sf0.1's time — quadratic in multiplicity — where this form
+    * stays flat). */
+  def s3KnnJoinCollapsed(s: SparkSession, dir: String, k: Int = 3): DataFrame =
+    s3KnnJoinCollapsedFrame(
+      Tables.embeddings(s, dir).select("vec_id", "label", "embedding"), k)
+
+  /** Corpus-parameterized body of [[s3KnnJoinCollapsed]] — split out so
+    * specs can exercise the duplicate-multiplicity paths on a corpus
+    * with planted identical vectors (the raw embeddings table has none). */
+  private[operators] def s3KnnJoinCollapsedFrame(e: DataFrame, k: Int): DataFrame = {
+    val g = e.groupBy(col("label"), col("embedding"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+    val q = g.select(col("label"), col("embedding").as("q_emb"), col("ids").as("q_ids"))
+    val v = g.select(col("label").as("label_b"), col("embedding").as("v_emb"),
+      slice(col("ids"), 1, k + 1).as("v_ids"))
+    val cands = q.join(broadcast(v), col("label") === col("label_b"))
+      .select(col("q_ids"), V.cosine(col("q_emb"), col("v_emb")).as("cos"),
+        explode(col("v_ids")).as("nbr"))
+      .groupBy(col("q_ids"))
+      .agg(TopK.topKByScore(col("cos"), col("nbr"), k + 1).as("cands"))
+    val grouped = cands
+      .select(explode(col("q_ids")).as("qid"), col("cands"))
+      .select(col("qid"),
+        slice(expr("filter(cands, c -> c != qid)"), 1, k).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
   /** s4: IVF-style ANN — vectors with vec_id<8 act as the coarse
     * centroid codebook; every vector is assigned to its nearest centroid,
     * and a query probes only its own centroid's inverted list before

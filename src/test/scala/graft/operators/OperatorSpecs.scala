@@ -58,6 +58,41 @@ class SimilaritySpec extends SparkSpec {
            ref.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
   }
 
+  test("s3 collapsed default equals the naive all-pairs kNN join") {
+    val naive = Similarity.s3KnnJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val collapsed = Similarity.s3KnnJoinCollapsed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(collapsed == naive)
+  }
+
+  test("s3 collapsed is exact under duplicate multiplicity (planted identical vectors)") {
+    import org.apache.spark.sql.expressions.Window
+    // every 5th vector gets two extra byte-identical copies — the
+    // duplicate-multiplicity shape the collapse exists for; ids interleave
+    // above and below the originals to stress the id-ASC tie-break
+    val base = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").filter(col("vec_id") < 300)
+    val e = base
+      .unionByName(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding")))
+      .unionByName(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") - 1000000).as("vec_id"), col("label"), col("embedding")))
+    import graft.functions.{VectorExpressions => V}
+    val q = e.select(col("vec_id").as("qid"), col("label").as("qlabel"),
+      col("embedding").as("qemb"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id").asc)
+    val ref = e.join(q, col("label") === col("qlabel") && col("vec_id") =!= col("qid"))
+      .withColumn("score", V.cosine(col("qemb"), col("embedding")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"))
+      .orderBy("qid", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = Similarity.s3KnnJoinCollapsedFrame(e, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == ref)
+  }
+
   test("s2 LSH results are a subset of candidates sharing a bucket") {
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("bucket"))
@@ -232,6 +267,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d2 collapsed default (registered) equals the naive all-pairs form") {
+    val naive = Dedup.d2NgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val collapsed = Dedup.d2NgramJaccardCollapsed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(collapsed == naive)
+  }
+
+  test("d6 collapsed default (registered) equals the naive all-pairs form") {
+    val naive = Dedup.d6Winnowing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val collapsed = Dedup.d6WinnowingCollapsed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(collapsed == naive)
+  }
+
   test("d3 minhash-LSH candidates include nearly all planted near-dups") {
     val got = Dedup.d3MinHashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -282,6 +333,19 @@ class DedupSpec extends SparkSpec {
     val saltedForm = Dedup.d5EmbeddingNearDupSalted(spark, sfDir, salts = 4).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
     assert(saltedForm == broadcastForm)
+  }
+
+  test("d5 collapsed default (registered) equals the naive all-pairs form, shuffled plan") {
+    // threshold -1 so the registered default's real shuffled group-pair
+    // join is what gets validated, not an auto-broadcast shortcut
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val naive = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+      val collapsed = Dedup.d5EmbeddingNearDupCollapsed(spark, sfDir, salts = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+      assert(collapsed == naive)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
   test("d11 semantic dedup keeps exactly the base corpus (every planted copy pruned)") {
