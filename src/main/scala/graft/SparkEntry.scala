@@ -86,7 +86,7 @@ object SparkEntry {
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
     "d4_simhash"        -> (Dedup.d4SimHash _),
-    "d5_embedding_neardup" -> ((s, d) => Dedup.d5EmbeddingNearDupCollapsed(s, d)),
+    "d5_embedding_neardup" -> ((s, d) => Dedup.d5EmbeddingNearDupCollapsedSalted(s, d)),
     "d6_winnowing"      -> (Dedup.d6WinnowingCollapsed _),
     "d7_dup_clusters"   -> (Dedup.d7DupClusters _),
     "d8_stratified_sample" -> (Sampling.d8StratifiedSample _),

@@ -665,19 +665,59 @@ object Dedup {
     * min-member-id ordering), within-group pairs explode one list twice
     * — identical vectors score cosine 1 > τ, but the explicit
     * self-cosine filter keeps equality with the naive form structural
-    * even for a degenerate (zero) vector. The group-pair join is the
-    * salted replicate join (nothing corpus-sized broadcast, parallelism
-    * = labels × salts). Identical output to [[d5EmbeddingNearDup]]
-    * (spec-asserted). */
-  def d5EmbeddingNearDupCollapsed(s: SparkSession, dir: String,
-      salts: Int = 8): DataFrame = {
+    * even for a degenerate (zero) vector. This form broadcasts the
+    * DISTINCT-group table — the naive default's broadcast position with
+    * a strictly smaller table; the REGISTERED default is
+    * [[d5EmbeddingNearDupCollapsedSalted]], the same collapse over the
+    * salted replicate join (nothing broadcast at all — the d11
+    * standard; measured parity at sf0.1, both ~0.7s warm). Identical
+    * output to [[d5EmbeddingNearDup]] (spec-asserted). */
+  def d5EmbeddingNearDupCollapsed(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{VectorExpressions => V}
+    val g = d5Groups(s, dir)
+    val l = g.select(col("label"), col("embedding").as("emb_a"), col("ids").as("ids_a"))
+    val r = g.select(col("label").as("label_b"), col("embedding").as("emb_b"),
+      col("ids").as("ids_b"))
+    val cross = l.join(broadcast(r), col("label") === col("label_b")
+        && col("ids_a").getItem(0) < col("ids_b").getItem(0))
+      .filter(V.cosine(col("emb_a"), col("emb_b")) > 0.99)
+      .select(col("label"), explode(col("ids_a")).as("a"), col("ids_b"))
+      .select(col("label"), col("a"), explode(col("ids_b")).as("b"))
+      .select(least(col("a"), col("b")).as("vec_a"),
+        greatest(col("a"), col("b")).as("vec_b"), col("label"))
+    cross.unionByName(d5WithinGroupPairs(g)).orderBy("vec_a", "vec_b")
+  }
+
+  /** Distinct (label, embedding) groups of the d5 corpus with sorted
+    * member ids — the collapse artifact both d5 collapsed forms share. */
+  private def d5Groups(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
     val planted = e.filter(col("vec_id") % 20 === 0)
       .select((col("vec_id") + 100000).as("vec_id"), col("label"), col("embedding"))
-    val g = e.unionByName(planted)
+    e.unionByName(planted)
       .groupBy(col("label"), col("embedding"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+  }
+
+  /** Within-group pair expansion shared by the d5 collapsed forms. */
+  private def d5WithinGroupPairs(g: DataFrame): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    g.filter(size(col("ids")) > 1)
+      .filter(V.cosine(col("embedding"), col("embedding")) > 0.99)
+      .select(col("label"), explode(col("ids")).as("a"), col("ids"))
+      .select(col("label"), col("a"), explode(col("ids")).as("b"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("label"))
+  }
+
+  /** d5 REGISTERED default: the collapse over the salted replicate join
+    * — nothing broadcast, parallelism labels × salts; the 100 TB form
+    * even when distinct content outgrows executor memory. Spec-equal to
+    * the broadcast collapse and the naive form. */
+  def d5EmbeddingNearDupCollapsedSalted(s: SparkSession, dir: String,
+      salts: Int = 8): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    val g = d5Groups(s, dir)
     val l = g.select(col("label"), col("embedding").as("emb_a"), col("ids").as("ids_a"))
       .withColumn("salt", pmod(hash(col("ids_a").getItem(0)), lit(salts)))
     val r = g.select(col("label").as("label_b"), col("embedding").as("emb_b"),
@@ -691,13 +731,7 @@ object Dedup {
       .select(col("label"), col("a"), explode(col("ids_b")).as("b"))
       .select(least(col("a"), col("b")).as("vec_a"),
         greatest(col("a"), col("b")).as("vec_b"), col("label"))
-    val within = g.filter(size(col("ids")) > 1)
-      .filter(V.cosine(col("embedding"), col("embedding")) > 0.99)
-      .select(col("label"), explode(col("ids")).as("a"), col("ids"))
-      .select(col("label"), col("a"), explode(col("ids")).as("b"))
-      .filter(col("a") < col("b"))
-      .select(col("a").as("vec_a"), col("b").as("vec_b"), col("label"))
-    cross.unionByName(within).orderBy("vec_a", "vec_b")
+    cross.unionByName(d5WithinGroupPairs(g)).orderBy("vec_a", "vec_b")
   }
 
   val d5Sql: String =

@@ -335,16 +335,19 @@ class DedupSpec extends SparkSpec {
     assert(saltedForm == broadcastForm)
   }
 
-  test("d5 collapsed default (registered) equals the naive all-pairs form, shuffled plan") {
-    // threshold -1 so the registered default's real shuffled group-pair
-    // join is what gets validated, not an auto-broadcast shortcut
+  test("d5 collapsed default (registered) and its salted scale form equal the naive form") {
+    val naive = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    val collapsed = Dedup.d5EmbeddingNearDupCollapsed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
+    assert(collapsed == naive)
+    // threshold -1 so the salted form's real shuffled group-pair join is
+    // what gets validated, not an auto-broadcast shortcut
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val naive = Dedup.d5EmbeddingNearDup(spark, sfDir).collect()
+      val salted = Dedup.d5EmbeddingNearDupCollapsedSalted(spark, sfDir, salts = 4).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
-      val collapsed = Dedup.d5EmbeddingNearDupCollapsed(spark, sfDir, salts = 4).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.get(2))).toSeq
-      assert(collapsed == naive)
+      assert(salted == naive)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
