@@ -60,6 +60,7 @@ object SparkEntry {
     "s5_filtered_ann"   -> (Similarity.s5FilteredTopK _),
     "s6_recall_eval"    -> (Similarity.s6RecallEval _),
     "s7_tuning_curve"   -> (Similarity.s7TuningCurve _),
+    "s8_pq_adc"         -> ((s, d) => Similarity.s8PqAdc(s, d)),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
@@ -226,6 +227,7 @@ object SparkEntry {
     "s5_filtered_ann"     -> Similarity.s5Sql,
     "s6_recall_eval"      -> Similarity.s6Sql,
     "s7_tuning_curve"     -> Similarity.s7Sql,
+    "s8_pq_adc"           -> Similarity.s8Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v3_index_stats"      -> Similarity.v3Sql,

@@ -491,6 +491,96 @@ object Similarity {
        |FROM pts CROSS JOIN tot ORDER BY method, param""".stripMargin
   }
 
+  /** s8: inner-product product quantization with asymmetric distance
+    * computation (PQ-ADC; Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011 — the MIPS variant scores
+    * inner product, the ScaNN lineage). The 64-dim embedding splits
+    * into M=8 subspaces of 8 dims; per subspace, a vector is encoded
+    * as the index of the codebook entry with the largest sub-vector dot
+    * (ties → lowest cid, the library's standard tie-break). A corpus
+    * vector is then EIGHT 3-bit codes instead of 256 bytes of floats —
+    * the 100 TB memory story: the inverted-file payload shrinks ~85×
+    * (byte-packed codes) and scoring never touches the original floats.
+    *
+    * Scale shape: the codebook is a one-row broadcast (the s4 pattern);
+    * ENCODING is map-only (8 argmaxes over 8 sub-dots inside
+    * whole-stage codegen); each query precomputes its 8×8 lookup table
+    * ONCE (broadcast with the query set), and per corpus row the ADC
+    * score is `aggregate(zip_with(codes, tbl, ...))` — 8 array lookups
+    * and adds, zero multiplications. Top-k via the bounded TopKByScore
+    * partials, so the shuffle is O(partitions × queries × k). The fold
+    * runs in fixed subspace order, so the double sum is deterministic
+    * and the DuckDB oracle replicates it term-by-term.
+    *
+    * Codebook here = the vec_id<8 vectors (deterministic, like s4's
+    * coarse centroids); a trained codebook would come from
+    * IvfIndex.train's k-means per subspace, same plan shape. Reference
+    * baseline: the hnswlib retriever
+    * (controllers/customTrainDataController.js:56-62) — s6/s7 measure
+    * the recall cost of such substitutions against s1 exact truth. */
+  def s8PqAdc(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val M = 8; val sub = 8 // the 64-dim embeddings split 8 × 8
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val cb = e.filter(col("vec_id") < 8)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("vec_id").as("cid"),
+        col("embedding").as("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cemb)").as("cents"))
+    // per-subspace dots of v against every codebook entry, in cid order
+    def subScores(v: Column, m: Int): Column =
+      transform(col("cents"), c => V.dot(slice(v, m * sub + 1, sub),
+        slice(c, m * sub + 1, sub)))
+    // argmax with lowest-index tie-break: array_position finds the FIRST
+    // occurrence of the max (1-based; codes stay 1-based for element_at)
+    def code(v: Column, m: Int): Column = {
+      val ss = subScores(v, m)
+      array_position(ss, array_max(ss)).cast("int")
+    }
+    val codes = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), array((0 until M).map(m => code(col("embedding"), m)): _*).as("codes"))
+    val queries = e.filter(col("vec_id") < 10).crossJoin(broadcast(cb))
+      .select(col("vec_id").as("qid"),
+        array((0 until M).map(m => subScores(col("embedding"), m)): _*).as("tbl"))
+    val grouped = codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("score", expr(
+        "aggregate(zip_with(codes, tbl, (c, t) -> element_at(t, c)), cast(0.0 as double), (acc, x) -> acc + x)"))
+      .groupBy(col("qid"))
+      .agg(TopK.topKByScore(col("score"), col("vec_id"), k).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  /** Oracle: the same encode → table → 8-term ADC sum in SQL. The sum
+    * is written as eight explicit scalar additions in subspace order so
+    * both engines fold the doubles identically; sub-vector dots cast to
+    * DOUBLE[] to match DotProduct's float→double accumulation. */
+  lazy val s8Sql: String = {
+    val subDot = (a: String, b: String, m: String) =>
+      s"list_inner_product(list_slice($a, $m*8+1, $m*8+8)::DOUBLE[], " +
+        s"list_slice($b, $m*8+1, $m*8+8)::DOUBLE[])"
+    val terms = (0 until 8).map(m => s"max(CASE WHEN t.m = $m THEN t.t END)")
+      .mkString("(", " + ", ")")
+    s"""WITH cents AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+       |ms AS (SELECT unnest(range(8)) AS m),
+       |codes AS (
+       | SELECT v.vec_id, m.m,
+       |  (SELECT c.cid FROM cents c
+       |   ORDER BY ${subDot("v.embedding", "c.embedding", "m.m")} DESC, c.cid ASC
+       |   LIMIT 1) AS code
+       | FROM embeddings v CROSS JOIN ms m),
+       |tbl AS (
+       | SELECT q.vec_id AS qid, m.m, c.cid,
+       |  ${subDot("q.embedding", "c.embedding", "m.m")} AS t
+       | FROM embeddings q CROSS JOIN ms m CROSS JOIN cents c
+       | WHERE q.vec_id < 10),
+       |scores AS (
+       | SELECT t.qid, cd.vec_id AS neighbor, $terms AS score
+       | FROM codes cd JOIN tbl t ON t.m = cd.m AND t.cid = cd.code AND cd.vec_id <> t.qid
+       | GROUP BY t.qid, cd.vec_id)
+       |SELECT qid, row_number() OVER (PARTITION BY qid
+       |  ORDER BY score DESC, neighbor ASC) AS rank, neighbor
+       |FROM scores QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
   lazy val s6Sql: String =
     s"""WITH truth AS ($s1Sql),
        |lsh AS ($s2Sql),

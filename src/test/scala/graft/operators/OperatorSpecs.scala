@@ -93,6 +93,36 @@ class SimilaritySpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("s8 PQ-ADC ranking matches a driver-side recompute from first principles") {
+    // encode + table + 8-term fold reimplemented on plain Scala doubles:
+    // the spec derives the expected ranking from the PQ definition alone
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).sortBy(_._1)
+    val cents = vecs.filter(_._1 < 8).map(_._2)
+    def subDot(a: Array[Float], b: Array[Float], m: Int): Double = {
+      var acc = 0.0; var i = m * 8
+      while (i < m * 8 + 8) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def codes(v: Array[Float]): Array[Int] = Array.tabulate(8) { m =>
+      val ss = cents.map(c => subDot(v, c, m))
+      ss.indexOf(ss.max) // first max = lowest cid on ties
+    }
+    val expected = vecs.filter(_._1 < 10).flatMap { case (qid, q) =>
+      val scored = vecs.filter(_._1 != qid).map { case (vid, v) =>
+        val c = codes(v)
+        val score = (0 until 8).foldLeft(0.0)((acc, m) => acc + subDot(q, cents(c(m)), m))
+        (vid, score)
+      }
+      scored.sortBy { case (vid, s) => (-s, vid) }.take(5).zipWithIndex
+        .map { case ((vid, _), i) => (qid, i + 1, vid) }
+    }.toSeq
+    val got = Similarity.s8PqAdc(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == expected)
+  }
+
   test("s2 LSH results are a subset of candidates sharing a bucket") {
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), Similarity.lshBucket(col("embedding")).as("bucket"))
