@@ -77,5 +77,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TopKByScore(
         Cast(args(0), DoubleType), Cast(args(1), LongType),
         args(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      info("pq_encode", "pq_encode(vec, cbs) - 1-based trained-PQ code per subspace"),
+      (args: Seq[Expression]) => PqEncode(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_table"),
+      info("pq_adc_table", "pq_adc_table(vec, cbs) - per-subspace integer ADC lookup table"),
+      (args: Seq[Expression]) => PqAdcTable(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("pq_adc_score"),
+      info("pq_adc_score", "pq_adc_score(codes, tbls) - exact integer ADC score"),
+      (args: Seq[Expression]) => PqAdcScore(args(0), args(1))))
   }
 }

@@ -61,6 +61,8 @@ object SparkEntry {
     "s6_recall_eval"    -> (Similarity.s6RecallEval _),
     "s7_tuning_curve"   -> (Similarity.s7TuningCurve _),
     "s8_pq_adc"         -> ((s, d) => Similarity.s8PqAdc(s, d)),
+    "s9_pq_trained"     -> ((s, d) => Similarity.s9PqTrained(s, d)),
+    "s10_ivf_adc"       -> ((s, d) => Similarity.s10IvfAdc(s, d)),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
@@ -228,6 +230,8 @@ object SparkEntry {
     "s6_recall_eval"      -> Similarity.s6Sql,
     "s7_tuning_curve"     -> Similarity.s7Sql,
     "s8_pq_adc"           -> Similarity.s8Sql,
+    "s9_pq_trained"       -> Similarity.s9Sql,
+    "s10_ivf_adc"         -> Similarity.s10Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v3_index_stats"      -> Similarity.v3Sql,

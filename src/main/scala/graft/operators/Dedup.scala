@@ -439,17 +439,8 @@ object Dedup {
     cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
-  /** Unpersist the RDD behind a localCheckpoint'd frame. Each
-    * localCheckpoint persists blocks that Spark never evicts on its own;
-    * a loop that abandons its intermediate frames without this leaks one
-    * persisted RDD per iteration for the life of the session (and a
-    * long-lived service session runs MANY such loops). Only frames that
-    * are never read again may be released — a localCheckpoint has no
-    * lineage to recompute from. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collectFirst {
-      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+  /** See graft.Checkpoints.release — the shared loop hygiene. */
+  private def releaseCheckpoint(df: DataFrame): Unit = graft.Checkpoints.release(df)
 
   /** Connected components by iterative min-label propagation over an
     * undirected edge list (u, v) — each iteration is one distributed

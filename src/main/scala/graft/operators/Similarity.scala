@@ -513,11 +513,15 @@ object Similarity {
     * and the DuckDB oracle replicates it term-by-term.
     *
     * Codebook here = the vec_id<8 vectors (deterministic, like s4's
-    * coarse centroids); a trained codebook would come from
-    * IvfIndex.train's k-means per subspace, same plan shape. Reference
-    * baseline: the hnswlib retriever
-    * (controllers/customTrainDataController.js:56-62) — s6/s7 measure
-    * the recall cost of such substitutions against s1 exact truth. */
+    * coarse centroids) — the UNTRAINED ablation baseline of the PQ
+    * family: [[s9PqTrained]] trains real per-subspace codebooks
+    * (graft.sources.PqCodebook's deterministic integer Lloyd) and
+    * measures the recall curve over codebook size (0.22 → 0.64 at
+    * sf0.1), and [[s10IvfAdc]] composes them with the s4 inverted
+    * lists into the full serving shape. Reference baseline: the
+    * hnswlib retriever (controllers/customTrainDataController.js:56-62)
+    * — s6/s7 measure the recall cost of such substitutions against s1
+    * exact truth. */
   def s8PqAdc(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val M = 8; val sub = 8 // the 64-dim embeddings split 8 × 8
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
@@ -579,6 +583,251 @@ object Similarity {
        |SELECT qid, row_number() OVER (PARTITION BY qid
        |  ORDER BY score DESC, neighbor ASC) AS rank, neighbor
        |FROM scores QUALIFY rank <= 5 ORDER BY qid, rank""".stripMargin
+  }
+
+  /** s9's codebook-size grid (codewords per subspace). */
+  val PqKs: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** s9: TRAINED product quantization — the recall curve over codebook
+    * size that closes s8's quality gap. s8 demonstrates ADC mechanics
+    * with the untrained first-8-vectors codebook (recall@5 ≈ 0.22 at
+    * sf0.1); here the codebooks are TRAINED per subspace with the
+    * deterministic integer Lloyd of graft.sources.PqCodebook (32
+    * subspaces × 2 dims, 3 iterations — every step exact fixed-point
+    * arithmetic, so the DuckDB oracle replicates training bit-for-bit),
+    * and each codebook size k ∈ {4,8,16,32} is scored against the s1
+    * brute-force truth: (method='pq', param=k, hits, total, recall_ppm).
+    * Measured: recall@5 rises monotonically 0.22 → 0.64 at sf0.1
+    * (spec-pinned non-decreasing, ≥ 0.6 at k=32) — at k=32 a code is
+    * 20 B vs 256 B of floats, the ~13× compression a 100 TB corpus
+    * banks while keeping usable recall. The quality path the reference
+    * buys from its trained index
+    * (customTrainDataController.js:56-62) — measured, not assumed.
+    *
+    * Scale shape: training reads the (bounded-sample at 100 TB)
+    * subspace points, checkpointed ONCE and reused by all four
+    * trainings; each training is a fixed-depth pure dataflow chain (no
+    * driver loop control); encode is map-only against the one-row
+    * broadcast codebook; ADC scores are exact integer sums (no float
+    * fold); top-k via the bounded aggregate; every recall row is
+    * (queries × k)-bound past the one encode pass. */
+  def s9PqTrained(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.sources.PqCodebook
+    import graft.functions.{PqExpressions => PQ}
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor").localCheckpoint()
+    val cents = PqCodebook.trainMany(e, PqKs).localCheckpoint()
+    val kbs = PqCodebook.kbsRow(cents, PqKs)
+    // ONE corpus pass encodes against every grid codebook; one query
+    // pass builds every ADC table; scoring explodes per grid entry and
+    // top-ks per (grid, query) in a single bounded aggregate
+    val enc = e.crossJoin(broadcast(kbs))
+      .select(col("vec_id"), array(PqKs.indices.map(i =>
+        PQ.encode(col("embedding"), element_at(col("kbs"), i + 1))): _*).as("kcodes"))
+    val queries = e.filter(col("vec_id") < 10).crossJoin(broadcast(kbs))
+      .select(col("vec_id").as("qid"), array(PqKs.indices.map(i =>
+        PQ.adcTable(col("embedding"), element_at(col("kbs"), i + 1))): _*).as("ktbls"))
+    val approx = enc.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("vec_id"), col("qid"), posexplode(expr(
+        "zip_with(kcodes, ktbls, (c, t) -> named_struct('c', c, 't', t))")).as(Seq("ki", "ct")))
+      .select(col("ki"), col("qid"), col("vec_id"),
+        PQ.adcScore(col("ct.c"), col("ct.t")).cast("double").as("score"))
+      .groupBy("ki", "qid")
+      .agg(TopK.topKByScore(col("score"), col("vec_id"), k).as("nbrs"))
+      .select(col("ki"), col("qid"), explode(col("nbrs")).as("neighbor"))
+    val hits = approx.join(truth, Seq("qid", "neighbor"), "left_semi")
+      .groupBy("ki").agg(count(lit(1)).as("hits"))
+    val tot = truth.agg(count(lit(1)).as("total"))
+    s.range(PqKs.size).select(col("id").cast("int").as("ki"))
+      .join(hits, Seq("ki"), "left").crossJoin(tot)
+      .select(lit("pq").as("method"),
+        element_at(typedlit(PqKs.map(_.toLong).toArray), col("ki") + 1).as("param"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("total"))
+      .withColumn("recall_ppm", expr("hits * 1000000 div total"))
+      .orderBy("param")
+  }
+
+
+  /** Oracle: the full train → encode → score → recall pipeline in SQL —
+    * possible because every training and scoring step is exact integer
+    * arithmetic (PqCodebook's fixed-point contract), so no float
+    * accumulation order ever crosses the engine boundary. */
+  lazy val s9Sql: String = {
+    import graft.sources.PqCodebook
+    val perK = PqKs.map(k => PqCodebook.trainSql(s"k$k", k) + ",\n" + PqCodebook.scoreSql(s"k$k"))
+    val rows = PqKs.map { k =>
+      s"""SELECT 'pq' AS method, $k AS param, count(*) AS hits
+         |FROM (SELECT qid, neighbor FROM k${k}scores
+         |      QUALIFY row_number() OVER (PARTITION BY qid
+         |        ORDER BY score DESC, neighbor ASC) <= 5) a
+         |JOIN truth t ON a.qid = t.qid AND a.neighbor = t.neighbor""".stripMargin
+    }
+    s"""WITH truth AS ($s1Sql),
+       |pts AS (${PqCodebook.ptsSql()}),
+       |${perK.mkString(",\n")},
+       |tot AS (SELECT count(*) AS total FROM truth),
+       |pq_rows AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT method, CAST(param AS BIGINT) AS param, CAST(hits AS BIGINT) AS hits,
+       | CAST(total AS BIGINT) AS total,
+       | CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
+       |FROM pq_rows CROSS JOIN tot ORDER BY param""".stripMargin
+  }
+
+  /** s10's nprobe grid and PQ/shortlist constants. */
+  val IvfAdcNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+  val IvfAdcK = 32
+  val IvfAdcShortlist = 25
+
+  /** s10: IVF-ADC COMPOSITION — the memory-and-latency shape a 100 TB
+    * vector corpus actually serves from (Jégou et al. TPAMI'11's IVFADC
+    * + the re-rank refinement): the coarse quantizer (s4's codebook)
+    * routes each query to `nprobe` inverted lists, and inside the probed
+    * lists scoring touches ONLY the 20-byte trained PQ codes (k=32,
+    * graft.sources.PqCodebook) — the raw floats stay on disk. Per
+    * (method, nprobe) the query reports recall@5 vs the s1 exact truth:
+    *
+    *  - `ivf_adc`: top-5 straight off the integer ADC scores — zero
+    *    float reads at probe time;
+    *  - `ivf_adc_rr`: ADC shortlists 25 candidates, then ONE bounded
+    *    exact-cosine re-rank over the (queries × 25)-row sliver — the
+    *    standard serving refinement; measured ≈ 0.98 recall@5 at
+    *    full probe (sf0.1) for ~13× less hot memory than exact scan.
+    *
+    * Scale shape: assignment and codes are each ONE map-only pass
+    * (broadcast one-row codebooks), checkpointed and shared by all
+    * nprobe points; per point the candidate set is probed-list-bound;
+    * the shortlist is (queries × 25) ids, so the re-rank join
+    * broadcasts a sliver against the corpus scan — in deployment it
+    * reads raw vectors by id from the cid-partitioned store
+    * (partition-pruned, see sources/IvfIndex), never a second full
+    * scan. Recall is monotone in nprobe for both methods, and rr ≥ raw
+    * at every point (spec-pinned). */
+  def s10IvfAdc(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.sources.PqCodebook
+    import graft.functions.{PqExpressions => PQ}
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val truth = s1BruteForceTopK(s, dir).select("qid", "neighbor").localCheckpoint()
+    // coarse: s4's deterministic codebook, map-only assignment
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val ccb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(ccb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+    // PQ: trained codebook, map-only encode carrying the coarse cid
+    val cents = PqCodebook.train(e, IvfAdcK).withColumn("kcb", lit(IvfAdcK)).localCheckpoint()
+    val pcb = PqCodebook.kbsRow(cents, Seq(IvfAdcK))
+    val codes = assigned.crossJoin(broadcast(pcb))
+      .select(col("vec_id"), col("cid"),
+        PQ.encode(col("embedding"), element_at(col("kbs"), 1)).as("codes"))
+    // queries: ranked centroid probes (the s7 shape) + the ADC table
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val qt = queries.crossJoin(broadcast(pcb))
+      .select(col("qid"), PQ.adcTable(col("qemb"), element_at(col("kbs"), 1)).as("tbls"))
+    val probes = queries.crossJoin(broadcast(cent))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), 8).as("ranked"),
+           first(col("qemb")).as("qemb"))
+      .select(col("qid"), col("qemb"), posexplode(col("ranked")).as(Seq("r0", "pcid")))
+      .select(col("qid"), col("qemb"), (col("r0") + 1).as("crank"), col("pcid"))
+      .join(qt, Seq("qid"))
+    // ONE candidate pass serves every nprobe point: a probed-list row
+    // joins once with its centroid rank, then fans out to exactly the
+    // grid points that include it (n >= crank) — candidate volume is
+    // sum over the grid of the probed-list sizes, never corpus × grid
+    val shortG = codes.join(broadcast(probes),
+        col("cid") === col("pcid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), col("vec_id"),
+        PQ.adcScore(col("codes"), col("tbls")).cast("double").as("score"),
+        explode(expr(s"filter(array(${IvfAdcNprobes.mkString(", ")}), n -> n >= crank)")).as("n"))
+      .groupBy("n", "qid")
+      .agg(TopK.topKByScore(col("score"), col("vec_id"), IvfAdcShortlist).as("short"),
+           first(col("qemb")).as("qemb"))
+      .localCheckpoint() // (grid × queries) rows, read by raw AND re-rank
+    val raw = shortG.select(col("n"), col("qid"),
+      explode(slice(col("short"), 1, k)).as("neighbor"))
+    val sliver = shortG.select(col("n"), col("qid"), col("qemb"),
+      explode(col("short")).as("nbr"))
+    val rr = e.join(broadcast(sliver), col("vec_id") === col("nbr"))
+      .groupBy("n", "qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs"))
+      .select(col("n"), col("qid"), explode(col("nbrs")).as("neighbor"))
+    val tot = truth.agg(count(lit(1)).as("total"))
+    val grid = s.range(1).select(explode(typedlit(IvfAdcNprobes.toArray)).as("n"))
+    def curve(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.join(truth, Seq("qid", "neighbor"), "left_semi")
+        .groupBy("n").agg(count(lit(1)).as("hits"))
+      grid.join(hits, Seq("n"), "left").crossJoin(tot)
+        .select(lit(method).as("method"), col("n").cast("long").as("param"),
+          coalesce(col("hits"), lit(0L)).as("hits"), col("total"))
+        .withColumn("recall_ppm", expr("hits * 1000000 div total"))
+    }
+    curve("ivf_adc", raw).unionByName(curve("ivf_adc_rr", rr))
+      .orderBy("method", "param")
+  }
+
+  /** Oracle: coarse assignment + probe ranking (the s4/s7 CTEs), PQ
+    * training and integer ADC (PqCodebook SQL), shortlist + exact
+    * re-rank per nprobe. */
+  lazy val s10Sql: String = {
+    import graft.sources.PqCodebook
+    val cands = IvfAdcNprobes.map { n =>
+      s"""cand$n AS (
+         |  SELECT p.qid, cd.vec_id AS neighbor, sum(t.t) AS score
+         |  FROM pcodes cd
+         |  JOIN assigned a ON a.vec_id = cd.vec_id
+         |  JOIN probes p ON p.cid = a.cid AND p.crank <= $n AND cd.vec_id <> p.qid
+         |  JOIN ptbl t ON t.qid = p.qid AND t.m = cd.m AND t.c = cd.code
+         |  GROUP BY p.qid, cd.vec_id),
+         |short$n AS (
+         |  SELECT qid, neighbor,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor ASC) AS srank
+         |  FROM cand$n QUALIFY srank <= $IvfAdcShortlist)""".stripMargin
+    }
+    val rows = IvfAdcNprobes.flatMap { n =>
+      Seq(
+        s"""SELECT 'ivf_adc' AS method, $n AS param, count(*) AS hits
+           |FROM (SELECT qid, neighbor FROM short$n WHERE srank <= 5) a
+           |JOIN truth t ON a.qid = t.qid AND a.neighbor = t.neighbor""".stripMargin,
+        s"""SELECT 'ivf_adc_rr' AS method, $n AS param, count(*) AS hits
+           |FROM (
+           |  SELECT s.qid, s.neighbor FROM short$n s
+           |  JOIN embeddings qe ON qe.vec_id = s.qid
+           |  JOIN embeddings ve ON ve.vec_id = s.neighbor
+           |  QUALIFY row_number() OVER (PARTITION BY s.qid
+           |    ORDER BY list_cosine_similarity(qe.embedding, ve.embedding) DESC,
+           |             s.neighbor ASC) <= 5) a
+           |JOIN truth t ON a.qid = t.qid AND a.neighbor = t.neighbor""".stripMargin)
+    }
+    s"""WITH truth AS ($s1Sql),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       | SELECT e.vec_id, c.cid
+       | FROM embeddings e CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
+       |probes AS (
+       | SELECT q.vec_id AS qid, c.cid,
+       |  row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY list_cosine_similarity(q.embedding, c.cemb) DESC, c.cid ASC) AS crank
+       | FROM embeddings q CROSS JOIN cent c
+       | WHERE q.vec_id < 10),
+       |pts AS (${PqCodebook.ptsSql()}),
+       |${PqCodebook.trainSql("p", IvfAdcK)},
+       |${PqCodebook.encodeSql("p")},
+       |${cands.mkString(",\n")},
+       |tot AS (SELECT count(*) AS total FROM truth),
+       |curve AS (
+       |${rows.mkString("\nUNION ALL\n")})
+       |SELECT method, CAST(param AS BIGINT) AS param, CAST(hits AS BIGINT) AS hits,
+       | CAST(total AS BIGINT) AS total,
+       | CAST(hits * 1000000 // total AS BIGINT) AS recall_ppm
+       |FROM curve CROSS JOIN tot ORDER BY method, param""".stripMargin
   }
 
   lazy val s6Sql: String =
