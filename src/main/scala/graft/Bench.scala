@@ -61,13 +61,43 @@ object Bench {
   }
 
   /** Parse `| query | seconds |` rows out of BASELINE.md; names are
-    * validated against the current query set, non-positive times dropped. */
+    * validated against the current query set, non-positive times dropped.
+    * Struck-through names (`~~old_row~~`, the algorithm-change history)
+    * don't match the name pattern, so history rows never re-enter the
+    * gate. */
   private[graft] def baselineTimes(text: String, names: Set[String]): Map[String, Double] = {
     val row = """\|\s*([a-z0-9_]+)\s*\|\s*([0-9]+\.[0-9]+)\s*\|""".r
     row.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter { case (k, v) => names.contains(k) && v > 0 }
       .toMap
+  }
+
+  /** Name of the machine-epoch calibration row in BASELINE.md. */
+  private[graft] val CalibrationKey = "_calibration"
+
+  /** Fixed calibration workload: a small multi-stage range→shuffle→agg
+    * job, independent of the query set and the test data. It measures
+    * the per-stage fixed overhead + core throughput of THIS machine
+    * epoch — exactly the term that drifted ~1.3× between the r4/r5
+    * baseline epoch and r8 (VERDICT r8: nine sub-second queries breached
+    * the 2× gate purely on epoch drift). The ratio of the measured value
+    * to the pinned `_calibration` row in BASELINE.md scales the gate:
+    * `vs_baseline_calibrated = (t / baseline) / (calib / calib_pinned)`.
+    * Min of 5 after 2 warm runs — the same steady-state estimator as the
+    * per-query protocol. */
+  private[graft] def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.sum
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 2000000L, 1L, 8)
+        .selectExpr("id % 1000 AS k", "id")
+        .groupBy("k").agg(sum("id").as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once(); once()
+    (1 to 5).map(_ => once()).min
   }
 
   def main(args: Array[String]): Unit = {
@@ -133,15 +163,24 @@ object Bench {
       val f = new java.io.File("BASELINE.md")
       if (!f.exists()) Map.empty
       else try baselineTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)),
-        SparkEntry.queries.keySet)
+        SparkEntry.queries.keySet + CalibrationKey)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
+    // machine-epoch normalization: the fixed calibration workload's ratio
+    // vs its pinned baseline row divides every gate ratio, so a uniformly
+    // slower (or faster) machine epoch cannot masquerade as per-query
+    // regressions (or hide them)
+    val calib = calibrate(spark)
+    val epoch = baseline.get(CalibrationKey).filter(_ > 0).map(calib / _)
     val vsBaseline = mins.collect {
       case (n, t) if t > 0 && baseline.get(n).exists(_ > 0) =>
         n -> BigDecimal(t / baseline(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    vsBaseline.filter(_._2 > 2.0).sortBy(-_._2).foreach { case (n, r) =>
-      System.err.println(f"[bench] $n is $r%.1fx its baseline min — regression to explain")
+    val vsCalibrated = vsBaseline.map { case (n, r) =>
+      n -> BigDecimal(r / epoch.getOrElse(1.0)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    vsCalibrated.filter(_._2 > 2.0).sortBy(-_._2).foreach { case (n, r) =>
+      System.err.println(f"[bench] $n is $r%.1fx its baseline min (epoch-normalized) — regression to explain")
     }
 
     def obj(kvs: Seq[(String, String)]): String =
@@ -171,6 +210,9 @@ object Bench {
       "queries_max" -> obj(maxs.map { case (k, v) => k -> fmt(v) }),
       "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
       "vs_baseline" -> obj(vsBaseline.map { case (k, v) => k -> v.toString }),
+      "vs_baseline_calibrated" -> obj(vsCalibrated.map { case (k, v) => k -> v.toString }),
+      "calibration_sec" -> f"$calib%.4f",
+      "epoch_factor" -> epoch.map(e => f"$e%.3f").getOrElse("null"),
       "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "sf" -> ("\"" + sfDir + "\"")))
     try java.nio.file.Files.write(

@@ -487,26 +487,37 @@ object Dedup {
     releaseCheckpoint(sym0)
     var labels = labelsCkpt
     var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 25) {
-      val nbrMin = sym.join(labels, col("v") === col("id"))
+    var rounds = 0
+    // one propagation round, carrying the pre-batch label as `prev`
+    def round(lbl: DataFrame): DataFrame = {
+      val nbrMin = sym.join(lbl.select("id", "label"), col("v") === col("id"))
         .groupBy(col("u")).agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(nbrMin, col("id") === col("u"), "left")
+      lbl.join(nbrMin, col("id") === col("u"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          col("label").as("prev"))
+          col("prev"))
+    }
+    while (changed > 0 && rounds < 50) {
+      // TWO propagation rounds per driver action: the convergence count is
+      // pure loop control, and paying it (plus a checkpoint job) every
+      // round doubled the driver-side job count — dup-cluster graphs are
+      // shallow, so the loop cost is actions × fixed job overhead, not
+      // data volume. A batch that applies a no-op second round costs one
+      // cheap re-join of an already-converged label frame
+      val base = labels.select(col("id"), col("label"), col("label").as("prev"))
+      val updated = round(round(base))
         .repartition(parts, col("id")).localCheckpoint()
       changed = updated.filter(col("label") < col("prev")).count()
       releaseCheckpoint(labelsCkpt) // superseded — `updated` is materialized
       labelsCkpt = updated
       labels = updated.select("id", "label")
-      iter += 1
+      rounds += 2
     }
-    require(changed == 0, s"connectedComponents did not converge in $iter iterations")
+    require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
     releaseCheckpoint(sym)
     // the final labels checkpoint stays persisted — it IS the result the
     // caller consumes; one bounded (one-row-per-node) block per call
-    (labels, iter)
+    (labels, rounds)
   }
 
   /** Connected components via alternating LARGE-STAR / SMALL-STAR
@@ -575,14 +586,14 @@ object Dedup {
   }
 
   /** d7: near-dup CLUSTERS — connected components over the d2 pair set;
-    * cluster id = min doc_id in the component (the surviving document). */
-  def d7DupClusters(s: SparkSession, dir: String): DataFrame = {
-    val edges = d2NgramJaccardCollapsed(s, dir)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    connectedComponents(edges)
+    * cluster id = min doc_id in the component (the surviving document).
+    * Labels come from the memoized [[jaccardClusterArtifact]]: the pair
+    * scoring + CC loop (the dominant term) is paid once per (session,
+    * corpus), the d12-family amortization applied to the d2 graph. */
+  def d7DupClusters(s: SparkSession, dir: String): DataFrame =
+    jaccardClusterArtifact(s, dir)._2
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")
-  }
 
   /** Oracle: transitive closure via recursive CTE, min reachable id. */
   lazy val d7Sql: String =
@@ -947,6 +958,23 @@ object Dedup {
     * (bounded — two sliver-sized persisted frames per corpus). */
   private val clusterArtifactCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** The d2 (char-3-gram Jaccard) pair sliver + its CC labels, memoized
+    * per (session, corpus) like [[clusterArtifact]] — the d7 family's
+    * artifact. A pipeline that consults cluster labels repeatedly (d7
+    * re-runs, incremental audits) pays the pair scoring + CC term once
+    * per corpus; both frames are collision-sliver-bound. */
+  private val jaccardArtifactCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private[operators] def jaccardClusterArtifact(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    jaccardArtifactCache.getOrElseUpdate((s, dir), {
+      val pairs = d2NgramJaccardCollapsed(s, dir)
+        .select("doc_a", "doc_b").localCheckpoint()
+      val labels = connectedComponents(
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      (pairs, labels)
+    })
 
   /** (pairs, labels) for the corpusNear LSH collision graph — see
     * [[clusterArtifactCache]]. */

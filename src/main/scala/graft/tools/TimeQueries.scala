@@ -30,6 +30,10 @@ object TimeQueries {
       }
       println(f"$name%-28s min=${ts.min}%6.3f median=${ts.sorted.apply(1)}%6.3f")
     }
+    // --calibrate: also time the Bench machine-epoch calibration workload
+    // (what the `_calibration` BASELINE.md row pins)
+    if (args.contains("--calibrate"))
+      println(f"${"_calibration"}%-28s min=${graft.Bench.calibrate(spark)}%6.3f")
     spark.stop()
   }
 }

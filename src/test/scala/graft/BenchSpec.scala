@@ -66,4 +66,19 @@ class BenchSpec extends AnyFunSuite {
     val missing = SparkEntry.queries.keySet -- t.keySet
     assert(missing.isEmpty, s"unexpected baseline gaps: $missing")
   }
+
+  test("the committed BASELINE.md pins a calibration row; history rows never parse") {
+    val f = new java.io.File("BASELINE.md")
+    assume(f.exists())
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    // the machine-epoch calibration pin is present and positive
+    val cal = Bench.baselineTimes(text, Set(Bench.CalibrationKey))
+    assert(cal.get(Bench.CalibrationKey).exists(_ > 0), "missing _calibration row")
+    // retired-epoch history rows are struck through -> invisible to the
+    // parser even when their names are offered (d7's retired 1.4225 row
+    // must not shadow its re-pinned value)
+    val t = Bench.baselineTimes(text, Set("d7_dup_clusters"))
+    assert(t("d7_dup_clusters") < 1.0, s"history row leaked into the gate: $t")
+  }
+
 }
