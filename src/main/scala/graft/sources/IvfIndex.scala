@@ -23,9 +23,10 @@ import graft.functions.{TopK, VectorExpressions => V}
   *     lists).
   *  3. `probe`: embed queries, rank centroids per query with the same
   *     broadcast codebook, take the `nprobe` nearest lists, and scan
-  *     ONLY those partitions (driver collects the probed cid set — a
-  *     bounded scan parameter, ≤ queries×nprobe ints — exactly the
-  *     VectorStoreSink pruning pattern); exact cosine top-k inside the
+  *     ONLY those partitions — the broadcast probe join on the cid
+  *     partition column triggers DYNAMIC PARTITION PRUNING, so the
+  *     probed-list set never rides through the driver and pruning
+  *     scales to arbitrary query batches; exact cosine top-k inside the
   *     probed lists via the bounded aggregate.
   *
   * Recall/latency trade is `k` (list granularity) × `nprobe` (lists
@@ -73,7 +74,9 @@ object IvfIndex {
   def probe(s: SparkSession, path: String, queries: DataFrame,
       centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
     val cb = codebookDf(s, centroids)
-    // rank ALL centroids per query (|codebook| is broadcast-small), keep nprobe
+    // rank ALL centroids per query (|codebook| is broadcast-small), keep
+    // nprobe; qcid stays the scan's partition-column type so the join
+    // below keys on the bare partition attribute
     val qcids = queries.crossJoin(broadcast(cb))
       .select(col("qid"), col("qemb"),
         posexplode(col("cembs")).as(Seq("cidx", "cemb")))
@@ -81,18 +84,21 @@ object IvfIndex {
       .groupBy("qid")
       .agg(TopK.topKByScore(col("csim"), col("cidx").cast("long"), nprobe).as("probe_cids"),
            first(col("qemb")).as("qemb"))
-      .select(col("qid"), col("qemb"), explode(col("probe_cids")).as("cid"))
-    // bounded driver collect — |queries| × nprobe list ids at most, a
-    // scan PARAMETER rather than data movement. Inlining it as isin()
-    // makes the predicate foldable, so the filter prunes the
-    // cid-partitioned inverted-list files at planning time
-    // (PartitionFilters in the scan) — the probe reads only the probed
-    // lists, which is the entire point of IVF
-    val probed = qcids.select("cid").distinct().collect().map(_.getLong(0))
-    val lists = s.read.parquet(path)
-      .filter(col("cid").isin(probed.map(java.lang.Long.valueOf): _*))
-      .select(col("vec_id"), col("embedding"), col("cid").cast("long").as("list_cid"))
-    lists.join(broadcast(qcids), col("list_cid") === col("cid") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qemb"), explode(col("probe_cids")).as("qcid0"))
+      .select(col("qid"), col("qemb"), col("qcid0").cast("int").as("qcid"))
+      // true domain bound (codebook ids); also the selective predicate
+      // Spark's DPP heuristic requires on the build side, independent of
+      // whatever filters the caller's query frame carries
+      .filter(col("qcid").between(0, centroids.length - 1))
+    // the probe join IS the pruning: broadcasting the (queries × nprobe)-
+    // row probe set against the cid PARTITION column hands Spark a
+    // dynamic partition-pruning subquery — the scan reads only the
+    // probed cid= directories (plan-asserted: dynamicpruningexpression
+    // in PartitionFilters), and the probed-id set never rides through
+    // the driver, so a thousand-query batch prunes exactly like a
+    // one-query batch
+    s.read.parquet(path)
+      .join(broadcast(qcids), col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
       .groupBy("qid")
       .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))

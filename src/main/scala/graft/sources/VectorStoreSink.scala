@@ -26,14 +26,17 @@ object VectorStoreSink {
       .withColumn("qemb", graft.functions.CharHistEmbedF.embed(col("question")))
       .withColumn("qbucket", graft.operators.Similarity.lshBucket(col("qemb")))
       .select(col("query_id"), col("qemb"), col("qbucket"))
-    // bounded driver collect — at most 2^NumPlanes = 256 distinct bucket
-    // ids (and in practice |queries| of them), a scan parameter. The
-    // isin() over the bucket PARTITION column prunes non-matching
-    // partition directories at planning time, so retrieval reads only
-    // the buckets the queries hash into
-    val buckets = q.select("qbucket").distinct().collect().map(_.getInt(0))
+      // true domain bound (NumPlanes sign bits → [0, 2^NumPlanes)); also
+      // the selective predicate Spark's DPP heuristic requires on the
+      // build side before it will inject partition pruning
+      .filter(col("qbucket").between(0, (1 << graft.operators.Similarity.NumPlanes) - 1))
+    // the retrieval join IS the pruning: broadcasting the query batch
+    // against the bucket PARTITION column hands Spark a dynamic
+    // partition-pruning subquery, so the scan reads only the bucket=
+    // directories the queries hash into (plan-asserted:
+    // dynamicpruningexpression in PartitionFilters) — no bucket-id set
+    // ever rides through the driver
     val candidates = s.read.parquet(path)
-      .filter(col("bucket").isin(buckets.map(Integer.valueOf): _*))
       .select("chunk_uid", "embedding", "bucket")
     candidates.join(broadcast(q), col("bucket") === col("qbucket"))
       .groupBy("query_id")

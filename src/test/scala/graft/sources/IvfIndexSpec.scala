@@ -50,6 +50,14 @@ class IvfIndexSpec extends SparkSpec {
     val r2 = recallAt(2); val r4 = recallAt(4)
     assert(r2 >= 0.25, s"recall@$TopN nprobe=2 = $r2")
     assert(r4 >= r2, s"recall must not fall as nprobe grows: $r2 -> $r4")
+
+    // the probe scan must prune to the probed lists via DYNAMIC
+    // partition pruning (the broadcast probe join on the cid partition
+    // column is the mechanism — no driver-collected cid set anywhere)
+    val plan = IvfIndex.probe(spark, dir, queries, centroids, TopN, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on cid visible:\n${plan.take(2000)}")
   }
 
   test("training is deterministic for a fixed seed") {
