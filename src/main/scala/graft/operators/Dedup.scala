@@ -1150,15 +1150,40 @@ object Dedup {
     * every row — silently emptying the batch. NULL collapses to "not in
     * the index", which is exactly what an empty index means
     * (fixture-asserted). */
-  private[operators] def bloomProbe(existingFp: DataFrame, batch: DataFrame): DataFrame = {
+  private[operators] def bloomProbe(existingFp: DataFrame, batch: DataFrame): DataFrame =
+    bloomProbeFrom(bloomSketch(existingFp), batch)
+
+  /** The fp index folded into its ONE-ROW binary Bloom sketch — the
+    * frame [[bloomProbeFrom]] consumes, and the PERSISTED ARTIFACT of a
+    * recurring crawl at 100 TB: write this row once per index build
+    * ([[bloomSketchWrite]]), and every subsequent batch probes the
+    * stored sketch without touching the index again (the amortization
+    * d15's scaladoc promises). */
+  private[operators] def bloomSketch(existingFp: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.graftshim.Shim
     val bfAgg = new BloomFilterAggregate(
       new XxHash64(Seq(Shim.expression(col("fp"))), 42L),
       Literal(1000000L), Literal(8L * 1024 * 1024))
-    val bloomPlan = Shim.logicalPlan(
-      existingFp.select(Shim.column(bfAgg.toAggregateExpression()).as("bf")))
+    existingFp.select(Shim.column(bfAgg.toAggregateExpression()).as("bf"))
+  }
+
+  /** Persist / reload the sketch: one binary row of parquet. The seed
+    * and sizing are part of [[bloomSketch]]'s definition, so a reloaded
+    * sketch probes identically to a freshly built one (spec-asserted
+    * round-trip: d15's result is bit-identical either way). */
+  def bloomSketchWrite(existingFp: DataFrame, path: String): Unit =
+    bloomSketch(existingFp).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  def bloomSketchRead(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  private[operators] def bloomProbeFrom(sketch: DataFrame, batch: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+    import org.apache.spark.sql.graftshim.Shim
+    val bloomPlan = Shim.logicalPlan(sketch.select(col("bf")))
     batch.withColumn("maybe", coalesce(
       Shim.column(BloomFilterMightContain(
         ScalarSubquery(bloomPlan),
@@ -1195,18 +1220,35 @@ object Dedup {
     * machinery Spark's own runtime-filter injection uses, driven
     * explicitly. Spec asserts: result ≡ d9 row-for-row, zero false
     * negatives, and the maybe-sliver is a small fraction of the batch. */
-  def d15BloomDedup(s: SparkSession, dir: String): DataFrame = {
-    val probe = d15Probe(s, dir)
-    val existingFp = base(s, dir).filter(col("doc_id") < 400)
-      .select(md5(col("text").cast("binary")).as("fp")).distinct()
+  /** d15's existing-index fingerprint column (the stored dedup index). */
+  private[operators] def d15ExistingFp(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).filter(col("doc_id") < 400)
+      .select(md5(col("text").cast("binary")).as("fp"))
+
+  private def d15Assemble(probe: DataFrame, existingFp: DataFrame): DataFrame = {
     val definitelyNew = probe.filter(!col("maybe")).select("doc_id", "fp")
     val survivors = probe.filter(col("maybe")).select("doc_id", "fp")
-      .join(existingFp, Seq("fp"), "left_anti")
+      .join(existingFp.distinct(), Seq("fp"), "left_anti")
     definitelyNew.unionByName(survivors)
       .groupBy("fp")
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("batch_copies"))
       .select("doc_id", "fp", "batch_copies")
       .orderBy("doc_id")
+  }
+
+  def d15BloomDedup(s: SparkSession, dir: String): DataFrame =
+    d15Assemble(d15Probe(s, dir), d15ExistingFp(s, dir))
+
+  /** d15 against a PERSISTED sketch artifact (written once per index
+    * build by [[bloomSketchWrite]]) instead of an in-session sketch —
+    * the recurring-crawl deployment shape, where the screen is amortized
+    * across every batch that follows. Identical output to
+    * [[d15BloomDedup]] (spec-asserted round-trip), and the maybe-sliver
+    * pruning holds unchanged because the sketch row is bit-identical. */
+  def d15BloomDedupFrom(s: SparkSession, dir: String, sketchPath: String): DataFrame = {
+    val batch = d9NewBatch(s, dir).withColumn("fp", md5(col("text").cast("binary")))
+    d15Assemble(bloomProbeFrom(bloomSketchRead(s, sketchPath), batch),
+      d15ExistingFp(s, dir))
   }
 
   /** Oracle: identical to d9's — d15 is the same report computed the way

@@ -559,6 +559,31 @@ class DedupSpec extends SparkSpec {
       s"false-positive rate too high: ${maybes - trueHits} of ${probe.length}")
   }
 
+  test("d15 sketch persists: write -> reload -> identical result and identical probe decisions") {
+    // the recurring-crawl deployment shape: the index's Bloom sketch is
+    // written ONCE per index build and every later batch probes the
+    // stored artifact
+    val path = java.nio.file.Files.createTempDirectory("graft-bloom").toString + "/sketch"
+    Dedup.bloomSketchWrite(Dedup.d15ExistingFp(spark, sfDir), path)
+    val persisted = Dedup.d15BloomDedupFrom(spark, sfDir, path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val inSession = Dedup.d15BloomDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(persisted == inSession, "persisted-sketch d15 diverges from in-session d15")
+    // pruning still holds through the round-trip: the reloaded sketch
+    // makes exactly the same maybe/definitely-new calls (bit-identical
+    // serialized sketch), so the maybe-sliver stays a sliver
+    val batch = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") >= 400)
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val fromDisk = Dedup.bloomProbeFrom(Dedup.bloomSketchRead(spark, path), batch)
+      .select("doc_id", "maybe").collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val fresh = Dedup.bloomProbe(Dedup.d15ExistingFp(spark, sfDir), batch)
+      .select("doc_id", "maybe").collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    assert(fromDisk == fresh, "reloaded sketch probes differently than the fresh sketch")
+    assert(fromDisk.values.count(identity) < fromDisk.size / 2, "persisted sketch prunes nothing")
+  }
+
   test("d16 duplication profile conserves the corpus and agrees with d12") {
     val rows = Dedup.d16DupProfile(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
