@@ -21,7 +21,9 @@ task no matter how maxPartitionBytes is tuned. Uncompressed, file
 bytes track logical work and the SPARK_GRAFT_MAX_PARTITION_BYTES
 session knob (graft.SessionTuning) yields honest scan parallelism.
 
-Usage: python3 tools/gen_sf1.py [outdir]   (default /root/repo/data/sf1)
+Usage: python3 tools/gen_sf1.py [outdir] [replicas]
+       (defaults: /root/repo/data/sf1, 10; replicas=30 makes sf3 —
+        the second decade-and-a-half of scale evidence)
 """
 import os
 import sys
@@ -32,7 +34,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/root/repo/data/sf1"
-R = 10                      # replication factor
+R = int(sys.argv[2]) if len(sys.argv) > 2 else 10   # replication factor
 OFF = 10_000_000            # per-replica key offset
 
 os.makedirs(OUT, exist_ok=True)
