@@ -54,6 +54,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("winnow_fingerprints", "winnow_fingerprints(text) - rolling-hash winnowing fingerprint set"),
       (args: Seq[Expression]) => WinnowFingerprints(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("token_window_hashes"),
+      info("token_window_hashes", "token_window_hashes(text, w) - rolling hash per w-token sliding window"),
+      (args: Seq[Expression]) => TokenWindowHashes(args(0),
+        args(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("recursive_chunks"),
       info("recursive_chunks", "recursive_chunks(text, size, overlap) - separator-aware chunking"),
       (args: Seq[Expression]) => RecursiveChunks(args(0),

@@ -103,6 +103,7 @@ object SparkEntry {
     "d14_cluster_split" -> (Dedup.d14ClusterSplit _),
     "d15_bloom_dedup"   -> (Dedup.d15BloomDedup _),
     "d16_dup_profile"   -> (Dedup.d16DupProfile _),
+    "d17_substring_dedup" -> (Dedup.d17SubstringDedup _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
@@ -267,6 +268,7 @@ object SparkEntry {
     "d14_cluster_split" -> Dedup.d14Sql,
     "d15_bloom_dedup"   -> Dedup.d15Sql,
     "d16_dup_profile"   -> Dedup.d16Sql,
+    "d17_substring_dedup" -> Dedup.d17Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,

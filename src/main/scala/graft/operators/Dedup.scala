@@ -1345,4 +1345,144 @@ object Dedup {
        |LEFT JOIN comp cm ON l.label = cm.label
        |WHERE l.id IS NULL OR l.label = c.doc_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d17
+
+  /** Sliding-window width for d17, in tokens. */
+  private[operators] val SubW = 15
+
+  /** 30-token passage "mirrored" onto every 3rd doc (appended). */
+  private[operators] val MirrorPassage: String =
+    "the quick data pipeline reads every shard and writes every block " +
+      "to the store while the planner prunes each partition by range " +
+      "and hash before the final merge pass completes"
+
+  /** 20-token boilerplate prefix planted on every 5th doc. */
+  private[operators] val BoilerPrefix: String =
+    "this content is mirrored from the central archive and may appear " +
+      "in many documents across the crawl snapshot today"
+
+  /** d17's corpus: base docs with the mirrored passage appended to every
+    * 3rd doc and the boilerplate prefix on every 5th — doc 0 carries the
+    * global first occurrence of both, so it alone reports zero. */
+  private def corpusSub(s: SparkSession, dir: String): DataFrame =
+    base(s, dir)
+      .withColumn("text",
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" " + MirrorPassage))).otherwise(col("text")))
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(lit(BoilerPrefix + " "), col("text"))).otherwise(col("text")))
+
+  /** d17: exact duplicated-SUBSTRING detection at sliding-window
+    * granularity (the train-data pass of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 —
+    * the reference's corpus-prep analogue is its document-level
+    * training upload, customTrainDataController.js:38-54, which has no
+    * sub-document pass at all). Every `SubW`-token sliding window is
+    * fingerprinted; a window occurring anywhere else in the corpus
+    * survives only at its global first occurrence (min (doc_id, pos));
+    * every later occurrence marks its [pos, pos+W) token span
+    * duplicated, and per document the overlapping spans are
+    * interval-union'd (gaps-and-islands) into maximal duplicated
+    * regions. Output: per-doc token count, duplicated-token total and
+    * duplicated-region count.
+    *
+    * Scale: the paper's suffix array is a single-machine structure; the
+    * Spark-first shape is window FINGERPRINTING — one map-side explode
+    * to (h, doc_id, pos) rows where h is an 8-byte xxhash64 of the
+    * window (the window text never crosses the wire), then ONE shuffle
+    * keyed on h. First occurrence per window is a map-side-combined
+    * min(struct) aggregate — d10's skew rationale: a corpus-hot
+    * boilerplate window contributes one partial row per input
+    * partition, never a global sort of its occurrences — joined back on
+    * h (hash join, linear per group). The interval union windows by
+    * doc_id, the highest-cardinality key available, and emits per-doc
+    * stats, never the corpus. At 64 bits, fingerprint collisions at
+    * 1e10 windows are ~1e3 expected — the accepted trade every
+    * fingerprinting dedup (d1/d3/d10) makes. */
+  def d17SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupCore(corpusSub(s, dir), SubW)
+
+  /** Core of d17 over an arbitrary (doc_id, text) corpus; `w` = window
+    * width in tokens. Exposed for fixture tests of the interval union. */
+  private[graft] def substringDedupCore(corpus: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // codegen'd rolling hash: O(1) per window, not O(w) slice-and-hash —
+    // a doc shorter than w tokens yields an empty array and drops out of
+    // the explode on its own (it re-enters via the final left join)
+    val wins = corpus.select(col("doc_id"),
+      posexplode(graft.functions.TokenWindows.hashes(col("text"), w)))
+      .toDF("doc_id", "pos", "h")
+    val firsts = wins.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val dups = wins.join(firsts, "h")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"), (col("pos") + w).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val islands = dups
+      .withColumn("prev_max",
+        max(col("e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("prev_max").isNull || col("pos") > col("prev_max"), 1)
+          .otherwise(0)).over(byDoc))
+    val perDoc = islands.groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), max("e").as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s")).as("dup_tokens"),
+        count(lit(1)).as("dup_spans"))
+    corpus.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("dup_spans"), lit(0L)).as("dup_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: same derivation with the window STRING as the dedup key
+    * (equivalent to the engine's 64-bit fingerprint absent collisions,
+    * which are negligible at oracle scale) — row_number first-occurrence
+    * + the classic gaps-and-islands interval union. */
+  lazy val d17Sql: String =
+    s"""WITH c1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' $MirrorPassage' ELSE text END AS text
+       |  FROM documents),
+       |c2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$BoilerPrefix ' || text ELSE text END AS text
+       |  FROM c1),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+       |    len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM c2),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${SubW - 1}], ' ') AS w
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, n_tokens - ${SubW - 1})) AS i) u
+       |  WHERE n_tokens >= $SubW),
+       |dups AS (
+       |  SELECT doc_id, pos, pos + $SubW AS e
+       |  FROM (SELECT doc_id, pos,
+       |          row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+       |        FROM wins)
+       |  WHERE rn > 1),
+       |grp AS (
+       |  SELECT doc_id, pos, e,
+       |    sum(CASE WHEN prev_max IS NULL OR pos > prev_max THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM (SELECT doc_id, pos, e,
+       |          max(e) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+       |        FROM dups)),
+       |merged AS (
+       |  SELECT doc_id, island, max(e) - min(pos) AS span_toks
+       |  FROM grp GROUP BY doc_id, island),
+       |perdoc AS (
+       |  SELECT doc_id, cast(sum(span_toks) AS bigint) AS dup_tokens,
+       |    cast(count(*) AS bigint) AS dup_spans
+       |  FROM merged GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens,
+       |  coalesce(p.dup_spans, 0) AS dup_spans
+       |FROM toks t LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
 }

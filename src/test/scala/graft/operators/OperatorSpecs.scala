@@ -347,6 +347,65 @@ class LineDedupSpec extends SparkSpec {
   }
 }
 
+class SubstringDedupSpec extends SparkSpec {
+  test("d17 planted passages are found; the first occurrence alone reports zero") {
+    val rows = Dedup.d17SubstringDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // doc 0 carries the global first occurrence of both planted passages
+    val d0 = rows.find(_._1 == 0L).get
+    assert(d0._3 == 0L && d0._4 == 0L, "doc 0 must report no duplicated span")
+    rows.foreach { case (doc, n, dup, spans) =>
+      assert(dup >= 0 && dup <= n, s"doc $doc dup_tokens out of [0, n_tokens]")
+      assert((dup == 0) == (spans == 0), s"doc $doc span/token coherence")
+    }
+    // every later %3 doc repeats the full 30-token mirrored passage
+    val m3 = rows.filter(r => r._1 > 0 && r._1 % 3 == 0)
+    assert(m3.nonEmpty && m3.forall(_._3 >= 30), "a %3 doc under-reported the mirror passage")
+    // every later %5 doc repeats the full 19-token boilerplate prefix
+    val m5 = rows.filter(r => r._1 > 0 && r._1 % 5 == 0)
+    assert(m5.nonEmpty && m5.forall(_._3 >= 19), "a %5 doc under-reported the boilerplate prefix")
+  }
+
+  test("substringDedupCore merges overlapping windows and keeps disjoint islands apart") {
+    import spark.implicits._
+    // doc 1 is the source; doc 2 copies tokens 0..5 and, after 4 unique
+    // tokens, tokens 8..13 — two disjoint duplicated islands of 6 tokens
+    // each at w=3 (positions 0..3 and 10..13 dup → spans [0,6) and [10,16))
+    val src = "a b c d e f u1 u2 g h i j k l"
+    val cpy = "a b c d e f x1 x2 x3 x4 g h i j k l"
+    val rows = Dedup.substringDedupCore(
+      Seq((1L, src), (2L, cpy)).toDF("doc_id", "text"), 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(1L) == ((14L, 0L, 0L)), "source doc must keep everything")
+    assert(rows(2L) == ((16L, 12L, 2L)), "copy must show two 6-token islands")
+  }
+
+  test("token_window_hashes groups windows exactly like their token strings") {
+    import graft.functions.TokenWindowHashUtil.windowHashes
+    import org.apache.spark.unsafe.types.UTF8String
+    // texts sharing some windows, plus the leading-whitespace split rule
+    val texts = Seq("a b c d e", "x b c d y", "b c d e a", " a b c d e", "a a a a a")
+    val w = 3
+    val all = texts.flatMap { t =>
+      val toks = t.split("\\s+").toSeq
+      val hs = windowHashes(UTF8String.fromString(t), w).toLongArray()
+      assert(hs.length == math.max(toks.length - w + 1, 0), s"count for '$t'")
+      hs.zipWithIndex.map { case (h, i) => (toks.slice(i, i + w).mkString(" "), h) }
+    }
+    for ((sa, ha) <- all; (sb, hb) <- all)
+      assert((sa == sb) == (ha == hb), s"'$sa' vs '$sb' hash disagreement")
+  }
+
+  test("substringDedupCore: a doc shorter than the window is reported with zero dups") {
+    import spark.implicits._
+    val rows = Dedup.substringDedupCore(
+      Seq((1L, "a b"), (2L, "a b c d")).toDF("doc_id", "text"), 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(rows == Map(1L -> 0L, 2L -> 0L))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   test("d1 finds exactly the planted exact duplicates") {
     val expected = graft.Tables.documents(spark, sfDir)
