@@ -1349,7 +1349,7 @@ object Dedup {
   // ---------------------------------------------------------------- d17
 
   /** Sliding-window width for d17, in tokens. */
-  private[operators] val SubW = 15
+  private[graft] val SubW = 15
 
   /** 30-token passage "mirrored" onto every 3rd doc (appended). */
   private[operators] val MirrorPassage: String =
@@ -1365,7 +1365,7 @@ object Dedup {
   /** d17's corpus: base docs with the mirrored passage appended to every
     * 3rd doc and the boilerplate prefix on every 5th — doc 0 carries the
     * global first occurrence of both, so it alone reports zero. */
-  private def corpusSub(s: SparkSession, dir: String): DataFrame =
+  private[graft] def corpusSub(s: SparkSession, dir: String): DataFrame =
     base(s, dir)
       .withColumn("text",
         when(col("doc_id") % 3 === 0,
@@ -1404,21 +1404,36 @@ object Dedup {
   def d17SubstringDedup(s: SparkSession, dir: String): DataFrame =
     substringDedupCore(corpusSub(s, dir), SubW)
 
-  /** Core of d17 over an arbitrary (doc_id, text) corpus; `w` = window
-    * width in tokens. Exposed for fixture tests of the interval union. */
-  private[graft] def substringDedupCore(corpus: DataFrame, w: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** d17's duplicated-span frame: one (doc_id, pos, e) row per window
+    * occurrence that is NOT its fingerprint's global first occurrence.
+    * Shared by the batch interval union and the streaming-twin spec.
+    *
+    * The first occurrence is min over (doc_id, pos) PACKED into one
+    * long (doc_id << 24 | pos): a struct min falls back to
+    * SortAggregate — a map-side sort of every window occurrence — while
+    * the packed long min hash-aggregates with map-side combine.
+    * Lexicographic ≡ packed order while pos < 2^24 (a 16M-token doc)
+    * and doc_id < 2^39; both are deployment-checkable bounds. */
+  private[graft] def substringDupSpans(corpus: DataFrame, w: Int): DataFrame = {
     // codegen'd rolling hash: O(1) per window, not O(w) slice-and-hash —
     // a doc shorter than w tokens yields an empty array and drops out of
     // the explode on its own (it re-enters via the final left join)
     val wins = corpus.select(col("doc_id"),
       posexplode(graft.functions.TokenWindows.hashes(col("text"), w)))
       .toDF("doc_id", "pos", "h")
-    val firsts = wins.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
-    val dups = wins.join(firsts, "h")
-      .filter(struct(col("doc_id"), col("pos")) =!= col("first"))
+      .select(col("doc_id"), col("pos"),
+        (shiftleft(col("doc_id"), 24) bitwiseOR col("pos")).as("packed"), col("h"))
+    val firsts = wins.groupBy("h").agg(min(col("packed")).as("first"))
+    wins.join(firsts, "h")
+      .filter(col("packed") =!= col("first"))
       .select(col("doc_id"), col("pos"), (col("pos") + w).as("e"))
+  }
+
+  /** Core of d17 over an arbitrary (doc_id, text) corpus; `w` = window
+    * width in tokens. Exposed for fixture tests of the interval union. */
+  private[graft] def substringDedupCore(corpus: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dups = substringDupSpans(corpus, w)
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val islands = dups
       .withColumn("prev_max",

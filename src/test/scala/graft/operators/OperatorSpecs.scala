@@ -942,6 +942,19 @@ class ScaleShapeSpec extends SparkSpec {
     assert(plan.contains("minhash_sig"), s"signature must be the fused expression:\n$plan")
   }
 
+  test("d17 plans the rolling hash, no window over the fingerprint key, no cartesian") {
+    val plan = Dedup.d17SubstringDedup(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("token_window_hashes"),
+      s"window hashing must be the fused rolling expression:\n$plan")
+    // first occurrence must stay the map-side-combined agg + join (AQE
+    // skew-protectable), never a Window sorted over the hot h key; the
+    // only Window allowed is the per-doc island pass
+    assert(!plan.contains("windowspecdefinition(h#"),
+      s"d17 must not window over the fingerprint key:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"d17 must not plan a cross product:\n$plan")
+  }
+
   test("q39 cube: one fact scan, one Expand, one aggregate exchange") {
     val plan = Analytics.q39Cube(spark, sfDir).queryExecution.executedPlan.toString
     assert("Expand".r.findAllIn(plan).size == 1,
