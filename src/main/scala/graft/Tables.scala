@@ -20,15 +20,24 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
-  /** events.ts is a nanosecond parquet timestamp, which Spark's reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Read it as a raw long (legacy
-    * nanosAsLong) and truncate to microseconds with integer division —
-    * the same floor-truncation DuckDB applies, so oracles agree. */
+  /** events.ts has shipped in two physical layouts: a NANOSECOND parquet
+    * timestamp (which Spark's reader rejects — [PARQUET_TYPE_ILLEGAL] —
+    * so it is read as a raw long via legacy nanosAsLong and floor-divided
+    * to microseconds, the same truncation DuckDB applies) and a plain
+    * MICROSECOND timestamp (read natively as TIMESTAMP_NTZ). Dispatch on
+    * the type the reader actually produced; both paths end at the same
+    * session-TZ TimestampType instant (sessions pin UTC), so every
+    * downstream query and oracle is layout-agnostic. */
   def events(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000L")))
+    val raw = load(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType      => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case TimestampType => raw
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
