@@ -85,6 +85,7 @@ object SparkEntry {
     "t16_apply_mixture" -> (Corpus.t16ApplyMixture _),
     "t17_unigram_lm"    -> (Quality.t17UnigramLm _),
     "t18_fuzzy_decontam" -> (Quality.t18FuzzyDecontam _),
+    "t19_dsir_weights"  -> (Quality.t19DsirWeights _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -104,6 +105,7 @@ object SparkEntry {
     "d15_bloom_dedup"   -> (Dedup.d15BloomDedup _),
     "d16_dup_profile"   -> (Dedup.d16DupProfile _),
     "d17_substring_dedup" -> (Dedup.d17SubstringDedup _),
+    "d18_cluster_rep"   -> (Dedup.d18ClusterRep _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
@@ -254,6 +256,7 @@ object SparkEntry {
     "t16_apply_mixture" -> Corpus.t16Sql,
     "t17_unigram_lm"    -> Quality.t17Sql,
     "t18_fuzzy_decontam" -> Quality.t18Sql,
+    "t19_dsir_weights"  -> Quality.t19Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
@@ -269,6 +272,7 @@ object SparkEntry {
     "d15_bloom_dedup"   -> Dedup.d15Sql,
     "d16_dup_profile"   -> Dedup.d16Sql,
     "d17_substring_dedup" -> Dedup.d17Sql,
+    "d18_cluster_rep"   -> Dedup.d18Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,

@@ -1500,4 +1500,75 @@ object Dedup {
        |SELECT t.doc_id, t.n_tokens, coalesce(p.dup_tokens, 0) AS dup_tokens,
        |  coalesce(p.dup_spans, 0) AS dup_spans
        |FROM toks t LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d18
+
+  /** Packing base for d18's argmax: reps are chosen by max over
+    * `n_chars * 2^32 + (2^32-1 - doc_id)`, one hash-aggregable BIGINT
+    * (the d17 packed-min rationale: a struct max plans a SortAggregate;
+    * the packed max map-side combines). Requires doc_id < 2^32 and
+    * n_chars < 2^21 — both hold at every SF by construction. */
+  private val RepPack = 4294967296L
+
+  /** d18: cluster-REPRESENTATIVE selection policy — which member of a
+    * near-dup cluster survives. d12 keeps the first occurrence (min id,
+    * the FineWeb default); d18 keeps the INFORMATION-RICHEST member —
+    * the longest text, ties broken toward the smaller id — the
+    * alternative policy dedup writeups argue for when near-dups differ
+    * by truncation (the planted corpus makes the semantics visible: the
+    * tail-appended variant of every planted pair is strictly longer, so
+    * d18 must flip every planted cluster's survivor from d12's choice).
+    *
+    * Plan: cluster labels come from the family's shared
+    * [[clusterArtifact]] sliver; the corpus-sized work is ONE
+    * doc_id-keyed left join of (doc_id, n_chars) against that sliver,
+    * after which singletons pass through map-side and labeled docs fold
+    * into a label-keyed hash aggregate of the packed argmax (sliver-
+    * bound). Conservation (spec-asserted): sum(n_members) = |corpus|. */
+  def d18ClusterRep(s: SparkSession, dir: String): DataFrame = {
+    val labels = clusterArtifact(s, dir)._2
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+    val joined = c.join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+    val singles = joined.filter(col("label").isNull)
+      .select(col("doc_id"), lit(1L).as("n_members"), col("n_chars").as("rep_chars"))
+    val reps = joined.filter(col("label").isNotNull)
+      .select(col("label"),
+        (col("n_chars") * RepPack + (lit(RepPack - 1) - col("doc_id"))).as("pack"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_members"), max(col("pack")).as("mx"))
+      .select((lit(RepPack - 1) - col("mx") % RepPack).as("doc_id"),
+        col("n_members"),
+        expr(s"mx div ${RepPack}L").as("rep_chars"))
+    singles.unionByName(reps).orderBy("doc_id")
+  }
+
+  /** Oracle: the d12 recursive-closure labels + the same packed argmax. */
+  lazy val d18Sql: String =
+    s"""WITH RECURSIVE pairs AS ($d3PairsSql),
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |labels AS (SELECT u AS id, min(v) AS label FROM reach GROUP BY u),
+       |corpus AS (
+       |  SELECT doc_id, cast(length(text) AS bigint) AS n_chars
+       |  FROM ($corpusNearSql)),
+       |joined AS (
+       |  SELECT c.doc_id, c.n_chars, l.label
+       |  FROM corpus c LEFT JOIN labels l ON c.doc_id = l.id),
+       |reps AS (
+       |  SELECT
+       |    $RepPack - 1 - (max(n_chars * $RepPack + ($RepPack - 1 - doc_id)) % $RepPack) AS doc_id,
+       |    cast(count(*) AS bigint) AS n_members,
+       |    cast(max(n_chars * $RepPack + ($RepPack - 1 - doc_id)) // $RepPack AS bigint) AS rep_chars
+       |  FROM joined WHERE label IS NOT NULL GROUP BY label)
+       |SELECT doc_id, cast(1 AS bigint) AS n_members, n_chars AS rep_chars
+       |FROM joined WHERE label IS NULL
+       |UNION ALL
+       |SELECT doc_id, n_members, rep_chars FROM reps
+       |ORDER BY doc_id""".stripMargin
 }

@@ -520,4 +520,113 @@ object Quality {
        |  AND cast(len(list_intersect(a.bg, b.bg)) AS double)
        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= $DecontamTau
        |GROUP BY doc_a ORDER BY doc_id""".stripMargin
+
+  // ---- t19: DSIR hashed-bigram importance weights ----
+
+  /** Hashed feature-space size for t19 (DSIR uses 10k hashed n-gram
+    * buckets; 4096 keeps the per-bucket cost frame broadcast-sized at
+    * ANY corpus scale — the frame is bucket-bound, not corpus-bound). */
+  private[graft] val DsirBuckets = 4096L
+
+  /** Importance-weight core shared by [[t19DsirWeights]] and the fixture
+    * spec: given (doc_id, lang, text), score every document by
+    * sum over its hashed word-bigram features of
+    * `count × ln(p_target(b) / p_raw(b))` with add-1 smoothing, where
+    * target = the `targetLang` slice and raw = the whole input. */
+  private[operators] def dsirWeights(docs: DataFrame, targetLang: String): DataFrame = {
+    import graft.functions.Md5PrefixModF
+    val feats = docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        Md5PrefixModF(col("bg"), DsirBuckets).as("bucket"))
+      .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+    // both rollups reuse the one (doc,lang,bucket) exchange (t17 lesson)
+    val raw = feats.groupBy("bucket").agg(sum(col("cnt")).as("cr"))
+    val tgt = feats.filter(col("lang") === targetLang)
+      .groupBy("bucket").agg(sum(col("cnt")).as("ct"))
+    val tot = raw.agg(sum(col("cr")).as("rtot"))
+      .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("ttot")))
+    // ONE ln per bucket over exactly-represented BIGINT products (both
+    // < 2^53 far beyond test scale; at true 100 TB drop DsirBuckets'
+    // smoothing into the micro domain before multiplying), then floor to
+    // integer micro-nats: per-doc sums are exact-integer from here on.
+    val costs = raw.join(tgt, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"),
+        floor(log(
+          ((coalesce(col("ct"), lit(0L)) + 1) * (col("rtot") + DsirBuckets)).cast("double") /
+          ((col("cr") + 1) * (col("ttot") + DsirBuckets)).cast("double")) * 1e6)
+          .cast("long").as("cost_micro"))
+    feats.join(broadcast(costs), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * col("cost_micro")).as("weight_micro"))
+      .withColumn("mean_micro",
+        floor(col("weight_micro").cast("double") / col("n_bigrams")).cast("long"))
+      .select("doc_id", "n_bigrams", "weight_micro", "mean_micro")
+      .orderBy("doc_id")
+  }
+
+  /** t19: DATA SELECTION VIA IMPORTANCE RESAMPLING weights — the DSIR
+    * estimator (Xie et al. 2023, arXiv:2302.03169): score each raw
+    * document by how much more likely its hashed word-bigram features
+    * are under a TARGET distribution than under the raw-corpus
+    * distribution, `w(x) = Σ_b count_b(x) · ln(p̂_tgt(b)/p̂_raw(b))`
+    * with add-1 smoothing over [[DsirBuckets]] hashed buckets. A
+    * pipeline then samples raw docs ∝ exp(w) (t16's hash-ppm residual
+    * machinery) to shift the corpus toward the target domain — here the
+    * `lang = 'en'` slice stands in for the paper's Wikipedia target
+    * (the reference analogue is its curated train-data upload,
+    * controllers/customTrainDataController.js:21-47: the hand-picked
+    * corpus IS a target distribution).
+    *
+    * Determinism contract (the t17 pattern): the ONLY float ops are one
+    * exact-BIGINT-ratio double division + one ln + one multiply + one
+    * floor per DISTINCT bucket (≤ 4096 rows), after which everything is
+    * exact integer arithmetic — per-doc sums are order-independent and
+    * cross-engine hash-stable; mean_micro floors an exact double
+    * division (both engines floor, no `div`-vs-`//` negative-truncation
+    * hazard — weights CAN be negative).
+    *
+    * Scale: one (doc,bucket)-keyed map-combined count off the scan is
+    * the only corpus-sized shuffle; both distribution rollups reuse that
+    * exchange; the cost frame is bucket-bound (≤ 4096 rows) and
+    * BROADCAST back, so scoring is map-side — the corpus never shuffles
+    * a second time. Hashing is the codegen'd [[graft.functions.Md5PrefixMod]]. */
+  def t19DsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(Tables.documents(s, dir).select("doc_id", "lang", "text"), "en")
+
+  lazy val t19Sql: String =
+    s"""WITH feats AS (
+       | SELECT doc_id, lang,
+       |  ('0x' || substr(md5(bg), 1, 15))::bigint % $DsirBuckets AS bucket,
+       |  count(*) AS cnt
+       | FROM (
+       |  SELECT doc_id, lang,
+       |   unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+       |  FROM (SELECT doc_id, lang, regexp_extract_all(lower(text), '$WordRe') AS w
+       |        FROM documents)
+       |  WHERE len(w) >= 2)
+       | GROUP BY 1, 2, 3),
+       |rawd AS (SELECT bucket, sum(cnt) AS cr FROM feats GROUP BY bucket),
+       |tgt AS (SELECT bucket, sum(cnt) AS ct FROM feats WHERE lang = 'en' GROUP BY bucket),
+       |tot AS (SELECT (SELECT sum(cr) FROM rawd) AS rtot,
+       |               (SELECT coalesce(sum(ct), 0) FROM tgt) AS ttot),
+       |costs AS (
+       | SELECT r.bucket,
+       |  cast(floor(ln(
+       |    cast((coalesce(t.ct, 0) + 1) * (tot.rtot + $DsirBuckets) AS double) /
+       |    cast((r.cr + 1) * (tot.ttot + $DsirBuckets) AS double)) * 1e6) AS bigint) AS cost_micro
+       | FROM rawd r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot)
+       |SELECT f.doc_id,
+       | cast(sum(f.cnt) AS bigint) AS n_bigrams,
+       | cast(sum(f.cnt * c.cost_micro) AS bigint) AS weight_micro,
+       | cast(floor(cast(sum(f.cnt * c.cost_micro) AS double) / sum(f.cnt)) AS bigint) AS mean_micro
+       |FROM feats f JOIN costs c USING (bucket)
+       |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
 }

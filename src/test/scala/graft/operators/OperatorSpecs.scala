@@ -555,6 +555,41 @@ class DedupSpec extends SparkSpec {
       s"only $collapsed of ${planted.length} planted near-dup pairs collapsed")
   }
 
+  test("d18 equals the keep-longest policy recomputed driver-side and conserves the corpus") {
+    val rows = Dedup.d18ClusterRep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val lens = Dedup.corpusNear(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // conservation: every corpus doc lands in exactly one survivor row
+    assert(rows.map(_._2).sum == lens.size)
+    // ground truth: cluster labels from the family's shared artifact,
+    // representative = (max n_chars, then min doc_id) per cluster;
+    // unlabeled docs survive as singletons
+    val labels = Dedup.clusterArtifact(spark, sfDir)._2.collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val labeled = labels.map(_._1).toSet
+    val expected = (labels.groupBy(_._2).values.map { members =>
+      val ids = members.map(_._1)
+      val rep = ids.maxBy(id => (lens(id), -id))
+      (rep, ids.size.toLong, lens(rep))
+    } ++ lens.keysIterator.filterNot(labeled).map(id => (id, 1L, lens(id))))
+      .toSeq.sortBy(_._1)
+    assert(rows.toSeq == expected)
+    // the semantic flip vs d12: the planted tail-appended variant is strictly
+    // longer than its base, so a planted pair's cluster must keep the VARIANT
+    val planted = labels.groupBy(_._2).values
+      .filter(ms => ms.exists(_._1 >= 100000) && ms.forall(m => lens(m._1) > 0))
+    val reps = rows.filter(_._2 > 1).map(_._1).toSet
+    planted.foreach { ms =>
+      val ids = ms.map(_._1)
+      val longest = ids.maxBy(id => (lens(id), -id))
+      if (ids.exists(i => i >= 100000 && ids.contains(i - 100000)))
+        assert(longest >= 100000 && reps.contains(longest),
+          s"cluster ${ids.toList.sorted} kept a non-variant rep")
+    }
+  }
+
   test("d13 split leakage counts exactly the near-dup pairs crossing the hash split") {
     val row = Dedup.d13SplitLeakage(spark, sfDir).head()
     val (nTrain, nVal, nPairs, nLeaks) =

@@ -139,4 +139,59 @@ class QualitySpec extends SparkSpec {
       assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1), s"word ${r.getString(0)}")
     }
   }
+
+  test("t19 matches the DSIR formula exactly on a planted-vocab fixture " +
+    "and ranks target-vocab docs above off-target") {
+    import graft.functions.Md5PrefixModUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val fixture = Seq(
+      (1L, "en", "alpha beta alpha beta alpha beta"),
+      (2L, "en", "alpha beta gamma"),
+      (3L, "xx", "zulu yankee zulu yankee zulu"),
+      (4L, "xx", "alpha beta zulu"))
+    val df = spark.createDataFrame(fixture).toDF("doc_id", "lang", "text")
+    val got = Quality.dsirWeights(df, "en").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // driver recompute of the exact estimator (same hashing, same B)
+    val b = Quality.DsirBuckets
+    def bucket(bg: String): Long = Md5PrefixModUtil.hash(UTF8String.fromString(bg), b)
+    val perDoc = fixture.map { case (id, lang, text) =>
+      val w = text.split(" ").toSeq
+      (id, lang, w.sliding(2).map(p => bucket(p.mkString(" "))).toSeq)
+    }
+    val cr = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ct = perDoc.filter(_._2 == "en").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rtot = cr.values.sum
+    val ttot = ct.values.sum
+    def costMicro(bk: Long): Long =
+      math.floor(math.log(
+        ((ct.getOrElse(bk, 0L) + 1) * (rtot + b)).toDouble /
+        ((cr(bk) + 1) * (ttot + b)).toDouble) * 1e6).toLong
+    perDoc.foreach { case (id, _, bks) =>
+      val n = bks.size.toLong
+      val wMicro = bks.map(costMicro).sum
+      val mean = math.floor(wMicro.toDouble / n).toLong
+      assert(got(id) == ((n, wMicro, mean)), s"doc $id: ${got(id)} != ($n,$wMicro,$mean)")
+    }
+    // the semantic point: pure target-vocab docs outrank pure off-target ones
+    assert(got(1L)._3 > got(3L)._3, s"en doc ${got(1L)} not above xx doc ${got(3L)}")
+    assert(got(2L)._3 > got(3L)._3)
+  }
+
+  test("t19's cost frame broadcasts — the corpus never shuffles for the scoring join") {
+    val plan = Quality.t19DsirWeights(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bucket costs must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no corpus-sized shuffle join allowed:\n$plan")
+    // every doc with >= 2 words is scored, none dropped by the cost join
+    val rows = Quality.t19DsirWeights(spark, sfDir)
+    val scored = rows.count()
+    val eligible = graft.Tables.documents(spark, sfDir)
+      .filter(size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))) >= 2)
+      .count()
+    assert(scored == eligible, s"$scored scored vs $eligible eligible")
+    assert(rows.filter(col("n_bigrams") <= 0).count() == 0)
+  }
 }
