@@ -86,6 +86,7 @@ object SparkEntry {
     "t17_unigram_lm"    -> (Quality.t17UnigramLm _),
     "t18_fuzzy_decontam" -> (Quality.t18FuzzyDecontam _),
     "t19_dsir_weights"  -> (Quality.t19DsirWeights _),
+    "t20_ccnet_buckets" -> (Quality.t20CcnetBuckets _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -257,6 +258,7 @@ object SparkEntry {
     "t17_unigram_lm"    -> Quality.t17Sql,
     "t18_fuzzy_decontam" -> Quality.t18Sql,
     "t19_dsir_weights"  -> Quality.t19Sql,
+    "t20_ccnet_buckets" -> Quality.t20Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,

@@ -521,6 +521,86 @@ object Quality {
        |      / len(list_distinct(list_concat(a.bg, b.bg))) >= $DecontamTau
        |GROUP BY doc_a ORDER BY doc_id""".stripMargin
 
+  // ---- t20: CCNet head/middle/tail buckets ----
+
+  /** t20: CCNet-style HEAD/MIDDLE/TAIL quality bucketing (Wenzek et al.
+    * 2020 §4.3): score every document with a per-LANGUAGE unigram-LM
+    * surprisal (t17's estimator, one model per lang — CCNet trains one
+    * KenLM per language), then split each language's documents into
+    * terciles by score: `head` = lowest mean surprisal (most fluent —
+    * what CCNet keeps), `tail` = highest. The tercile CUTOFFS are exact
+    * rank-based (DISC) quantiles at p=1/3 and p=2/3 computed by the
+    * bounded [[Quantiles.exactGroupedQuantiles]] machinery — NOT a
+    * per-lang row_number window, which would sort the corpus in
+    * |langs| reducer partitions (the q15 scale rule). Cutoffs are a
+    * ≤ 2·|langs|-row frame broadcast back, so assignment is map-side.
+    *
+    * Determinism: per-(lang,term) cost_micro = floor(ln(total/ctf)·1e6)
+    * — ONE float op per distinct (lang,term), integer sums after (the
+    * t17 contract); surprisal ≥ 0 so `div` truncation agrees with the
+    * oracle's `//`; DISC cutoffs are raw mean_micro LONGS, and tie
+    * handling is value-based (`<= cutoff`), not rank-based, so equal
+    * scores land in the same bucket in both engines. */
+  def t20CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir).select("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("lang", "term").agg(sum(col("tf")).as("ctf"))
+    val tot = ctf.groupBy("lang").agg(sum(col("ctf")).as("total"))
+    val perDoc = tf.join(ctf, Seq("lang", "term"))
+      .join(broadcast(tot), Seq("lang"))
+      .withColumn("cost_micro",
+        floor(log(col("total").cast("double") / col("ctf")) * 1e6))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cost_micro")).as("surprisal_micro"))
+      .withColumn("mean_micro", expr("surprisal_micro div n_tokens"))
+    val cuts = Quantiles.exactGroupedQuantiles(
+        perDoc.select("lang", "mean_micro"), key = "lang", value = "mean_micro",
+        probs = Seq("p33" -> 1.0 / 3, "p67" -> 2.0 / 3))
+      .groupBy("lang")
+      .agg(max(when(col("which") === "p33", col("v"))).as("p33"),
+        max(when(col("which") === "p67", col("v"))).as("p67"))
+    perDoc.join(broadcast(cuts), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("mean_micro"),
+        when(col("mean_micro") <= col("p33"), lit("head"))
+          .when(col("mean_micro") <= col("p67"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t20Sql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term
+       | FROM documents),
+       |tfc AS (SELECT doc_id, lang, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+       |ctfc AS (SELECT lang, term, sum(tf) AS ctf FROM tfc GROUP BY 1, 2),
+       |tot AS (SELECT lang, sum(ctf) AS total FROM ctfc GROUP BY 1),
+       |perdoc AS (
+       | SELECT doc_id, lang,
+       |  cast(sum(tf) AS bigint) AS n_tokens,
+       |  cast(sum(tf * cast(floor(ln(cast(total AS double) / ctf) * 1e6) AS bigint))
+       |       // sum(tf) AS bigint) AS mean_micro
+       | FROM tfc JOIN ctfc USING (lang, term) JOIN tot USING (lang)
+       | GROUP BY 1, 2),
+       |ranked AS (
+       | SELECT lang, mean_micro,
+       |  row_number() OVER (PARTITION BY lang ORDER BY mean_micro, doc_id) AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n
+       | FROM perdoc),
+       |cuts AS (
+       | SELECT lang,
+       |  max(CASE WHEN rn = cast(ceil((1.0 / 3) * n) AS bigint) THEN mean_micro END) AS p33,
+       |  max(CASE WHEN rn = cast(ceil((2.0 / 3) * n) AS bigint) THEN mean_micro END) AS p67
+       | FROM ranked GROUP BY lang)
+       |SELECT d.doc_id, d.lang, d.n_tokens, d.mean_micro,
+       | CASE WHEN d.mean_micro <= c.p33 THEN 'head'
+       |      WHEN d.mean_micro <= c.p67 THEN 'middle'
+       |      ELSE 'tail' END AS bucket
+       |FROM perdoc d JOIN cuts c USING (lang)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- t19: DSIR hashed-bigram importance weights ----
 
   /** Hashed feature-space size for t19 (DSIR uses 10k hashed n-gram

@@ -140,6 +140,36 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("t20 buckets match DISC tercile cutoffs recomputed driver-side, per language") {
+    val rows = Quality.t20CcnetBuckets(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val means = docs.sortBy(d => (d._4, d._1)).map(_._4)
+      val n = means.length
+      def cut(p: Double): Long = means(math.ceil(p * n).toLong.toInt - 1)
+      val (p33, p67) = (cut(1.0 / 3), cut(2.0 / 3))
+      docs.foreach { case (id, _, _, m, bucket) =>
+        val want = if (m <= p33) "head" else if (m <= p67) "middle" else "tail"
+        assert(bucket == want, s"doc $id lang $lang mean $m: $bucket != $want")
+      }
+      // head is the fluent (low-surprisal) slice and is never empty
+      assert(docs.count(_._5 == "head") >= 1, s"lang $lang has no head")
+    }
+    // every doc with at least one token is bucketed exactly once
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("t20's cutoff frame broadcasts and no corpus-keyed window appears in the plan") {
+    val plan = Quality.t20CcnetBuckets(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cutoffs must broadcast:\n$plan")
+    // the quantile machinery must not sort the corpus in |langs| partitions:
+    // no Window over the lang key (the only Window allowed is the final
+    // rank lookup keyed by (lang, which) inside one bucket's values)
+    assert(!plan.contains("Window [lang"), s"per-lang corpus window forbidden:\n$plan")
+  }
+
   test("t19 matches the DSIR formula exactly on a planted-vocab fixture " +
     "and ranks target-vocab docs above off-target") {
     import graft.functions.Md5PrefixModUtil
