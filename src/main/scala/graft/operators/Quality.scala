@@ -548,6 +548,10 @@ object Quality {
       .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("tf"))
     val ctf = tf.groupBy("lang", "term").agg(sum(col("tf")).as("ctf"))
     val tot = ctf.groupBy("lang").agg(sum(col("ctf")).as("total"))
+    // one row per doc — materialized ONCE (the s6/s7 discipline): the
+    // quantile machinery and the final assignment join both consume it,
+    // and without the checkpoint each reference re-runs the whole
+    // explode + three-join LM subtree (measured 2.3s → ~1s at sf0.1)
     val perDoc = tf.join(ctf, Seq("lang", "term"))
       .join(broadcast(tot), Seq("lang"))
       .withColumn("cost_micro",
@@ -556,6 +560,7 @@ object Quality {
       .agg(sum(col("tf")).as("n_tokens"),
         sum(col("tf") * col("cost_micro")).as("surprisal_micro"))
       .withColumn("mean_micro", expr("surprisal_micro div n_tokens"))
+      .localCheckpoint()
     val cuts = Quantiles.exactGroupedQuantiles(
         perDoc.select("lang", "mean_micro"), key = "lang", value = "mean_micro",
         probs = Seq("p33" -> 1.0 / 3, "p67" -> 2.0 / 3))
