@@ -613,14 +613,10 @@ object Quality {
     * ANY corpus scale — the frame is bucket-bound, not corpus-bound). */
   private[graft] val DsirBuckets = 4096L
 
-  /** Importance-weight core shared by [[t19DsirWeights]] and the fixture
-    * spec: given (doc_id, lang, text), score every document by
-    * sum over its hashed word-bigram features of
-    * `count × ln(p_target(b) / p_raw(b))` with add-1 smoothing, where
-    * target = the `targetLang` slice and raw = the whole input. */
-  private[operators] def dsirWeights(docs: DataFrame, targetLang: String): DataFrame = {
+  /** Hashed word-bigram feature counts: one row per (doc, bucket). */
+  private[operators] def dsirFeats(docs: DataFrame): DataFrame = {
     import graft.functions.Md5PrefixModF
-    val feats = docs
+    docs
       .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"), col("lang"),
@@ -631,6 +627,15 @@ object Quality {
       .select(col("doc_id"), col("lang"),
         Md5PrefixModF(col("bg"), DsirBuckets).as("bucket"))
       .groupBy("doc_id", "lang", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The learned per-bucket log-ratio costs (≤ [[DsirBuckets]]+1 rows):
+    * `(bucket, cost_micro)` for every bucket seen in the raw corpus,
+    * plus a `bucket = -1` row holding the smoothed DEFAULT cost a bucket
+    * unseen in training gets (ct = cr = 0 in the estimator) — what makes
+    * the frame a closed, persistable model rather than a lookup with
+    * holes. */
+  private[operators] def dsirCosts(feats: DataFrame, targetLang: String): DataFrame = {
     // both rollups reuse the one (doc,lang,bucket) exchange (t17 lesson)
     val raw = feats.groupBy("bucket").agg(sum(col("cnt")).as("cr"))
     val tgt = feats.filter(col("lang") === targetLang)
@@ -641,21 +646,59 @@ object Quality {
     // < 2^53 far beyond test scale; at true 100 TB drop DsirBuckets'
     // smoothing into the micro domain before multiplying), then floor to
     // integer micro-nats: per-doc sums are exact-integer from here on.
-    val costs = raw.join(tgt, Seq("bucket"), "left").crossJoin(tot)
-      .select(col("bucket"),
-        floor(log(
-          ((coalesce(col("ct"), lit(0L)) + 1) * (col("rtot") + DsirBuckets)).cast("double") /
-          ((col("cr") + 1) * (col("ttot") + DsirBuckets)).cast("double")) * 1e6)
-          .cast("long").as("cost_micro"))
-    feats.join(broadcast(costs), Seq("bucket"))
+    def lnMicro(ct: Column, cr: Column): Column =
+      floor(log(
+        ((ct + 1) * (col("rtot") + DsirBuckets)).cast("double") /
+        ((cr + 1) * (col("ttot") + DsirBuckets)).cast("double")) * 1e6)
+        .cast("long")
+    raw.join(tgt, Seq("bucket"), "left").crossJoin(tot)
+      .select(col("bucket"), lnMicro(coalesce(col("ct"), lit(0L)), col("cr")).as("cost_micro"))
+      .unionByName(tot.select(lit(-1L).as("bucket"),
+        lnMicro(lit(0L), lit(0L)).as("cost_micro")))
+  }
+
+  /** Map-side scoring of featurized docs against a cost frame: broadcast
+    * join (left, so train-unseen buckets take the `bucket = -1` default)
+    * then one doc-keyed integer aggregate. */
+  private[operators] def dsirScore(feats: DataFrame, costs: DataFrame): DataFrame = {
+    val real = costs.filter(col("bucket") >= 0)
+    val dflt = costs.filter(col("bucket") === -1L)
+      .select(col("cost_micro").as("default_micro"))
+    feats.join(broadcast(real), Seq("bucket"), "left")
+      .crossJoin(broadcast(dflt))
+      .withColumn("c", coalesce(col("cost_micro"), col("default_micro")))
       .groupBy("doc_id")
       .agg(sum(col("cnt")).as("n_bigrams"),
-        sum(col("cnt") * col("cost_micro")).as("weight_micro"))
+        sum(col("cnt") * col("c")).as("weight_micro"))
       .withColumn("mean_micro",
         floor(col("weight_micro").cast("double") / col("n_bigrams")).cast("long"))
       .select("doc_id", "n_bigrams", "weight_micro", "mean_micro")
       .orderBy("doc_id")
   }
+
+  /** Importance-weight core shared by [[t19DsirWeights]] and the fixture
+    * spec: given (doc_id, lang, text), score every document by
+    * sum over its hashed word-bigram features of
+    * `count × ln(p_target(b) / p_raw(b))` with add-1 smoothing, where
+    * target = the `targetLang` slice and raw = the whole input. */
+  private[operators] def dsirWeights(docs: DataFrame, targetLang: String): DataFrame = {
+    val feats = dsirFeats(docs)
+    dsirScore(feats, dsirCosts(feats, targetLang))
+  }
+
+  /** Train-once/score-forever deployment of t19 (the d15 persisted-
+    * artifact discipline): persist the learned cost frame, then score
+    * any future crawl batch MAP-ONLY against the stored model — the
+    * batch is featurized and broadcast-joined; the training corpus is
+    * never re-read. The artifact is one ≤ 4097-row parquet. */
+  def t19CostsWrite(s: SparkSession, dir: String, path: String): Unit =
+    dsirCosts(dsirFeats(Tables.documents(s, dir).select("doc_id", "lang", "text")), "en")
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+
+  /** Score a (doc_id, lang, text) batch against a stored cost frame. */
+  def t19WeightsFrom(s: SparkSession, path: String, batch: DataFrame): DataFrame =
+    dsirScore(dsirFeats(batch), s.read.parquet(path))
 
   /** t19: DATA SELECTION VIA IMPORTANCE RESAMPLING weights — the DSIR
     * estimator (Xie et al. 2023, arXiv:2302.03169): score each raw

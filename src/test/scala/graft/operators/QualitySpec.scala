@@ -210,6 +210,36 @@ class QualitySpec extends SparkSpec {
     assert(got(2L)._3 > got(3L)._3)
   }
 
+  test("t19 persisted model: stored costs re-score the corpus identically and " +
+    "train-unseen buckets take the default cost") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir").toString
+    val path = s"$dir/costs"
+    Quality.t19CostsWrite(spark, sfDir, path)
+    // artifact is bucket-bound: every seen bucket + the one default row
+    val stored = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stored.size <= Quality.DsirBuckets + 1 && stored.contains(-1L))
+    // scoring the training corpus against the stored model reproduces t19
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    val fromStore = Quality.t19WeightsFrom(spark, path, docs).collect().toSeq
+    val inSession = Quality.t19DsirWeights(spark, sfDir).collect().toSeq
+    assert(fromStore == inSession)
+    // a new batch with train-unseen vocabulary scores deterministically:
+    // recompute its expected weight driver-side from the stored frame alone
+    import graft.functions.Md5PrefixModUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    val newText = "zzqx wwvy zzqx wwvy kkjh"
+    val batch = spark.createDataFrame(Seq((900001L, "xx", newText)))
+      .toDF("doc_id", "lang", "text")
+    val got = Quality.t19WeightsFrom(spark, path, batch).collect().head
+    val bks = newText.split(" ").toSeq.sliding(2)
+      .map(p => Md5PrefixModUtil.hash(UTF8String.fromString(p.mkString(" ")), Quality.DsirBuckets))
+      .toSeq
+    val want = bks.map(bk => stored.getOrElse(bk, stored(-1L))).sum
+    assert(got.getLong(1) == bks.size && got.getLong(2) == want,
+      s"got ${got.getLong(2)} want $want")
+  }
+
   test("t19's cost frame broadcasts — the corpus never shuffles for the scoring join") {
     val plan = Quality.t19DsirWeights(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"bucket costs must broadcast:\n$plan")
