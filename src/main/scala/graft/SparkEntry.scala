@@ -108,6 +108,7 @@ object SparkEntry {
     "d17_substring_dedup" -> (Dedup.d17SubstringDedup _),
     "d18_cluster_rep"   -> (Dedup.d18ClusterRep _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
+    "p2_dataset_card"   -> (Corpus.p2DatasetCard _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -276,6 +277,7 @@ object SparkEntry {
     "d17_substring_dedup" -> Dedup.d17Sql,
     "d18_cluster_rep"   -> Dedup.d18Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
+    "p2_dataset_card"   -> Corpus.p2Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

@@ -306,4 +306,79 @@ object Corpus {
       | cast(sum(cnt) AS bigint) AS n_input,
       | cast(count(*) * 1000000 // sum(cnt) AS bigint) AS kept_ppm
       |FROM surv GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---- p2: dataset card ----
+
+  /** p2: the DATASET CARD — the corpus datasheet every published
+    * training set ships (docs/tokens/chars per language, per source, and
+    * in total, with corpus shares): one row per (dim, key) where dim ∈
+    * {lang, source, total}.
+    *
+    * Plan-shape decision (the scale point of this operator): the naive
+    * form is GROUPING SETS ((lang),(source),()) — but Spark plans
+    * grouping sets as an Expand that REPLICATES the corpus once per
+    * set (3× scan output at 100 TB). Instead the corpus aggregates
+    * ONCE, map-side combined, to the (lang × source) CELL GRID — a
+    * few-hundred-row frame — and every rollup (per-lang, per-source,
+    * total, shares) derives from the cells. q39 demonstrates Expand
+    * where the input is a fact table and the sets share one pass; here
+    * the grid is tiny and the rollups are free, so cells-first strictly
+    * dominates. Shares are exact integer ppm against the one-row total
+    * (broadcast). */
+  def p2DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        tokenCount(col("text")).as("tok"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tokens"),
+        sum(col("chars")).as("chars"))
+      .localCheckpoint() // cell grid: consumed by three rollups + total
+    val total = cells.agg(sum(col("docs")).as("tdocs"),
+      sum(col("tokens")).as("ttokens"), sum(col("chars")).as("tchars"))
+    def roll(dim: String, key: org.apache.spark.sql.Column): DataFrame =
+      cells.groupBy(key.as("key"))
+        .agg(sum(col("docs")).as("docs"), sum(col("tokens")).as("tokens"),
+          sum(col("chars")).as("chars"))
+        .crossJoin(broadcast(total))
+        .select(lit(dim).as("dim"), col("key"), col("docs"), col("tokens"),
+          col("chars"), expr("docs * 1000000 div tdocs").as("share_ppm"),
+          expr("tokens * 1000000 div ttokens").as("token_share_ppm"))
+    roll("lang", col("lang"))
+      .unionByName(roll("source", col("source")))
+      .unionByName(total.select(lit("total").as("dim"), lit("*").as("key"),
+        col("tdocs").as("docs"), col("ttokens").as("tokens"),
+        col("tchars").as("chars"), lit(1000000L).as("share_ppm"),
+        lit(1000000L).as("token_share_ppm")))
+      .orderBy("dim", "key")
+  }
+
+  val p2Sql: String =
+    s"""WITH cells AS (
+       |  SELECT lang, source, count(*) AS docs,
+       |    cast(sum(len(regexp_extract_all(lower(text), '$WordRe'))) AS bigint) AS tokens,
+       |    cast(sum(length(text)) AS bigint) AS chars
+       |  FROM documents GROUP BY lang, source),
+       |tot AS (
+       |  SELECT cast(sum(docs) AS bigint) AS tdocs,
+       |    cast(sum(tokens) AS bigint) AS ttokens,
+       |    cast(sum(chars) AS bigint) AS tchars
+       |  FROM cells),
+       |rolls AS (
+       |  SELECT 'lang' AS dim, lang AS key, cast(sum(docs) AS bigint) AS docs,
+       |    cast(sum(tokens) AS bigint) AS tokens, cast(sum(chars) AS bigint) AS chars
+       |  FROM cells GROUP BY lang
+       |  UNION ALL
+       |  SELECT 'source' AS dim, source AS key, cast(sum(docs) AS bigint),
+       |    cast(sum(tokens) AS bigint), cast(sum(chars) AS bigint)
+       |  FROM cells GROUP BY source)
+       |SELECT dim, key, docs, tokens, chars,
+       |  cast(docs * 1000000 // tdocs AS bigint) AS share_ppm,
+       |  cast(tokens * 1000000 // ttokens AS bigint) AS token_share_ppm
+       |FROM rolls CROSS JOIN tot
+       |UNION ALL
+       |SELECT 'total', '*', tdocs, ttokens, tchars,
+       |  cast(1000000 AS bigint), cast(1000000 AS bigint)
+       |FROM tot
+       |ORDER BY dim, key""".stripMargin
 }

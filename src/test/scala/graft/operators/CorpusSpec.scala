@@ -132,4 +132,32 @@ class CorpusSpec extends SparkSpec {
     assert(got.values.exists { case (n, _, in, _) => in > n },
       "no domain shows collapsed duplicates")
   }
+
+  test("p2 dataset card: rollups conserve the total row and shares are exact ppm") {
+    val rows = Corpus.p2DatasetCard(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val total = rows.filter(_._1 == "total")
+    assert(total.length == 1 && total.head._2 == "*")
+    val (tdocs, ttokens, tchars) = (total.head._3, total.head._4, total.head._5)
+    assert(tdocs == graft.Tables.documents(spark, sfDir).count())
+    for (dim <- Seq("lang", "source")) {
+      val slice = rows.filter(_._1 == dim)
+      assert(slice.nonEmpty)
+      assert(slice.map(_._3).sum == tdocs, s"$dim docs don't conserve")
+      assert(slice.map(_._4).sum == ttokens, s"$dim tokens don't conserve")
+      assert(slice.map(_._5).sum == tchars, s"$dim chars don't conserve")
+      slice.foreach { r =>
+        assert(r._6 == r._3 * 1000000L / tdocs && r._7 == r._4 * 1000000L / ttokens)
+      }
+    }
+  }
+
+  test("p2 aggregates the corpus once: no Expand, no corpus re-scan per rollup") {
+    val plan = Corpus.p2DatasetCard(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"grouping-sets Expand forbidden:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 0, // cells are checkpointed: rollups read the RDD, not the files
+      s"rollups must derive from the materialized cell grid, found $scans scans:\n$plan")
+  }
 }
