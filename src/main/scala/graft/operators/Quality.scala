@@ -613,8 +613,24 @@ object Quality {
     * ANY corpus scale — the frame is bucket-bound, not corpus-bound). */
   private[graft] val DsirBuckets = 4096L
 
+  /** Row-local DSIR featurizer: the document's hashed word-bigram bucket
+    * ids as ONE array column (empty if < 2 words) — the zero-shuffle
+    * form the streaming scorer folds over. Same tokenization, bigram
+    * and bucket derivation as [[dsirFeats]] (spec-pinned equal). */
+  private[graft] def dsirBucketArray(text: Column): Column = {
+    import graft.functions.Md5PrefixModF
+    val w = words(text)
+    val bgs = when(size(w) >= 2,
+      zip_with(
+        slice(w, lit(1), size(w) - 1),
+        slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array())
+    transform(bgs, bg => Md5PrefixModF(bg, DsirBuckets))
+  }
+
   /** Hashed word-bigram feature counts: one row per (doc, bucket). */
-  private[operators] def dsirFeats(docs: DataFrame): DataFrame = {
+  private[graft] def dsirFeats(docs: DataFrame): DataFrame = {
     import graft.functions.Md5PrefixModF
     docs
       .select(col("doc_id"), col("lang"), words(col("text")).as("w"))

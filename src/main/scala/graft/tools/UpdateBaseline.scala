@@ -9,9 +9,14 @@ import java.nio.file.{Files, Paths}
   * measured) — the baseline is the best-KNOWN time, so it only ever
   * ratchets down; a noisy run can add queries but never loosen the
   * gate. Queries with no row yet (new this round) get their measured
-  * time. Rewrites only the table portion of BASELINE.md, preserving
-  * the prose.
-  */
+  * time.
+  *
+  * Rewrite discipline: edits are IN-PLACE on the active rows only.
+  * Every other line — prose, the `_calibration` epoch pin, the
+  * struck-through `~~history~~` rows — passes through untouched (an
+  * earlier whole-table rewrite silently dropped the calibration row
+  * and the history section; BenchSpec now pins both). New rows are
+  * inserted after the last active row, keeping the table sorted. */
 object UpdateBaseline {
   def main(args: Array[String]): Unit = {
     val detailPath = args.headOption.getOrElse("BENCH_DETAIL.json")
@@ -31,22 +36,30 @@ object UpdateBaseline {
 
     val baselineFile = Paths.get("BASELINE.md")
     val lines = new String(Files.readAllBytes(baselineFile), "UTF-8").linesIterator.toVector
-    val row = "\\|\\s*([a-z0-9_]+)\\s*\\|\\s*([0-9.]+)\\s*\\|".r
-    val existing = lines.flatMap {
+    val row = "^\\|\\s*([a-z0-9_]+)\\s*\\|\\s*([0-9.]+)\\s*\\|\\s*$".r
+    def active(l: String): Option[(String, Double)] = l match {
       case row(k, v) if names.contains(k) => Some(k -> v.toDouble)
       case _ => None
-    }.toMap
-    val merged = (existing.keySet ++ measured.keySet).map { k =>
-      k -> math.min(existing.getOrElse(k, Double.MaxValue),
-                    measured.getOrElse(k, Double.MaxValue))
-    }.toMap
-    // header + separator don't match the numeric row pattern, so the
-    // prose prefix runs up to the first data row
-    val prose = lines.takeWhile(l => !row.pattern.matcher(l).matches())
-    val table = merged.toSeq.sortBy(_._1).map { case (k, v) => f"| $k | $v%.4f |" }
-    val out = (prose ++ table).mkString("", "\n", "\n")
+    }
+    val existing = lines.flatMap(active(_)).toMap
+    var lowered = 0
+    // in-place ratchet of existing active rows; everything else unchanged
+    val updated = lines.map { l =>
+      active(l) match {
+        case Some((k, v)) if measured.get(k).exists(_ < v) =>
+          lowered += 1
+          f"| $k | ${measured(k)}%.4f |"
+        case _ => l
+      }
+    }
+    // brand-new queries: insert after the last active row, sorted
+    val fresh = (measured.keySet -- existing.keySet).toSeq.sorted
+      .map(k => f"| $k | ${measured(k)}%.4f |")
+    val lastActive = lines.lastIndexWhere(active(_).isDefined)
+    require(lastActive >= 0, "no active baseline rows found")
+    val out = (updated.take(lastActive + 1) ++ fresh ++ updated.drop(lastActive + 1))
+      .mkString("", "\n", "\n")
     Files.write(baselineFile, out.getBytes("UTF-8"))
-    val lowered = merged.count { case (k, v) => existing.get(k).exists(v < _) }
-    println(s"[baseline] ${merged.size} rows (${merged.size - existing.size} new, $lowered lowered)")
+    println(s"[baseline] ${existing.size + fresh.size} rows (${fresh.size} new, $lowered lowered)")
   }
 }
