@@ -210,6 +210,50 @@ class QualitySpec extends SparkSpec {
     assert(got(2L)._3 > got(3L)._3)
   }
 
+  test("t19 matches the DSIR estimator on random corpora (property)") {
+    import graft.functions.Md5PrefixModUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "zulu", "yankee", "kilo", "w9")
+    val genDoc = for {
+      n <- Gen.choose(0, 12) // includes docs below the 2-word floor
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    val genCorpus = for {
+      k <- Gen.choose(2, 18)
+      docs <- Gen.listOfN(k, genDoc)
+      langs <- Gen.listOfN(k, Gen.oneOf("en", "xx", "yy"))
+    } yield docs.zip(langs).zipWithIndex.map { case ((t, l), i) => (i.toLong, l, t) }
+    val params = Gen.Parameters.default
+    var seed = Seed(20260813L)
+    val b = Quality.DsirBuckets
+    def bucket(bg: String): Long = Md5PrefixModUtil.hash(UTF8String.fromString(bg), b)
+    for (_ <- 0 until 8) {
+      val corpus = genCorpus.pureApply(params, seed); seed = seed.next
+      val df = spark.createDataFrame(corpus).toDF("doc_id", "lang", "text")
+      val got = Quality.dsirWeights(df, "en").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // reference estimator, straight from the definition
+      val perDoc = corpus.map { case (id, lang, text) =>
+        val ws = "[a-z0-9]+".r.findAllIn(text.toLowerCase).toSeq
+        (id, lang, if (ws.size < 2) Nil else ws.sliding(2).map(p => bucket(p.mkString(" "))).toSeq)
+      }.filter(_._3.nonEmpty)
+      val cr = perDoc.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val ct = perDoc.filter(_._2 == "en").flatMap(_._3)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val (rtot, ttot) = (cr.values.sum, ct.values.sum)
+      def cost(bk: Long): Long = math.floor(math.log(
+        ((ct.getOrElse(bk, 0L) + 1) * (rtot + b)).toDouble /
+        ((cr(bk) + 1) * (ttot + b)).toDouble) * 1e6).toLong
+      val want = perDoc.map { case (id, _, bks) =>
+        val w = bks.map(cost).sum
+        id -> (bks.size.toLong, w, math.floor(w.toDouble / bks.size).toLong)
+      }.toMap
+      assert(got == want, s"divergence: ${(got.toSet diff want.toSet) ++ (want.toSet diff got.toSet)}")
+    }
+  }
+
   test("t19 persisted model: stored costs re-score the corpus identically and " +
     "train-unseen buckets take the default cost") {
     val dir = java.nio.file.Files.createTempDirectory("dsir").toString
