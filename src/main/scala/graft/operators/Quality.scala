@@ -698,7 +698,11 @@ object Quality {
     * `count × ln(p_target(b) / p_raw(b))` with add-1 smoothing, where
     * target = the `targetLang` slice and raw = the whole input. */
   private[operators] def dsirWeights(docs: DataFrame, targetLang: String): DataFrame = {
-    val feats = dsirFeats(docs)
+    // featurize ONCE (the t20/s6 discipline): the two distribution
+    // rollups, their totals, and the scoring join all consume `feats`,
+    // and column pruning defeats exchange reuse across them (the e9
+    // lesson) — without the checkpoint the corpus explode runs ~5×
+    val feats = dsirFeats(docs).localCheckpoint()
     dsirScore(feats, dsirCosts(feats, targetLang))
   }
 
@@ -708,7 +712,8 @@ object Quality {
     * batch is featurized and broadcast-joined; the training corpus is
     * never re-read. The artifact is one ≤ 4097-row parquet. */
   def t19CostsWrite(s: SparkSession, dir: String, path: String): Unit =
-    dsirCosts(dsirFeats(Tables.documents(s, dir).select("doc_id", "lang", "text")), "en")
+    dsirCosts(dsirFeats(Tables.documents(s, dir).select("doc_id", "lang", "text"))
+        .localCheckpoint(), "en")
       .coalesce(1)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 
