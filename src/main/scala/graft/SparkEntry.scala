@@ -107,6 +107,7 @@ object SparkEntry {
     "d16_dup_profile"   -> (Dedup.d16DupProfile _),
     "d17_substring_dedup" -> (Dedup.d17SubstringDedup _),
     "d18_cluster_rep"   -> (Dedup.d18ClusterRep _),
+    "d19_banding_curve" -> (Dedup.d19BandingCurve _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "p2_dataset_card"   -> (Corpus.p2DatasetCard _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
@@ -276,6 +277,7 @@ object SparkEntry {
     "d16_dup_profile"   -> Dedup.d16Sql,
     "d17_substring_dedup" -> Dedup.d17Sql,
     "d18_cluster_rep"   -> Dedup.d18Sql,
+    "d19_banding_curve" -> Dedup.d19Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "p2_dataset_card"   -> Corpus.p2Sql,
     "e1_sessionize"     -> Events.e1Sql,

@@ -308,6 +308,177 @@ object Dedup {
   private[operators] def d3Pairs(s: SparkSession, dir: String): DataFrame =
     lshPairs(corpusNear(s, dir))
 
+  /** d19's banding grid — the deployable factorizations of the 16-hash
+    * signature, implied Jaccard thresholds (1/b)^(1/r) ≈ 0.35 / 0.71 /
+    * 0.92. The loosest factorization (16×1, threshold ≈0.06) is
+    * deliberately EXCLUDED from the registered sweep: single-hash
+    * collision buckets admit Ω(n²) candidate mass on any
+    * shared-vocabulary corpus (measured at sf0.01: 50 421 of ~151k
+    * possible pairs — a third of the corpus squared), so enumerating
+    * its candidates at scale is the exact flooding the curve exists to
+    * warn against; the containment spec still exercises it on the
+    * small corpus via [[lshPairsMulti]]. */
+  val BandingConfigs: Seq[(Int, Int)] = Seq((8, 2), (4, 4), (2, 8))
+
+  /** Candidate pairs for SEVERAL banding configs from ONE signature
+    * pass: each doc emits Σb keys (30 here vs d3's 4) into one
+    * (config, band, key) shuffle; the bucket walk and pair explode are
+    * per-config row-local. Aligned banding (config (b, r)'s band i is
+    * the concatenation of config (2b, r/2)'s bands 2i, 2i+1) makes the
+    * candidate sets STRUCTURALLY nested: a collision at r=8 forces both
+    * aligned r=4 sub-bands to collide, so pairs(2,8) ⊆ pairs(4,4) ⊆
+    * pairs(8,2) ⊆ pairs(16,1) — spec-asserted set containment. */
+  private[operators] def lshPairsMulti(corpus: DataFrame,
+      configs: Seq[(Int, Int)]): DataFrame = {
+    val c = corpus
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val as = (0 until NumHashes).map(hashA)
+    val bs = (0 until NumHashes).map(hashB)
+    val structs = configs.map { case (b, r) =>
+      s"""transform(sequence(0, ${b - 1}), bd -> named_struct(
+         |  'bands', $b, 'rows_per', $r, 'band', bd,
+         |  'key', concat_ws('_', ${(0 until r).map(j => s"sig[bd * $r + $j]").mkString(", ")})))""".stripMargin
+    }.mkString(", ")
+    val pairExpr =
+      """flatten(transform(sequence(1, size(ds) - 1),
+        |  i -> transform(slice(ds, i + 1, size(ds) - i),
+        |    d -> named_struct('doc_a', element_at(ds, i), 'doc_b', d))))""".stripMargin
+    c.select(col("doc_id"), graft.functions.MinHashSigF(col("t"), P, as, bs).as("sig"))
+      .select(col("doc_id"), explode(expr(s"flatten(array($structs))")).as("bk"))
+      .select(col("doc_id"), col("bk.bands").as("bands"),
+        col("bk.rows_per").as("rows_per"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("bands", "rows_per", "band", "key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("bands"), col("rows_per"), explode(expr(pairExpr)).as("p"))
+      .select(col("bands"), col("rows_per"), col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** d19: LSH BANDING TUNING CURVE — the s7-of-dedup: how many candidate
+    * pairs (and docs touched) each banding of the SAME 16-hash MinHash
+    * signature admits, from loose (8×2, implied Jaccard ≈0.35) to strict
+    * (2×8, ≈0.92). Choosing (bands, rows) IS the MinHash deployment
+    * decision (the S-curve analysis of Leskovec/Rajaraman/Ullman, MMDS
+    * §3.4) — this runs the whole sweep as one first-class query the way
+    * s7 sweeps nprobe.
+    *
+    * EXACT-COLLAPSE-FIRST (the d2/d5/s3 discipline, applied to the
+    * candidate COUNTS): identical signatures collide in every band of
+    * every config, so the multiplicity-expanded bucket walk
+    * ([[lshPairsMulti]]) goes quadratic in duplicate multiplicity —
+    * exactly what grows on a recurring crawl (measured 7.7 s at sf1's
+    * 10× replicas). Instead, signatures group ONCE (gid = min doc_id,
+    * multiplicity m); the bucket walk enumerates DISTINCT-group pairs
+    * only, and the exact expanded counts are recovered arithmetically:
+    * n_pairs = Σ_cross m_a·m_b + Σ_{m≥2} C(m,2) (every m≥2 group
+    * self-collides in every config), n_docs = Σ m over groups in any
+    * collision. Spec-asserted equal to the naive enumeration; measured
+    * 7.7 s → ~1 s at sf1. Cross-query identity (spec): the 4×4 pair
+    * SET from lshPairsMulti equals d3's. */
+  def d19BandingCurve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+    val as = (0 until NumHashes).map(hashA)
+    val bs = (0 until NumHashes).map(hashB)
+    val groups = c
+      .select(col("doc_id"), graft.functions.MinHashSigF(col("t"), P, as, bs).as("sig"))
+      .groupBy("sig").agg(min(col("doc_id")).as("gid"), count(lit(1)).as("m"))
+      .localCheckpoint() // distinct-signature-bound; feeds walk + self terms
+    val structs = BandingConfigs.map { case (b, r) =>
+      s"""transform(sequence(0, ${b - 1}), bd -> named_struct(
+         |  'bands', $b, 'rows_per', $r, 'band', bd,
+         |  'key', concat_ws('_', ${(0 until r).map(j => s"sig[bd * $r + $j]").mkString(", ")})))""".stripMargin
+    }.mkString(", ")
+    // bucket walk over DISTINCT groups; each admitted group pair carries
+    // both multiplicities so the expanded pair count is pure arithmetic
+    val pairExpr =
+      """flatten(transform(sequence(1, size(gs) - 1),
+        |  i -> transform(slice(gs, i + 1, size(gs) - i),
+        |    g -> named_struct('gid_a', element_at(gs, i).gid, 'm_a', element_at(gs, i).m,
+        |                      'gid_b', g.gid, 'm_b', g.m))))""".stripMargin
+    val cross = groups
+      .select(col("gid"), col("m"), explode(expr(s"flatten(array($structs))")).as("bk"))
+      .select(col("gid"), col("m"), col("bk.bands").as("bands"),
+        col("bk.rows_per").as("rows_per"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .groupBy("bands", "rows_per", "band", "key")
+      .agg(sort_array(collect_list(struct(col("gid"), col("m")))).as("gs"))
+      .filter(size(col("gs")) >= 2)
+      .select(col("bands"), col("rows_per"), explode(expr(pairExpr)).as("p"))
+      .select(col("bands"), col("rows_per"), col("p.gid_a"), col("p.m_a"),
+        col("p.gid_b"), col("p.m_b"))
+      .distinct()
+      .localCheckpoint() // collision-bound sliver; feeds pair + doc rollups
+    val crossPairs = cross.groupBy("bands", "rows_per")
+      .agg(sum(col("m_a") * col("m_b")).as("cross_pairs"))
+    // every m>=2 group self-collides in EVERY config: C(m,2) pairs, m docs
+    val selfAgg = groups.filter(col("m") >= 2)
+      .agg(coalesce(sum(expr("m * (m - 1) div 2")), lit(0L)).as("self_pairs"))
+    val crossDocs = cross
+      .select(col("bands"), col("rows_per"), col("gid_a").as("gid"), col("m_a").as("m"))
+      .unionByName(cross.select(col("bands"), col("rows_per"),
+        col("gid_b").as("gid"), col("m_b").as("m")))
+      .distinct()
+    // docs in any admitted pair: cross-colliding members + self-pair
+    // members (count the latter only where not already in a cross group)
+    val selfOnly = BandingConfigs.toDF("bands", "rows_per")
+      .crossJoin(groups.filter(col("m") >= 2).select(col("gid"), col("m")))
+      .join(crossDocs.select(col("bands"), col("rows_per"), col("gid")),
+        Seq("bands", "rows_per", "gid"), "left_anti")
+    val nDocs = crossDocs.unionByName(selfOnly)
+      .groupBy("bands", "rows_per").agg(sum(col("m")).as("n_docs"))
+    BandingConfigs.toDF("bands", "rows_per")
+      .join(crossPairs, Seq("bands", "rows_per"), "left")
+      .join(nDocs, Seq("bands", "rows_per"), "left")
+      .crossJoin(broadcast(selfAgg))
+      .select(col("bands"), col("rows_per"),
+        (coalesce(col("cross_pairs"), lit(0L)) + col("self_pairs")).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .orderBy(col("bands").desc)
+  }
+
+  /** Oracle: the shared sh/mh CTEs once, then per-config band keys,
+    * distinct pairs and doc counts as scalar subqueries (zero-safe). */
+  lazy val d19Sql: String = {
+    val mins = (0 until NumHashes).map(i =>
+      s"min((${hashA(i)} * h + ${hashB(i)}) % $P) AS m$i").mkString(",\n  ")
+    val cfgBlocks = BandingConfigs.map { case (b, r) =>
+      val bandSelects = (0 until b).map { bnd =>
+        val ks = (0 until r).map(j => s"m${bnd * r + j}").mkString(", ")
+        s"SELECT doc_id, $bnd AS band, concat_ws('_', $ks) AS key FROM mh"
+      }.mkString("\n  UNION ALL ")
+      s"""pairs_${b}_$r AS (
+         | SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM (  $bandSelects) a JOIN (  $bandSelects) b
+         |   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+    }.mkString(",\n")
+    val rows = BandingConfigs.map { case (b, r) =>
+      s"""SELECT $b AS bands, $r AS rows_per,
+         | (SELECT count(*) FROM pairs_${b}_$r) AS n_pairs,
+         | (SELECT count(*) FROM (
+         |    SELECT doc_a AS d FROM pairs_${b}_$r
+         |    UNION SELECT doc_b FROM pairs_${b}_$r)) AS n_docs""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH corpus AS ($corpusNearSql),
+       |sh AS (
+       | SELECT DISTINCT doc_id,
+       |  ('0x' || substr(md5(s), 1, 15))::bigint % $P AS h
+       | FROM (SELECT doc_id,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+       |  WHERE len(t) >= 2)),
+       |mh AS (
+       | SELECT doc_id,
+       |  $mins
+       | FROM sh GROUP BY doc_id),
+       |$cfgBlocks
+       |$rows
+       |ORDER BY bands DESC""".stripMargin
+  }
+
   /** d3: MinHash signature + banded LSH candidate pairs.
     *
     * The signature is ONE codegen'd expression per document

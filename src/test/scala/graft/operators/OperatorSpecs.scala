@@ -590,6 +590,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("d19 banding curve: aligned configs nest, 4x4 equals d3, counts match the pair frames") {
+    // include the flooding 16x1 config here (small corpus only — the
+    // registered query excludes it by design, see BandingConfigs)
+    val multi = Dedup.lshPairsMulti(Dedup.corpusNear(spark, sfDir),
+        (16, 1) +: Dedup.BandingConfigs)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // structural containment: stricter banding admits a subset of pairs
+    val order = Seq((2, 8), (4, 4), (8, 2), (16, 1))
+    order.sliding(2).foreach { case Seq(strict, loose) =>
+      val (s, l) = (multi.getOrElse(strict, Set.empty), multi.getOrElse(loose, Set.empty))
+      assert(s.subsetOf(l), s"$strict pairs not within $loose: ${s diff l}")
+    }
+    // cross-query identity: the 4x4 config IS d3's banding
+    val d3 = Dedup.d3MinHashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi((4, 4)) == d3)
+    // the curve rows report exactly the pair/doc counts of the frames
+    val curve = Dedup.d19BandingCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(curve.keySet == Dedup.BandingConfigs.toSet)
+    Dedup.BandingConfigs.foreach { cfg =>
+      val ps = multi.getOrElse(cfg, Set.empty)
+      val docs = ps.flatMap(p => Seq(p._1, p._2))
+      assert(curve(cfg) == ((ps.size.toLong, docs.size.toLong)), s"cfg $cfg")
+    }
+    // looser banding admits at least the planted near-dups the strict one finds
+    assert(multi((16, 1)).size >= multi((2, 8)).size)
+  }
+
   test("d13 split leakage counts exactly the near-dup pairs crossing the hash split") {
     val row = Dedup.d13SplitLeakage(spark, sfDir).head()
     val (nTrain, nVal, nPairs, nLeaks) =
