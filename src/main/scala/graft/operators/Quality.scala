@@ -226,16 +226,28 @@ object Quality {
        |  THEN text || ' $CanaryText' ELSE text END AS text
        |FROM documents""".stripMargin
 
-  /** word 8-gram array (1-based inclusive slice in both engines). */
-  private def ngrams8(w: Column): Column =
-    expr("transform(sequence(1, size(w) - 7), i -> concat_ws(' ', slice(w, i, 8)))")
+  /** Normalized word stream: lowercase WordRe tokens re-joined on single
+    * spaces, so whitespace tokenization of the result IS the word
+    * tokenization — the bridge that lets the O(1)-per-window rolling
+    * [[graft.functions.TokenWindowHashes]] fingerprint word n-grams. */
+  private def wordStream(text: Column): Column = concat_ws(" ", words(text))
 
   /** t10: contamination screen — documents sharing any word 8-gram with
     * the benchmark set (the canary + the leading 15 words of every 50th
     * doc), with the count of distinct overlapping 8-grams. The benchmark
-    * n-gram set is BROADCAST (an eval suite is small by construction);
-    * the corpus explodes its 8-grams map-side and only matching rows
-    * reach the one doc-keyed shuffle.
+    * gram set is BROADCAST (an eval suite is small by construction); the
+    * corpus streams its 8-gram fingerprints map-side and only matching
+    * rows reach the one doc-keyed shuffle.
+    *
+    * Grams are compared as 64-bit rolling window hashes (d17's
+    * `token_window_hashes` over the normalized word stream), not as
+    * concatenated strings: the string form built ~w chars per token per
+    * window (~50 MB of short-lived gram strings per 5k-doc split —
+    * measured as the allocation hot spot in the round-9 driver bench),
+    * where the rolling form is O(1) per window with zero allocation,
+    * and 8 bytes instead of ~50 per join probe. Hash-for-string equality
+    * is the same fingerprint trade d17 documents (collisions negligible,
+    * oracle unchanged in string space catches any).
     *
     * Shape note (measured, round 4): collapsing the bench set to one
     * array row + per-row `array_intersect` looks cheaper on paper (no
@@ -248,22 +260,20 @@ object Quality {
     * exchanged. */
   def t10Contamination(s: SparkSession, dir: String): DataFrame = {
     val docs = t10Corpus(s, dir)
-      .withColumn("w", words(col("text")))
-      .filter(size(col("w")) >= 8)
     val benchDocs = Tables.documents(s, dir)
       .filter(col("doc_id") % 50 === 0)
       .select(expr(s"concat_ws(' ', slice(regexp_extract_all(lower(text), '$WordRe', 0), 1, 15))").as("text"))
       .unionByName(s.range(1).select(lit(CanaryText).as("text")))
     val benchGrams = benchDocs
-      .withColumn("w", words(col("text")))
-      .filter(size(col("w")) >= 8)
-      .select(explode(ngrams8(col("w"))).as("ng")).distinct()
+      .select(explode(graft.functions.TokenWindows.hashes(wordStream(col("text")), 8)).as("gh"))
+      .distinct()
     // join BEFORE deduplicating: the broadcast hash join filters corpus
     // 8-grams map-side, so only matching (doc, gram) rows ever shuffle —
     // a corpus-wide distinct first would shuffle every 8-gram of every doc
-    docs.select(col("doc_id"), explode(ngrams8(col("w"))).as("ng"))
-      .join(broadcast(benchGrams), Seq("ng"))
-      .groupBy("doc_id").agg(countDistinct(col("ng")).as("n_hits"))
+    docs.select(col("doc_id"),
+        explode(graft.functions.TokenWindows.hashes(wordStream(col("text")), 8)).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .groupBy("doc_id").agg(countDistinct(col("gh")).as("n_hits"))
       .orderBy("doc_id")
   }
 

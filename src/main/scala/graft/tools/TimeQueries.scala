@@ -11,12 +11,18 @@ object TimeQueries {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val plain = args.contains("--plain")
-    val names = args.drop(1).filterNot(_.startsWith("--"))
-    val b = graft.SessionTuning.inputSplits(
+    // --conf k=v: extra session configs (e.g. spark.graft.scan.widen=false)
+    val confs = args.sliding(2).collect {
+      case Array("--conf", kv) if kv.contains('=') =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+    }.toSeq
+    val names = args.drop(1).filterNot(a => a.startsWith("--") || a.contains('='))
+    val b0 = graft.SessionTuning.inputSplits(
       SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", 32)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false"))
+    val b = confs.foldLeft(b0) { case (bb, (k, v)) => bb.config(k, v) }
     val spark = (if (plain) b else b.withExtensions(new graft.GraftExtensions)).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs: Seq[String] =
