@@ -67,6 +67,7 @@ object SparkEntry {
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
     "v4_label_centroid" -> (Similarity.v4LabelCentroid _),
+    "v5_delete_by_ids"  -> (Similarity.v5DeleteByIds _),
     "t1_token_count"    -> (TextAnalysis.t1TokenCount _),
     "t2_quality_score"  -> (TextAnalysis.t2QualityScore _),
     "t3_lang_id"        -> (TextAnalysis.t3LangId _),
@@ -87,6 +88,8 @@ object SparkEntry {
     "t18_fuzzy_decontam" -> (Quality.t18FuzzyDecontam _),
     "t19_dsir_weights"  -> (Quality.t19DsirWeights _),
     "t20_ccnet_buckets" -> (Quality.t20CcnetBuckets _),
+    "t21_bpe_count"     -> (TextAnalysis.t21BpeCount _),
+    "t22_bpe_cost"      -> (TextAnalysis.t22BpeCost _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -108,6 +111,7 @@ object SparkEntry {
     "d17_substring_dedup" -> (Dedup.d17SubstringDedup _),
     "d18_cluster_rep"   -> (Dedup.d18ClusterRep _),
     "d19_banding_curve" -> (Dedup.d19BandingCurve _),
+    "d20_dup_passages"  -> (Dedup.d20DupPassages _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "p2_dataset_card"   -> (Corpus.p2DatasetCard _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
@@ -124,6 +128,8 @@ object SparkEntry {
     "m1_binary_meta"    -> (Multimodal.m1BinaryMeta _),
     "m2_frame_sample"   -> (Multimodal.m2FrameSample _),
     "m3_semantic_dedup" -> ((s, dir) => Multimodal.m3SemanticDedup(s, dir)),
+    "a1_hll_bounds"     -> ((s, dir) => Approx.a1HllBounds(s, dir)),
+    "a2_quantile_bounds" -> ((s, dir) => Approx.a2QuantileBounds(s, dir)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -187,14 +193,29 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         |ORDER BY user_id""".stripMargin,
     "q12_cost_calc" ->
-      """SELECT event_type,
-        | cast(sum(cast(value AS decimal(18,2))) AS double) AS total_tokens,
-        | cast(sum(cast(cast(value AS decimal(18,2)) * cast(in_price AS decimal(18,2))
-        |          + cast(value AS decimal(18,2)) * cast(out_price AS decimal(18,2)) AS decimal(28,6))) AS double) AS total_cost
-        |FROM events JOIN (VALUES ('click',0.50,1.50),('view',0.25,0.75),('purchase',5.00,15.00),
-        |                         ('signup',1.00,3.00),('error',0.10,0.30)) AS p(model,in_price,out_price)
-        |  ON event_type = model
-        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+      """WITH e AS (
+        | SELECT event_type,
+        |  CASE WHEN event_type IN ('click','view','purchase') THEN 'openai'
+        |       WHEN event_type = 'signup' THEN 'gemini'
+        |       ELSE 'claude' END AS provider,
+        |  cast(value AS decimal(18,2)) AS in_tok,
+        |  cast(floor(value / 2) AS decimal(18,2)) AS out_tok,
+        |  cast(coalesce(in_price, 0.01) AS decimal(18,4)) AS in_price,
+        |  cast(coalesce(out_price, 0.01) AS decimal(18,4)) AS out_price
+        | FROM events LEFT JOIN (VALUES ('click',0.50,1.50),('view',0.25,0.75),
+        |                               ('purchase',5.00,15.00)) AS p(model,in_price,out_price)
+        |   ON event_type = model),
+        |g AS (
+        | SELECT event_type, provider,
+        |  cast(sum(cast(in_tok + out_tok AS decimal(28,6))) AS double) AS total_tokens,
+        |  cast(sum(cast(in_tok * in_price + out_tok * out_price AS decimal(28,6))) AS decimal(28,6)) AS blended_sum
+        | FROM e GROUP BY event_type, provider)
+        |SELECT event_type, provider, total_tokens,
+        | CASE WHEN provider = 'openai'
+        |        THEN cast(blended_sum * cast(0.001 AS decimal(4,3)) AS double)
+        |      WHEN provider = 'gemini' THEN cast(blended_sum AS double)
+        |      ELSE 0.0 END AS total_cost
+        |FROM g ORDER BY event_type""".stripMargin,
     "q13_sql" ->
       """SELECT n.n_name AS nation, count(*) AS customers,
         | cast(sum(cast(c.c_acctbal AS decimal(18,2))) AS double) AS total_acctbal
@@ -240,6 +261,7 @@ object SparkEntry {
     "s10_ivf_adc"         -> Similarity.s10Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
+    "v5_delete_by_ids"  -> Similarity.v5Sql,
     "v3_index_stats"      -> Similarity.v3Sql,
     "v4_label_centroid"   -> Similarity.v4Sql,
     "t1_token_count"    -> TextAnalysis.t1Sql,
@@ -261,6 +283,8 @@ object SparkEntry {
     "t18_fuzzy_decontam" -> Quality.t18Sql,
     "t19_dsir_weights"  -> Quality.t19Sql,
     "t20_ccnet_buckets" -> Quality.t20Sql,
+    "t21_bpe_count"     -> TextAnalysis.t21Sql,
+    "t22_bpe_cost"      -> TextAnalysis.t22Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,
@@ -278,6 +302,7 @@ object SparkEntry {
     "d17_substring_dedup" -> Dedup.d17Sql,
     "d18_cluster_rep"   -> Dedup.d18Sql,
     "d19_banding_curve" -> Dedup.d19Sql,
+    "d20_dup_passages"  -> Dedup.d20Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "p2_dataset_card"   -> Corpus.p2Sql,
     "e1_sessionize"     -> Events.e1Sql,
@@ -294,5 +319,7 @@ object SparkEntry {
     "m1_binary_meta"    -> Multimodal.m1Sql,
     "m2_frame_sample"   -> Multimodal.m2Sql,
     "m3_semantic_dedup" -> Multimodal.m3Sql,
+    "a1_hll_bounds"     -> Approx.a1Sql,
+    "a2_quantile_bounds" -> Approx.a2Sql,
   )
 }

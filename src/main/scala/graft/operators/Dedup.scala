@@ -1672,6 +1672,82 @@ object Dedup {
        |  coalesce(p.dup_spans, 0) AS dup_spans
        |FROM toks t LEFT JOIN perdoc p USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Rows in the d20 report. */
+  private[graft] val DupPassagesK = 20
+
+  /** d20: the MOST-DUPLICATED PASSAGES report — the actionable artifact
+    * Lee et al. (arXiv:2107.06499 §4) tabulate alongside d17's per-doc
+    * intervals: which concrete `SubW`-token passages repeat most, how
+    * often, across how many documents, with a canonical example span.
+    * This is what a pipeline operator actually reads to decide whether
+    * the duplication is boilerplate (strip it) or contamination (drop
+    * docs).
+    *
+    * Plan: ONE extra group-count-bound aggregate over d17's existing
+    * fingerprint shuffle (count / distinct-doc / packed-min first
+    * occurrence per window hash), global top-K via
+    * TakeOrderedAndProject, and the passage text attaches by joining
+    * the K-row sliver BROADCAST back to the corpus — the corpus is
+    * never re-shuffled and no window strings exist outside the final K
+    * rows. */
+  def d20DupPassages(s: SparkSession, dir: String): DataFrame = {
+    val corpus = corpusSub(s, dir)
+    val wins = corpus.select(col("doc_id"),
+        posexplode(graft.functions.TokenWindows.hashes(col("text"), SubW)))
+      .toDF("doc_id", "pos", "h")
+      .select(col("h"), col("doc_id"),
+        (shiftleft(col("doc_id"), 24) bitwiseOR col("pos")).as("packed"))
+    val top = wins.groupBy("h")
+      .agg(count(lit(1)).as("n_occurrences"),
+           countDistinct(col("doc_id")).as("n_docs"),
+           min(col("packed")).as("first"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("first").asc)
+      .limit(DupPassagesK)
+      .select(shiftrightunsigned(col("first"), 24).as("example_doc_id"),
+        (col("first") bitwiseAND lit((1L << 24) - 1)).as("example_pos"),
+        col("n_occurrences"), col("n_docs"))
+    corpus.join(broadcast(top), col("doc_id") === col("example_doc_id"))
+      .select(col("example_doc_id"), col("example_pos"),
+        col("n_occurrences"), col("n_docs"),
+        concat_ws(" ", slice(split(col("text"), "\\s+"),
+          (col("example_pos") + 1).cast("int"), lit(SubW))).as("passage"))
+      .orderBy(col("n_occurrences").desc, col("example_doc_id"), col("example_pos"))
+  }
+
+  /** Oracle: the same derivation keyed on the window STRING (the d17
+    * fingerprint trade), with the packed first-occurrence reproduced
+    * arithmetically. */
+  lazy val d20Sql: String =
+    s"""WITH c1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN text || ' $MirrorPassage' ELSE text END AS text
+       |  FROM documents),
+       |c2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$BoilerPrefix ' || text ELSE text END AS text
+       |  FROM c1),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+       |    len(string_split_regex(text, '\\s+')) AS n_tokens
+       |  FROM c2),
+       |wins AS (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${SubW - 1}], ' ') AS w
+       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, n_tokens - ${SubW - 1})) AS i) u
+       |  WHERE n_tokens >= $SubW),
+       |top AS (
+       |  SELECT w, cast(count(*) AS bigint) AS n_occurrences,
+       |    cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+       |    min(doc_id * 16777216 + pos) AS first
+       |  FROM wins GROUP BY w HAVING count(*) >= 2
+       |  ORDER BY n_occurrences DESC, first LIMIT $DupPassagesK)
+       |SELECT cast(first // 16777216 AS bigint) AS example_doc_id,
+       |  cast(first % 16777216 AS bigint) AS example_pos,
+       |  n_occurrences, n_docs,
+       |  array_to_string(t[(first % 16777216) + 1 : (first % 16777216) + $SubW], ' ') AS passage
+       |FROM top JOIN toks ON toks.doc_id = first // 16777216
+       |ORDER BY n_occurrences DESC, example_doc_id, example_pos""".stripMargin
+
   // ---------------------------------------------------------------- d18
 
   /** Packing base for d18's argmax: reps are chosen by max over

@@ -192,22 +192,52 @@ object Relational {
       | FROM events)
       |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin
 
-  /** q12: token/cost calculation (trackUsageService.calculateCostFromTokenCounts):
-    * per-model price table → broadcast join → cost formula → rollup.
-    * events.value stands in for token counts; event_type for the model. */
+  /** q12: token/cost calculation — the FULL reference formula
+    * (trackUsageService.calculateCostFromTokenCounts, :90-108): price
+    * lookup with an unknown-model DEFAULT row
+    * (`tokenPrices[model] || {input: 0.01, output: 0.01}`, :91) and
+    * per-provider branching — `openai` divides the blended token cost
+    * by 1000, `gemini` charges it directly, any other provider costs 0
+    * (the fall-through the reference's claude branch documents).
+    *
+    * Stand-ins: event_type = model; provider is the reference's static
+    * model→provider routing expressed as a CASE; value = input tokens,
+    * floor(value/2) = output tokens. The price table deliberately omits
+    * `signup` so one group exercises the default-price coalesce, and
+    * `error` routes to the zero-cost provider branch. Price table is a
+    * broadcast LEFT join (the `||` default must not drop unknown
+    * models, so inner is wrong); formula in exact decimals, one
+    * group-count-bound rollup. */
   def q12CostCalc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val prices = Seq(
-      ("click", 0.50, 1.50), ("view", 0.25, 0.75), ("purchase", 5.00, 15.00),
-      ("signup", 1.00, 3.00), ("error", 0.10, 0.30))
+      ("click", 0.50, 1.50), ("view", 0.25, 0.75), ("purchase", 5.00, 15.00))
       .toDF("model", "in_price", "out_price")
     val e = Tables.events(s, dir).select("event_type", "value")
-    e.join(broadcast(prices), col("event_type") === col("model"), "inner")
-      .groupBy("event_type")
+      .withColumn("provider",
+        when(col("event_type").isin("click", "view", "purchase"), "openai")
+          .when(col("event_type") === "signup", "gemini")
+          .otherwise("claude"))
+      .withColumn("in_tok", dec(col("value")))
+      .withColumn("out_tok", dec(floor(col("value") / 2)))
+    val blended = (col("in_tok") * col("in_price").cast("decimal(18,4)")
+      + col("out_tok") * col("out_price").cast("decimal(18,4)")).cast("decimal(28,6)")
+    e.join(broadcast(prices), col("event_type") === col("model"), "left")
+      .withColumn("in_price", coalesce(col("in_price"), lit(0.01)))
+      .withColumn("out_price", coalesce(col("out_price"), lit(0.01)))
+      .groupBy("event_type", "provider")
       .agg(
-        sum(dec(col("value"))).cast("double").as("total_tokens"),
-        sum((dec(col("value")) * dec(col("in_price")) + dec(col("value")) * dec(col("out_price")))
-          .cast("decimal(28,6)")).cast("double").as("total_cost"))
+        sum((col("in_tok") + col("out_tok")).cast("decimal(28,6)")).cast("double")
+          .as("total_tokens"),
+        sum(blended).cast("decimal(28,6)").as("blended_sum"))
+      // the provider branch applies to the GROUP total (provider is a
+      // function of the model): the /1000 is an exact scale-3 decimal
+      // multiply, so both engines round once, at the final double cast
+      .select(col("event_type"), col("provider"), col("total_tokens"),
+        when(col("provider") === "openai",
+            (col("blended_sum") * lit(0.001).cast("decimal(4,3)")).cast("double"))
+          .when(col("provider") === "gemini", col("blended_sum").cast("double"))
+          .otherwise(lit(0.0)).as("total_cost"))
       .orderBy("event_type")
   }
 

@@ -308,6 +308,34 @@ object Similarity {
       .agg(count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_checksum"))
       .orderBy("label")
 
+  /** The id batch a delete request carries (a request payload is small by
+    * construction — the reference's is a JSON array of Pinecone ids). */
+  val DeleteIds: Seq[Long] = 0L until 500L by 13L
+
+  /** The namespace the delete is scoped to. */
+  val DeleteNamespace = 4
+
+  /** v5: delete-by-ids (embeddingController.js:103 →
+    * embeddingmodel.deleteEmbeddingsByIds): drop an explicit id batch
+    * WITHIN one namespace, report surviving per-label counts + id
+    * checksum. The id list is a literal predicate — `NOT (label = ns AND
+    * vec_id IN (...))` — so the scan keeps its pushed filter shape
+    * (ids absent at a given SF are no-ops, exactly like Pinecone's
+    * delete). The on-disk variant that rewrites only the affected
+    * partitions is [[graft.sources.VectorStoreSink.deleteByIds]]. */
+  def v5DeleteByIds(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("vec_id", "label")
+      .filter(!(col("label") === DeleteNamespace && col("vec_id").isin(DeleteIds: _*)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_checksum"))
+      .orderBy("label")
+
+  val v5Sql: String =
+    s"""SELECT label, count(*) AS cnt, cast(sum(vec_id) AS bigint) AS id_checksum
+       |FROM embeddings
+       |WHERE NOT (label = $DeleteNamespace AND vec_id IN (${DeleteIds.mkString(", ")}))
+       |GROUP BY label ORDER BY label""".stripMargin
+
   /** s6: ANN RECALL EVALUATION — the index-tuning loop every vector
     * deployment runs: score each approximate method (s2's LSH buckets,
     * s4's IVF probe) against s1's brute-force ground truth and report

@@ -224,4 +224,102 @@ object TextAnalysis {
        |   unnest(range(0, cast(ceil(length(text) / $ChunkStep.0) AS int))) AS i
        |  FROM documents WHERE length(text) > 0)
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- t21/t22: exact BPE token counting + BPE-priced costing ----
+
+  private val WordRe = "[a-z0-9]+"
+  private def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit(WordRe), lit(0))
+
+  /** t21: EXACT BPE token count per document (reference:
+    * trackUsageService.js:46-48 counts usage with tiktoken's BPE; t1 is
+    * the whitespace approximation). The count is the codegen'd
+    * [[graft.functions.BpeCount]] expression over the word array — a
+    * MAP-ONLY pass (the merge table is compiled into the expression; a
+    * production vocab would broadcast), so the operator adds zero
+    * shuffles at any corpus size. */
+  def t21BpeCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.BpeCountF.count(words(col("text"))).as("bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** The DuckDB replica of the BPE merge loop, shared by t21/t22: words
+    * become char-delimited symbol strings ('|t|h|e|'), and a recursive
+    * CTE applies the same ordered merge table — `replace` merges
+    * leftmost non-overlapping occurrences, and a rank only advances
+    * once its rule reaches fixpoint (two occurrences sharing a
+    * delimiter need a second pass — a string-encoding artifact; the
+    * engine's scan handles it in one). Token count per word = final
+    * delimiter count - 1; words dedup through a (doc, word, n) rollup
+    * so the merge loop runs once per distinct word, mirroring the
+    * engine-side memo. */
+  private def bpeEncCte(corpusSql: String): String = {
+    val mergeRows = graft.functions.BpeVocab.Merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '|$a|$b|', '|$a$b|')" }
+      .mkString(", ")
+    s"""merges(rank, pat, rep) AS (VALUES $mergeRows),
+       |toks AS (
+       | SELECT doc_id, lang, w, count(*) AS n FROM (
+       |  SELECT doc_id, lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS w
+       |  FROM ($corpusSql))
+       | GROUP BY doc_id, lang, w),
+       |enc(doc_id, lang, w, n, s, rank) AS (
+       | SELECT doc_id, lang, w, n,
+       |  '|' || array_to_string(string_split(w, ''), '|') || '|', 1
+       | FROM toks
+       | UNION ALL
+       | SELECT doc_id, lang, w, n, replace(s, m.pat, m.rep),
+       |  CASE WHEN replace(s, m.pat, m.rep) <> s THEN e.rank ELSE e.rank + 1 END
+       | FROM enc e JOIN merges m ON m.rank = e.rank),
+       |fin AS (
+       | SELECT doc_id, lang, n,
+       |  length(s) - length(replace(s, '|', '')) - 1 AS toks_w
+       | FROM enc WHERE rank = (SELECT max(rank) + 1 FROM merges)),
+       |perdoc AS (
+       | SELECT doc_id, lang, cast(sum(n * toks_w) AS bigint) AS bpe_tokens
+       | FROM fin GROUP BY doc_id, lang)""".stripMargin
+  }
+
+  lazy val t21Sql: String =
+    s"""WITH RECURSIVE ${bpeEncCte("SELECT doc_id, lang, text FROM documents")}
+       |SELECT d.doc_id, coalesce(p.bpe_tokens, 0) AS bpe_tokens
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** t22: the reference cost formula priced on EXACT BPE counts — the
+    * q12 shape (broadcast price table, default price for unlisted
+    * entries, openai-style /1000) with t21's counts as the token
+    * source. `fr` is deliberately missing from the price table to
+    * exercise the default row. Exact decimals; one rounding, at the
+    * final double cast. */
+  def t22BpeCost(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prices = Seq(("en", 0.50), ("zh", 0.75), ("es", 0.25), ("de", 0.60))
+      .toDF("plang", "price")
+    Tables.documents(s, dir).select("lang", "text")
+      .select(col("lang"),
+        graft.functions.BpeCountF.count(words(col("text"))).as("toks"))
+      .groupBy("lang").agg(sum(col("toks")).as("bpe_tokens"))
+      .join(broadcast(prices), col("lang") === col("plang"), "left")
+      .select(col("lang"), col("bpe_tokens"),
+        (col("bpe_tokens").cast("decimal(18,2)")
+          * coalesce(col("price"), lit(0.01)).cast("decimal(18,4)")
+          * lit(0.001).cast("decimal(4,3)")).cast("double").as("cost"))
+      .orderBy("lang")
+  }
+
+  lazy val t22Sql: String =
+    s"""WITH RECURSIVE ${bpeEncCte("SELECT doc_id, lang, text FROM documents")},
+       |perlang AS (
+       | SELECT lang, cast(sum(bpe_tokens) AS bigint) AS bpe_tokens
+       | FROM perdoc GROUP BY lang)
+       |SELECT lang, bpe_tokens,
+       | cast(cast(bpe_tokens AS decimal(18,2))
+       |      * cast(coalesce(price, 0.01) AS decimal(18,4))
+       |      * cast(0.001 AS decimal(4,3)) AS double) AS cost
+       |FROM perlang LEFT JOIN (VALUES ('en',0.50),('zh',0.75),('es',0.25),
+       |                               ('de',0.60)) AS p(plang, price)
+       |  ON lang = plang
+       |ORDER BY lang""".stripMargin
 }

@@ -69,6 +69,45 @@ object IvfIndex {
       .write.mode(SaveMode.Overwrite).partitionBy("cid").parquet(path)
   }
 
+  /** Incremental refresh: absorb an UPSERT batch into an existing index
+    * without a rebuild (the per-tenant load-then-add flow of the
+    * reference's HNSWLib.load + addDocuments,
+    * customTrainDataController.js:56-62, re-expressed for the inverted
+    * file). The new batch is coarse-assigned MAP-ONLY against the
+    * STORED codebook — same broadcast argmax as [[build]], zero corpus
+    * shuffle, the existing lists are never read — and appended as new
+    * files inside only the `cid=` directories it hashes into.
+    * Because assignment is a pure function of (embedding, codebook),
+    * an appended store is bit-identical in content to a from-scratch
+    * rebuild over the union (spec-asserted via probe equality), so
+    * probes need no freshness special-casing. */
+  def append(newBatch: DataFrame, centroids: Array[Array[Float]], path: String): Unit = {
+    val s = newBatch.sparkSession
+    newBatch.crossJoin(broadcast(codebookDf(s, centroids)))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+      .write.mode(SaveMode.Append).partitionBy("cid").parquet(path)
+  }
+
+  /** Staleness metric — the retrain signal for an append-maintained
+    * index: the fraction of STORED vectors whose nearest centroid under
+    * a candidate (retrained) codebook differs from their stored list.
+    * Map-only over the store + one global count; when the rate crosses
+    * the deployment's threshold, rebuild with the new codebook,
+    * otherwise keep appending. Returns one row
+    * (n_vectors, n_reassigned, reassign_ppm). */
+  def staleness(s: SparkSession, path: String,
+      retrained: Array[Array[Float]]): DataFrame = {
+    s.read.parquet(path)
+      .crossJoin(broadcast(codebookDf(s, retrained)))
+      .select(col("cid"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("new_cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("cid") =!= col("new_cid"), 1L).otherwise(0L)).as("n_reassigned"))
+      .select(col("n_vectors"), col("n_reassigned"),
+        expr("n_reassigned * 1000000 div n_vectors").as("reassign_ppm"))
+  }
+
   /** Probe: per query, the `nprobe` nearest centroids' lists only.
     * queries(qid, qemb) → (qid, rank, neighbor). */
   def probe(s: SparkSession, path: String, queries: DataFrame,
