@@ -219,6 +219,21 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
+    // Per-ROUND snapshot (r9 verdict item 8): BENCH_r0N.json's driver-side
+    // `tail` truncates the head of the per-query map, so round-over-round
+    // deltas lost a third of the queries. The full detail is additionally
+    // written to docs/BENCH_DETAIL_r0N.json, N inferred as latest
+    // BENCH_r*.json + 1 (the round whose driver bench has not run yet);
+    // the driver's own run is the last writer, so the committed snapshot
+    // is the canonical gate run.
+    try {
+      val latest = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      val p = java.nio.file.Paths.get("docs", f"BENCH_DETAIL_r${latest + 1}%02d.json")
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] round snapshot write failed: $e") }
     spark.stop()
   }
 }

@@ -668,14 +668,19 @@ object Quality {
       .groupBy("bucket").agg(sum(col("cnt")).as("ct"))
     val tot = raw.agg(sum(col("cr")).as("rtot"))
       .crossJoin(tgt.agg(coalesce(sum(col("ct")), lit(0L)).as("ttot")))
-    // ONE ln per bucket over exactly-represented BIGINT products (both
-    // < 2^53 far beyond test scale; at true 100 TB drop DsirBuckets'
-    // smoothing into the micro domain before multiplying), then floor to
-    // integer micro-nats: per-doc sums are exact-integer from here on.
+    // ONE ln per bucket. Each FACTOR is cast to double BEFORE the
+    // multiply so the product can never overflow int64 (rtot^2 > 2^63
+    // at ~3e9 corpus bigrams — well inside 100 TB). At any scale where
+    // both factors are < 2^53 (all test SFs) the double product is
+    // correctly rounded and bit-identical to the int64-product form;
+    // beyond that, double rounding is ~1e-16 relative — ln is taken
+    // immediately, so it is invisible at the 1e-6 micro-nat floor.
+    // Then floor to integer micro-nats: per-doc sums are exact-integer
+    // from here on.
     def lnMicro(ct: Column, cr: Column): Column =
       floor(log(
-        ((ct + 1) * (col("rtot") + DsirBuckets)).cast("double") /
-        ((cr + 1) * (col("ttot") + DsirBuckets)).cast("double")) * 1e6)
+        ((ct + 1).cast("double") * (col("rtot") + DsirBuckets).cast("double")) /
+        ((cr + 1).cast("double") * (col("ttot") + DsirBuckets).cast("double"))) * 1e6)
         .cast("long")
     raw.join(tgt, Seq("bucket"), "left").crossJoin(tot)
       .select(col("bucket"), lnMicro(coalesce(col("ct"), lit(0L)), col("cr")).as("cost_micro"))
@@ -779,8 +784,8 @@ object Quality {
        |costs AS (
        | SELECT r.bucket,
        |  cast(floor(ln(
-       |    cast((coalesce(t.ct, 0) + 1) * (tot.rtot + $DsirBuckets) AS double) /
-       |    cast((r.cr + 1) * (tot.ttot + $DsirBuckets) AS double)) * 1e6) AS bigint) AS cost_micro
+       |    (cast(coalesce(t.ct, 0) + 1 AS double) * cast(tot.rtot + $DsirBuckets AS double)) /
+       |    (cast(r.cr + 1 AS double) * cast(tot.ttot + $DsirBuckets AS double))) * 1e6) AS bigint) AS cost_micro
        | FROM rawd r LEFT JOIN tgt t USING (bucket) CROSS JOIN tot)
        |SELECT f.doc_id,
        | cast(sum(f.cnt) AS bigint) AS n_bigrams,

@@ -17,9 +17,13 @@ import graft.operators.Quality
   * one codegen'd projection — featurize row-locally
   * (Quality.dsirBucketArray) and fold the map lookups with
   * `aggregate(...)`. No keyed state, no watermark, no aggregation mode
-  * constraints: every micro-batch emits its scores in append mode, and
-  * the model can be swapped between batches by re-reading the artifact
-  * (each batch sees the current snapshot — the dedupAgainstStore rule).
+  * constraints: every micro-batch emits its scores in append mode.
+  * Model updates require a query RESTART (rebuild the static DataFrame
+  * against the new artifact path): the static side's file listing is
+  * cached at DataFrame creation, so overwriting the same path under a
+  * running query is not a clean snapshot swap — it can surface
+  * FileNotFoundException or stale data mid-batch. Write each retrained
+  * model to a fresh path and restart the scorer against it.
   *
   * At 100 TB/day of arriving crawl this is the selection front-door:
   * the scorer's cost is one map pass over the batch, and because the

@@ -16,7 +16,10 @@ import java.nio.file.{Files, Paths}
   * struck-through `~~history~~` rows — passes through untouched (an
   * earlier whole-table rewrite silently dropped the calibration row
   * and the history section; BenchSpec now pins both). New rows are
-  * inserted after the last active row, keeping the table sorted. */
+  * APPENDED after the last active row as a block (sorted among
+  * themselves, not merge-sorted into the existing rows — the table
+  * reads in rough arrival order, by design: the tail is what changed
+  * recently). */
 object UpdateBaseline {
   def main(args: Array[String]): Unit = {
     val detailPath = args.headOption.getOrElse("BENCH_DETAIL.json")
@@ -42,16 +45,19 @@ object UpdateBaseline {
       case _ => None
     }
     val existing = lines.flatMap(active(_)).toMap
-    var lowered = 0
+    // distinct keys, not matching lines: a (malformed) duplicated query
+    // row must not double-count in the summary
+    val loweredKeys = scala.collection.mutable.Set[String]()
     // in-place ratchet of existing active rows; everything else unchanged
     val updated = lines.map { l =>
       active(l) match {
         case Some((k, v)) if measured.get(k).exists(_ < v) =>
-          lowered += 1
+          loweredKeys += k
           f"| $k | ${measured(k)}%.4f |"
         case _ => l
       }
     }
+    val lowered = loweredKeys.size
     // brand-new queries: insert after the last active row, sorted
     val fresh = (measured.keySet -- existing.keySet).toSeq.sorted
       .map(k => f"| $k | ${measured(k)}%.4f |")
