@@ -63,6 +63,7 @@ object SparkEntry {
     "s8_pq_adc"         -> ((s, d) => Similarity.s8PqAdc(s, d)),
     "s9_pq_trained"     -> ((s, d) => Similarity.s9PqTrained(s, d)),
     "s10_ivf_adc"       -> ((s, d) => Similarity.s10IvfAdc(s, d)),
+    "s11_sq8_topk"      -> (Similarity.s11Sq8TopK _),
     "v1_upsert"         -> (Similarity.v1Upsert _),
     "v2_delete_namespace" -> (Similarity.v2DeleteNamespace _),
     "v3_index_stats"    -> (Similarity.v3IndexStats _),
@@ -90,6 +91,9 @@ object SparkEntry {
     "t20_ccnet_buckets" -> (Quality.t20CcnetBuckets _),
     "t21_bpe_count"     -> (TextAnalysis.t21BpeCount _),
     "t22_bpe_cost"      -> (TextAnalysis.t22BpeCost _),
+    "t23_bpe_train"     -> (TextAnalysis.t23BpeTrain _),
+    "t24_temperature_mix" -> (Corpus.t24TemperatureMix _),
+    "t25_domain_screen" -> (Quality.t25DomainScreen _),
     "d1_exact_dedup"    -> (Dedup.d1ExactDedup _),
     "d2_ngram_jaccard"  -> (Dedup.d2NgramJaccardCollapsed _),
     "d3_minhash_lsh"    -> (Dedup.d3MinHashLsh _),
@@ -259,6 +263,7 @@ object SparkEntry {
     "s8_pq_adc"           -> Similarity.s8Sql,
     "s9_pq_trained"       -> Similarity.s9Sql,
     "s10_ivf_adc"         -> Similarity.s10Sql,
+    "s11_sq8_topk"        -> Similarity.s11Sql,
     "v1_upsert"           -> Similarity.v1Sql,
     "v2_delete_namespace" -> Similarity.v2Sql,
     "v5_delete_by_ids"  -> Similarity.v5Sql,
@@ -285,6 +290,9 @@ object SparkEntry {
     "t20_ccnet_buckets" -> Quality.t20Sql,
     "t21_bpe_count"     -> TextAnalysis.t21Sql,
     "t22_bpe_cost"      -> TextAnalysis.t22Sql,
+    "t23_bpe_train"     -> TextAnalysis.t23Sql,
+    "t24_temperature_mix" -> Corpus.t24Sql,
+    "t25_domain_screen" -> Quality.t25Sql,
     "d1_exact_dedup"    -> Dedup.d1Sql,
     "d2_ngram_jaccard"  -> Dedup.d2Sql,
     "d3_minhash_lsh"    -> Dedup.d3Sql,

@@ -243,6 +243,60 @@ object Corpus {
        | cast(sum(copies) * 1000000 // count(*) AS bigint) AS achieved_ppm
        |FROM c GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ---- t24: temperature-scaled language sampling ----
+
+  /** t24: TEMPERATURE-SCALED language sampling weights — the multilingual
+    * mixture rule of mBERT/XLM-R/mT5 (Conneau et al. arXiv:1911.02116
+    * §3.1; Xue et al. arXiv:2010.11934 §3.2): sample language l with
+    * probability ∝ p_l^(1/T), flattening the head so low-resource
+    * languages are seen more than their natural share. T = 2, i.e. the
+    * exponent is 1/2 — deliberately, because IEEE-754 `sqrt` is
+    * EXACTLY rounded (unlike `pow`, whose last-ulp varies by libm), so
+    * Spark and DuckDB compute bit-identical weights and the row hashes
+    * compare exactly. Each language's scaled mass is floored to integer
+    * MICRO units before summing, so the normalizing total is an integer
+    * sum (no float-accumulation-order hazard), and both shares come out
+    * as exact integer ppm.
+    *
+    * Scale shape: one map stage (token count) → one group-count-bound
+    * agg (≤ #languages rows) → a one-row broadcast total joined back;
+    * nothing after the scan exceeds language cardinality. The ppm
+    * products stay in int64 — past ~9e12 total tokens move them to
+    * decimal(38,0), shapes unchanged (same note as t14). */
+  def t24TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .select(col("lang"), tokenCount(col("text")).as("tok"))
+    val langs = base.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      .withColumn("s_micro",
+        expr("cast(floor(sqrt(cast(n_tokens as double)) * 1e6) as bigint)"))
+    val tot = langs.agg(sum("s_micro").as("s_tot"), sum("n_tokens").as("tok_tot"))
+    langs.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L DIV tok_tot").as("natural_ppm"),
+        expr("s_micro * 1000000L DIV s_tot").as("sampled_ppm"))
+      .orderBy("lang")
+  }
+
+  val t24Sql: String =
+    s"""WITH base AS (
+       | SELECT lang,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok
+       | FROM documents),
+       |l AS (
+       | SELECT lang, count(*) AS n_docs, cast(sum(tok) AS bigint) AS n_tokens
+       | FROM base GROUP BY lang),
+       |sc AS (
+       | SELECT lang, n_docs, n_tokens,
+       |  cast(floor(sqrt(cast(n_tokens AS double)) * 1e6) AS bigint) AS s_micro
+       | FROM l),
+       |tot AS (SELECT cast(sum(s_micro) AS bigint) AS s_tot,
+       |  cast(sum(n_tokens) AS bigint) AS tok_tot FROM sc)
+       |SELECT lang, n_docs, n_tokens,
+       | cast(n_tokens * 1000000 // tok_tot AS bigint) AS natural_ppm,
+       | cast(s_micro * 1000000 // s_tot AS bigint) AS sampled_ppm
+       |FROM sc CROSS JOIN tot ORDER BY lang""".stripMargin
+
   // ---- p1: composed pipeline — screen → dedup → per-domain budget ----
 
   /** p1: the COMPOSED pretraining-data pipeline in one query — the

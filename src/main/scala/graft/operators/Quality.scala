@@ -793,4 +793,76 @@ object Quality {
        | cast(floor(cast(sum(f.cnt * c.cost_micro) AS double) / sum(f.cnt)) AS bigint) AS mean_micro
        |FROM feats f JOIN costs c USING (bucket)
        |GROUP BY f.doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- t25: domain blocklist + bad-word screen ----
+
+  /** Blocked source domains (the C4/RefinedWeb URL-blocklist analogue —
+    * the corpus carries `source` as its domain column). */
+  val BlockedSources: Seq[String] = Seq("src3", "src13")
+
+  /** Screened-out vocabulary; a production list is the same broadcast
+    * shape three orders of magnitude longer. */
+  val BadWords: Seq[String] = Seq("slow", "dup")
+
+  /** Minimum word count and bad-word ratio cutoff (ppm-exact: a doc is
+    * dropped when bad_words/words ≥ 10%, checked as the integer
+    * comparison bad*10 ≥ words — no float ratio anywhere). */
+  val ScreenMinTok = 10L
+
+  /** t25: the DOMAIN + CONTENT SCREEN every crawl pipeline runs before
+    * anything expensive (C4, Raffel et al. arXiv:1910.10683 §2.2 —
+    * blocklist-URL and bad-word filters; RefinedWeb, Penedo et al.
+    * arXiv:2306.01116 §3.1 URL filtering): classify every document into
+    * its FIRST failing rule — blocked source domain, too short, or
+    * bad-word ratio ≥ 10% — or 'kept', and report per (source, reason)
+    * counts with an order-independent doc_id checksum as the audit
+    * artifact. Precedence matters (a short doc on a blocked domain
+    * counts against the domain, the cheapest-to-evaluate rule), so the
+    * verdict is a single CASE, not independent flags — this is the
+    * rule-attribution table a data team reads to see WHY mass
+    * disappeared.
+    *
+    * Scale shape: blocklist and bad-word vocabulary ride literal
+    * predicates (a production-sized list broadcasts; same plan), the
+    * screen is MAP-ONLY on the scan, and the report is one
+    * group-count-bound agg (≤ sources × 4 rows). The ratio gate is
+    * exact integer arithmetic, so the DuckDB twin agrees bit-for-bit. */
+  def t25DomainScreen(s: SparkSession, dir: String): DataFrame = {
+    val badHits = BadWords.map(w =>
+      regexp_count(lower(col("text")), lit(s"\\b$w\\b")).cast("long"))
+      .reduce(_ + _)
+    Tables.documents(s, dir).select("doc_id", "source", "text")
+      .withColumn("tok", size(words(col("text"))).cast("long"))
+      .withColumn("bad", badHits)
+      .withColumn("reason",
+        when(col("source").isin(BlockedSources: _*), "blocked_source")
+          .when(col("tok") < ScreenMinTok, "too_short")
+          .when(col("bad") * 10L >= col("tok"), "badword")
+          .otherwise("kept"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+      .orderBy("source", "reason")
+  }
+
+  val t25Sql: String = {
+    val badHits = BadWords.map(w =>
+      s"cast(len(regexp_extract_all(lower(text), '\\b$w\\b')) AS bigint)")
+      .mkString(" + ")
+    val blocked = BlockedSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH m AS (
+       | SELECT doc_id, source,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok,
+       |  $badHits AS bad
+       | FROM documents),
+       |v AS (
+       | SELECT doc_id, source,
+       |  CASE WHEN source IN ($blocked) THEN 'blocked_source'
+       |       WHEN tok < $ScreenMinTok THEN 'too_short'
+       |       WHEN bad * 10 >= tok THEN 'badword'
+       |       ELSE 'kept' END AS reason
+       | FROM m)
+       |SELECT source, reason, count(*) AS n_docs,
+       | cast(sum(doc_id) AS bigint) AS id_checksum
+       |FROM v GROUP BY source, reason ORDER BY source, reason""".stripMargin
+  }
 }

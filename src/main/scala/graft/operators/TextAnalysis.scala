@@ -322,4 +322,113 @@ object TextAnalysis {
        |                               ('de',0.60)) AS p(plang, price)
        |  ON lang = plang
        |ORDER BY lang""".stripMargin
+
+  // ---- t23: distributed BPE merge TRAINING ----
+
+  /** Merge rounds learned by t23. Kept small enough that every round is
+    * guaranteed a non-empty argmax on every SF (the corpus vocabulary
+    * always has ≥ 8 mergeable pairs), and so the unrolled DuckDB twin
+    * stays a readable fixed-depth chain. */
+  val BpeTrainRounds = 8
+
+  /** t23: BPE merge-table TRAINING, distributed (Sennrich et al.
+    * arXiv:1508.07909 `learn_bpe` — where t21 APPLIES a merge table,
+    * this LEARNS one): each round counts all adjacent symbol pairs over
+    * the corpus weighted by word frequency, takes the most frequent
+    * pair (ties: lexicographically smallest, both engines agree on
+    * ASCII), merges its left-to-right non-overlapping occurrences, and
+    * repeats. Output: the learned table (rank, left_sym, right_sym,
+    * pair_count) — the artifact t21's counting consumes. Pair positions
+    * count overlapping occurrences (('a','a') in "aaa" counts twice),
+    * matching the published get_stats.
+    *
+    * Scale shape — why this trains on 100 TB: the ONLY corpus-sized
+    * pass is the first word-count aggregate; everything after runs on
+    * the DISTINCT-word frame, which is Zipf-bounded (≤ a few million
+    * rows for any natural-language corpus, independent of corpus
+    * size — frequencies grow, the frame does not). Each round is then
+    * one tiny pair-count shuffle + a TakeOrderedAndProject argmax
+    * (never a driver collect; the winning pair rejoins as a one-row
+    * broadcast), and the frame is localCheckpoint'd per round so the
+    * 8-round loop keeps a flat plan (the s9/d7 iteration discipline).
+    * The merge application is a fold (`aggregate`) over the symbol
+    * array — sentinel-seeded so the left-to-right non-overlap rule
+    * needs no lookahead: a pair just merged cannot chain because the
+    * accumulator tail holds the MERGED symbol, which only re-matches
+    * when it legitimately equals the left side again. */
+  def t23BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    var vocab = Tables.documents(s, dir)
+      .select(explode(words(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("syms"),
+        col("n"))
+      .localCheckpoint()
+    var learned: List[DataFrame] = Nil
+    for (r <- 1 to BpeTrainRounds) {
+      val best = vocab.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms)-2), i -> named_struct('a', syms[i], 'b', syms[i+1]))"
+        )).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("pair_count"))
+        .orderBy(desc("pair_count"), asc("a"), asc("b")).limit(1)
+        .localCheckpoint()
+      learned = best.select(lit(r).as("rank"), col("a").as("left_sym"),
+        col("b").as("right_sym"), col("pair_count")) :: learned
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a").as("ma"), col("b").as("mb"))))
+        .select(expr(
+          """filter(
+            |  aggregate(syms, array(''),
+            |    (acc, x) -> CASE WHEN element_at(acc, -1) = ma AND x = mb
+            |                THEN concat(slice(acc, 1, size(acc)-1), array(concat(ma, mb)))
+            |                ELSE concat(acc, array(x)) END),
+            |  x -> x <> '')""".stripMargin).as("syms"),
+          col("n"))
+        .localCheckpoint()
+    }
+    learned.reverse.reduce(_ unionByName _).orderBy("rank")
+  }
+
+  /** The DuckDB twin: the same 8 rounds UNROLLED (training is
+    * inherently iterative; a fixed K unrolls into a fixed-depth CTE
+    * chain). Segmentations are t21's char-delimited strings; each
+    * round's merge application is a per-round recursive CTE that
+    * applies `replace` to fixpoint (two occurrences sharing a delimiter
+    * need a second pass — the same string-encoding artifact bpeEncCte
+    * documents). Every CTE is MATERIALIZED: seg/b feed 3 consumers
+    * each, and without the hint DuckDB inlines them, re-evaluating the
+    * whole prefix chain per consumer — exponential in rounds. */
+  lazy val t23Sql: String = {
+    val pat = "'|'||m.a||'|'||m.b||'|'"
+    val rep = "'|'||m.a||m.b||'|'"
+    val rounds = (1 to BpeTrainRounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         | SELECT pr.a AS a, pr.b AS b, cast(sum(n) AS bigint) AS pair_count FROM (
+         |  SELECT n, unnest([{'a': l[i], 'b': l[i+1]} for i in range(1, len(l))]) AS pr
+         |  FROM (SELECT n, string_split(trim(s, '|'), '|') AS l FROM seg${r - 1})
+         | ) GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (
+         | SELECT a, b, pair_count FROM p$r ORDER BY pair_count DESC, a, b LIMIT 1),
+         |segr$r(n, s) AS (
+         | SELECT n, s FROM seg${r - 1}
+         | UNION ALL
+         | SELECT n, replace(s, $pat, $rep) FROM segr$r, b$r m
+         | WHERE replace(s, $pat, $rep) <> s),
+         |seg$r AS MATERIALIZED (
+         | SELECT n, s FROM segr$r, b$r m
+         | WHERE replace(s, $pat, $rep) = s)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeTrainRounds)
+      .map(r => s"SELECT $r AS rank, a AS left_sym, b AS right_sym, pair_count FROM b$r")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE seg0 AS MATERIALIZED (
+       | SELECT '|' || array_to_string(string_split(w, ''), '|') || '|' AS s,
+       |        cast(count(*) AS bigint) AS n
+       | FROM (SELECT unnest(regexp_extract_all(lower(text), '$WordRe')) AS w
+       |       FROM documents)
+       | GROUP BY 1),
+       |$rounds
+       |SELECT * FROM ($out) ORDER BY rank""".stripMargin
+  }
 }
