@@ -118,6 +118,7 @@ object SparkEntry {
     "d20_dup_passages"  -> (Dedup.d20DupPassages _),
     "p1_pipeline_budget" -> (Corpus.p1PipelineBudget _),
     "p2_dataset_card"   -> (Corpus.p2DatasetCard _),
+    "p3_pretraining_cut" -> (Corpus.p3PretrainingCut _),
     "e1_sessionize"     -> (Events.e1Sessionize _),
     "e2_tumbling_window"-> (Events.e2TumblingWindow _),
     "e3_funnel"         -> (Events.e3Funnel _),
@@ -313,6 +314,7 @@ object SparkEntry {
     "d20_dup_passages"  -> Dedup.d20Sql,
     "p1_pipeline_budget" -> Corpus.p1Sql,
     "p2_dataset_card"   -> Corpus.p2Sql,
+    "p3_pretraining_cut" -> Corpus.p3Sql,
     "e1_sessionize"     -> Events.e1Sql,
     "e2_tumbling_window"-> Events.e2Sql,
     "e3_funnel"         -> Events.e3Sql,

@@ -435,4 +435,135 @@ object Corpus {
        |  cast(1000000 AS bigint), cast(1000000 AS bigint)
        |FROM tot
        |ORDER BY dim, key""".stripMargin
+
+  // ---- p3: full pretraining cut — screen → dedup → decontam → mixture ----
+
+  /** p3: the FULL PRETRAINING CUT as one composed plan — the four-stage
+    * recipe every published pretraining set describes (C4 §2.2 screens,
+    * FineWeb/Dolma dedup + decontamination, XLM-R/mT5 temperature
+    * mixing), with the per-LANGUAGE mass ledger a data team signs off
+    * on: raw → screened (t25's blocklist/length/bad-word rules) →
+    * deduped (d1's exact-fp collapse, min-doc_id survivor) →
+    * decontaminated (drop survivors sharing any word 8-gram with the
+    * benchmark set — t10's screen, here as the removal it exists to
+    * drive) → t24's T=2 temperature weights over what SURVIVES. p1
+    * proves screen+dedup compose per domain; p3 is the language-level
+    * end-to-end: every stage's count visible, and the final sampling
+    * ppm computed on post-cut token mass (weights computed on raw mass
+    * — the common pipeline bug — would mis-sample any language that
+    * loses disproportionate mass to dedup/decontam).
+    *
+    * Plan: TWO corpus scans total — one agg computes raw and screened
+    * ledger columns together (conditional count, map-combined); the
+    * screened frame then collapses through the ONE fp shuffle carrying
+    * (doc_id, lang, tok, text) in the min-struct, so every later stage
+    * runs on the collapsed survivor frame: 8-gram fingerprints explode
+    * survivor-side only, die map-side against the broadcast benchmark
+    * gram set (t10's hash-probe shape), and the contaminated-id sliver
+    * anti-joins back as a broadcast. Ledger joins are |langs|-bound.
+    * Engine matches grams as 64-bit rolling hashes, oracle in string
+    * space (the documented d17/t10 fingerprint trade). */
+  def p3PretrainingCut(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Quality => Q}
+    val flagged = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"),
+        tokenCount(col("text")).as("tok"),
+        Q.BadWords.map(w => regexp_count(lower(col("text")), lit(s"\\b$w\\b")).cast("long"))
+          .reduce(_ + _).as("bad"))
+      .withColumn("kept",
+        !col("source").isin(Q.BlockedSources: _*) &&
+          col("tok") >= Q.ScreenMinTok && col("bad") * 10L < col("tok"))
+    val ledger12 = flagged.groupBy("lang")
+      .agg(count(lit(1)).as("raw_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("screened_docs"))
+    val survivors = flagged.filter(col("kept"))
+      .groupBy(md5(col("text").cast("binary")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("tok"), col("text"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+        col("k.tok").as("tok"), col("k.text").as("text"))
+    val benchGrams = Tables.documents(s, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(expr(s"concat_ws(' ', slice(regexp_extract_all(lower(text), '$WordRe', 0), 1, 15))").as("t"))
+      .unionByName(s.range(1).select(lit(Q.CanaryText).as("t")))
+      .select(explode(graft.functions.TokenWindows.hashes(col("t"), 8)).as("gh"))
+      .distinct()
+    val contaminated = survivors
+      .select(col("doc_id"), explode(graft.functions.TokenWindows.hashes(
+        expr(s"concat_ws(' ', regexp_extract_all(lower(text), '$WordRe', 0))"), 8)).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"))
+      .select("doc_id").distinct()
+    val clean = survivors.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+    val ledger3 = survivors.groupBy("lang").agg(count(lit(1)).as("deduped_docs"))
+    val ledger45 = clean.groupBy("lang")
+      .agg(count(lit(1)).as("clean_docs"), sum("tok").as("clean_tokens"))
+      .withColumn("s_micro",
+        expr("cast(floor(sqrt(cast(clean_tokens as double)) * 1e6) as bigint)"))
+    val tot = ledger45.agg(sum("s_micro").as("s_tot"))
+    ledger12
+      .join(ledger3, Seq("lang"), "left")
+      .join(ledger45, Seq("lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("raw_docs"), col("screened_docs"),
+        coalesce(col("deduped_docs"), lit(0L)).as("deduped_docs"),
+        coalesce(col("clean_docs"), lit(0L)).as("clean_docs"),
+        coalesce(col("clean_tokens"), lit(0L)).as("clean_tokens"),
+        expr("coalesce(s_micro, 0L) * 1000000L DIV s_tot").as("sampled_ppm"))
+      .orderBy("lang")
+  }
+
+  val p3Sql: String = {
+    val badHits = graft.operators.Quality.BadWords.map(w =>
+      s"cast(len(regexp_extract_all(lower(text), '\\b$w\\b')) AS bigint)")
+      .mkString(" + ")
+    val blocked = graft.operators.Quality.BlockedSources.map(x => s"'$x'").mkString(", ")
+    s"""WITH flagged AS (
+       | SELECT doc_id, lang, source, text,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS tok,
+       |  $badHits AS bad
+       | FROM documents),
+       |f2 AS (
+       | SELECT *, (source NOT IN ($blocked) AND tok >= ${graft.operators.Quality.ScreenMinTok}
+       |            AND bad * 10 < tok) AS kept
+       | FROM flagged),
+       |l12 AS (
+       | SELECT lang, count(*) AS raw_docs,
+       |  cast(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS bigint) AS screened_docs
+       | FROM f2 GROUP BY lang),
+       |surv AS (
+       | SELECT min_by(doc_id, doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+       |  min_by(tok, doc_id) AS tok, min_by(text, doc_id) AS text
+       | FROM f2 WHERE kept GROUP BY md5(text)),
+       |bencht AS (
+       | SELECT array_to_string((regexp_extract_all(lower(text), '$WordRe'))[1:15], ' ') AS t
+       | FROM documents WHERE doc_id % 50 = 0
+       | UNION ALL SELECT '${graft.operators.Quality.CanaryText}'),
+       |benchg AS (
+       | SELECT DISTINCT ng FROM (
+       |  SELECT unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS ng
+       |  FROM (SELECT regexp_extract_all(lower(t), '$WordRe') AS w FROM bencht)
+       |  WHERE len(w) >= 8)),
+       |contam AS (
+       | SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_id,
+       |   unnest(list_transform(range(1, len(w) - 6), i -> array_to_string(w[i:i+7], ' '))) AS ng
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS w FROM surv)
+       |  WHERE len(w) >= 8) JOIN benchg USING (ng)),
+       |l3 AS (SELECT lang, count(*) AS deduped_docs FROM surv GROUP BY lang),
+       |clean AS (SELECT * FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+       |l45 AS (
+       | SELECT lang, count(*) AS clean_docs, cast(sum(tok) AS bigint) AS clean_tokens,
+       |  cast(floor(sqrt(cast(sum(tok) AS double)) * 1e6) AS bigint) AS s_micro
+       | FROM clean GROUP BY lang),
+       |tot AS (SELECT cast(sum(s_micro) AS bigint) AS s_tot FROM l45)
+       |SELECT l12.lang, raw_docs, screened_docs,
+       | cast(coalesce(deduped_docs, 0) AS bigint) AS deduped_docs,
+       | cast(coalesce(clean_docs, 0) AS bigint) AS clean_docs,
+       | cast(coalesce(clean_tokens, 0) AS bigint) AS clean_tokens,
+       | cast(coalesce(s_micro, 0) * 1000000 // s_tot AS bigint) AS sampled_ppm
+       |FROM l12
+       |LEFT JOIN l3 ON l12.lang = l3.lang
+       |LEFT JOIN l45 ON l12.lang = l45.lang
+       |CROSS JOIN tot
+       |ORDER BY l12.lang""".stripMargin
+  }
 }

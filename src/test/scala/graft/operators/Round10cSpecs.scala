@@ -140,6 +140,57 @@ class TemperatureMixSpec extends SparkSpec {
   }
 }
 
+/** p3: composed pretraining cut (screen → dedup → decontam → mixture). */
+class PretrainingCutSpec extends SparkSpec {
+
+  test("per-lang ledger is monotone and the sampling ppm normalizes") {
+    val rows = Corpus.p3PretrainingCut(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, raw, scr, ded, cln, _, _) =>
+      assert(raw >= scr && scr >= ded && ded >= cln, s"$lang ledger not monotone")
+    }
+    val ppm = rows.map(_._7).sum
+    assert(ppm > 1000000L - rows.length && ppm <= 1000000L)
+    // the decontam stage must actually remove mass: every 50th doc
+    // contains its own leading 15 words, so survivors among them drop
+    assert(rows.map(_._4).sum > rows.map(_._5).sum, "decontam removed nothing")
+  }
+
+  test("stage counts match independent recomputations of each rule") {
+    import graft.operators.{Quality => Q}
+    val re = "[a-z0-9]+".r
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def toks(t: String) = re.findAllIn(t.toLowerCase).toVector
+    def kept(src: String, t: String): Boolean = {
+      val ws = toks(t)
+      val bad = ws.count(Q.BadWords.contains)
+      !Q.BlockedSources.contains(src) && ws.size >= Q.ScreenMinTok && bad * 10L < ws.size
+    }
+    val screened = docs.filter { case (_, _, src, t) => kept(src, t) }
+    // exact-dup collapse: min doc_id per text
+    val surv = screened.groupBy(_._4).map { case (_, g) => g.minBy(_._1) }.toSeq
+    // decontam: any shared word 8-gram with the bench set
+    val bench = docs.filter(_._1 % 50 == 0).map(d => toks(d._4).take(15).mkString(" ")) :+
+      Q.CanaryText
+    val benchGrams = bench.flatMap(t => toks(t).sliding(8).filter(_.size == 8).map(_.mkString(" "))).toSet
+    val clean = surv.filterNot(d =>
+      toks(d._4).sliding(8).filter(_.size == 8).exists(g => benchGrams(g.mkString(" "))))
+    val got = Corpus.p3PretrainingCut(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    docs.groupBy(_._2).foreach { case (lang, g) =>
+      val exp = (g.length.toLong,
+        g.count(d => kept(d._3, d._4)).toLong,
+        surv.count(_._2 == lang).toLong,
+        clean.count(_._2 == lang).toLong)
+      assert(got(lang) == exp, s"$lang: got ${got(lang)} expected $exp")
+    }
+  }
+}
+
 /** t25: domain blocklist + bad-word screen. */
 class DomainScreenSpec extends SparkSpec {
 
