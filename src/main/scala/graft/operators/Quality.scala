@@ -809,6 +809,21 @@ object Quality {
     * comparison bad*10 ≥ words — no float ratio anywhere). */
   val ScreenMinTok = 10L
 
+  /** Per-document first-failing-rule verdict — ONE definition shared by
+    * t25 (batch rollup), p3's keep gate, and
+    * [[graft.streaming.StreamingScreen]] (the at-ingest deployment
+    * shape): blocked domain beats too-short beats bad-word ratio, else
+    * 'kept'. Pure row-local column — safe in any micro-batch. */
+  def screenReason(source: Column, text: Column): Column = {
+    val tok = size(words(text)).cast("long")
+    val bad = BadWords.map(w =>
+      regexp_count(lower(text), lit(s"\\b$w\\b")).cast("long")).reduce(_ + _)
+    when(source.isin(BlockedSources: _*), "blocked_source")
+      .when(tok < ScreenMinTok, "too_short")
+      .when(bad * 10L >= tok, "badword")
+      .otherwise("kept")
+  }
+
   /** t25: the DOMAIN + CONTENT SCREEN every crawl pipeline runs before
     * anything expensive (C4, Raffel et al. arXiv:1910.10683 §2.2 —
     * blocklist-URL and bad-word filters; RefinedWeb, Penedo et al.
@@ -827,22 +842,12 @@ object Quality {
     * screen is MAP-ONLY on the scan, and the report is one
     * group-count-bound agg (≤ sources × 4 rows). The ratio gate is
     * exact integer arithmetic, so the DuckDB twin agrees bit-for-bit. */
-  def t25DomainScreen(s: SparkSession, dir: String): DataFrame = {
-    val badHits = BadWords.map(w =>
-      regexp_count(lower(col("text")), lit(s"\\b$w\\b")).cast("long"))
-      .reduce(_ + _)
+  def t25DomainScreen(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "source", "text")
-      .withColumn("tok", size(words(col("text"))).cast("long"))
-      .withColumn("bad", badHits)
-      .withColumn("reason",
-        when(col("source").isin(BlockedSources: _*), "blocked_source")
-          .when(col("tok") < ScreenMinTok, "too_short")
-          .when(col("bad") * 10L >= col("tok"), "badword")
-          .otherwise("kept"))
+      .withColumn("reason", screenReason(col("source"), col("text")))
       .groupBy("source", "reason")
       .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
       .orderBy("source", "reason")
-  }
 
   val t25Sql: String = {
     val badHits = BadWords.map(w =>
