@@ -135,6 +135,7 @@ object SparkEntry {
     "m3_semantic_dedup" -> ((s, dir) => Multimodal.m3SemanticDedup(s, dir)),
     "a1_hll_bounds"     -> ((s, dir) => Approx.a1HllBounds(s, dir)),
     "a2_quantile_bounds" -> ((s, dir) => Approx.a2QuantileBounds(s, dir)),
+    "a3_cms_heavy_hitters" -> (Approx.a3CmsHeavyHitters _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -331,5 +332,6 @@ object SparkEntry {
     "m3_semantic_dedup" -> Multimodal.m3Sql,
     "a1_hll_bounds"     -> Approx.a1Sql,
     "a2_quantile_bounds" -> Approx.a2Sql,
+    "a3_cms_heavy_hitters" -> Approx.a3Sql,
   )
 }

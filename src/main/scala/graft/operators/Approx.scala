@@ -95,4 +95,76 @@ object Approx {
   val a2Sql: String =
     """SELECT event_type, count(*) AS n, cast(1 AS int) AS within_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** CMS counter grid: depth × width. Width 1024 at depth 3 bounds the
+    * expected per-cell collision mass at N/1024 with the min over 3
+    * independent rows — the standard Cormode-Muthukrishnan trade. */
+  val CmsDepth = 3
+  val CmsWidth = 1024L
+
+  private def cmsBuckets(w: org.apache.spark.sql.Column) =
+    posexplode(array((0 until CmsDepth).map(d =>
+      graft.functions.Md5PrefixModF(concat(lit(s"cms$d|"), w), CmsWidth)): _*))
+
+  /** a3: COUNT-MIN heavy hitters, fully driver-gated because this CMS
+    * is DETERMINISTIC in both engines (Cormode & Muthukrishnan 2005 —
+    * the sketch behind every streaming heavy-hitter service): the d×w
+    * counter grid uses the same md5-prefix hashes as the dedup family,
+    * so DuckDB rebuilds the EXACT integer estimates rather than pinning
+    * a bounds verdict (stronger than a1/a2's construction, available
+    * here because CMS is pure integer arithmetic over explicit hashes —
+    * no engine-private sketch encoding involved). Output: the top-10
+    * exact heavy hitters with their CMS estimate and the overcount
+    * (est − exact ≥ 0 always, BY CONSTRUCTION the one-sided CMS error —
+    * spec-asserted; it is exactly the collision mass in the word's
+    * lightest counter row).
+    *
+    * Scale shape: counter updates ride ONE map-combined aggregate whose
+    * output is ≤ d·w rows per partition REGARDLESS of vocabulary size —
+    * the fixed-memory alternative to t11's vocab-bound exact shuffle
+    * (at 100 TB web scale the vocab is billions of keys; the CMS grid
+    * stays 3×1024). The exact top-10 here is the audit's ground truth
+    * (vocab-bound, same cost class as t11); a pure-sketch deployment
+    * keeps only the grid + a candidate heap. The estimate join probes
+    * the 3072-row grid broadcast with the 10-row exploded sliver. */
+  def a3CmsHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val grid = toks.select(cmsBuckets(col("w")).as(Seq("d", "b")))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("w").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), asc("w")).limit(10)
+    top.select(col("w"), col("exact_cnt"), cmsBuckets(col("w")).as(Seq("d", "b")))
+      .join(broadcast(grid), Seq("d", "b"))
+      .groupBy("w", "exact_cnt").agg(min("c").as("est_cnt"))
+      .select(col("w"), col("exact_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("exact_cnt")).as("overcount"))
+      .orderBy(desc("exact_cnt"), asc("w"))
+  }
+
+  val a3Sql: String = {
+    val depths = (0 until CmsDepth).map(d => s"($d)").mkString(",")
+    s"""WITH toks AS (
+       | SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       | FROM documents),
+       |grid AS (
+       | SELECT d, b, count(*) AS c FROM (
+       |  SELECT u.d AS d,
+       |   ('0x' || substr(md5('cms' || u.d || '|' || w), 1, 15))::bigint % $CmsWidth AS b
+       |  FROM toks, (VALUES $depths) u(d))
+       | GROUP BY d, b),
+       |top AS (
+       | SELECT w, count(*) AS exact_cnt FROM toks GROUP BY w
+       | ORDER BY exact_cnt DESC, w LIMIT 10),
+       |est AS (
+       | SELECT t.w, t.exact_cnt, min(g.c) AS est_cnt
+       | FROM (SELECT w, exact_cnt, u.d AS d,
+       |        ('0x' || substr(md5('cms' || u.d || '|' || w), 1, 15))::bigint % $CmsWidth AS b
+       |       FROM top, (VALUES $depths) u(d)) t
+       | JOIN grid g ON g.d = t.d AND g.b = t.b
+       | GROUP BY t.w, t.exact_cnt)
+       |SELECT w, exact_cnt, cast(est_cnt AS bigint) AS est_cnt,
+       | cast(est_cnt - exact_cnt AS bigint) AS overcount
+       |FROM est ORDER BY exact_cnt DESC, w""".stripMargin
+  }
 }

@@ -140,6 +140,50 @@ class TemperatureMixSpec extends SparkSpec {
   }
 }
 
+/** a3: deterministic count-min heavy hitters. */
+class CmsSpec extends SparkSpec {
+
+  test("CMS estimates match an independent in-memory sketch recompute") {
+    val re = "[a-z0-9]+".r
+    val toks = graft.Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => re.findAllIn(r.getString(0).toLowerCase))
+    def md5mod(s: String, m: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      var v = 0L; (0 until 8).foreach(i => v = (v << 8) | (d(i) & 0xffL))
+      (v >>> 4) % m
+    }
+    val grid = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    toks.foreach { w =>
+      (0 until Approx.CmsDepth).foreach { d =>
+        val k = (d, md5mod(s"cms$d|$w", Approx.CmsWidth))
+        grid(k) = grid.getOrElse(k, 0L) + 1L
+      }
+    }
+    val exact = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expTop = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(10)
+    val got = Approx.a3CmsHeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2)).toSeq == expTop)
+    got.foreach { case (w, ex, est, over) =>
+      val expEst = (0 until Approx.CmsDepth)
+        .map(d => grid((d, md5mod(s"cms$d|$w", Approx.CmsWidth)))).min
+      assert(est == expEst, s"'$w': est $est != recomputed $expEst")
+      assert(over == est - ex && over >= 0L, s"'$w': overcount broken")
+    }
+  }
+
+  test("the counter grid is bounded by depth x width regardless of vocab") {
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).as("w"))
+    val gridRows = toks.select(
+        explode(org.apache.spark.sql.functions.array((0 until Approx.CmsDepth).map(d =>
+          graft.functions.Md5PrefixModF(concat(lit(s"cms$d|"), col("w")), Approx.CmsWidth)): _*)).as("b"))
+      .distinct().count()
+    assert(gridRows <= Approx.CmsDepth * Approx.CmsWidth)
+    assert(Approx.a3CmsHeavyHitters(spark, sfDir).count() == 10)
+  }
+}
+
 /** p3: composed pretraining cut (screen → dedup → decontam → mixture). */
 class PretrainingCutSpec extends SparkSpec {
 
