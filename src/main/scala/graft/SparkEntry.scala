@@ -136,6 +136,9 @@ object SparkEntry {
     "a1_hll_bounds"     -> ((s, dir) => Approx.a1HllBounds(s, dir)),
     "a2_quantile_bounds" -> ((s, dir) => Approx.a2QuantileBounds(s, dir)),
     "a3_cms_heavy_hitters" -> (Approx.a3CmsHeavyHitters _),
+    "t26_bm25"          -> (Retrieval.t26Bm25 _),
+    "s12_mmr"           -> (Similarity.s12MmrRerank _),
+    "s13_rrf_hybrid"    -> (Retrieval.s13RrfHybrid _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -333,5 +336,8 @@ object SparkEntry {
     "a1_hll_bounds"     -> Approx.a1Sql,
     "a2_quantile_bounds" -> Approx.a2Sql,
     "a3_cms_heavy_hitters" -> Approx.a3Sql,
+    "t26_bm25"          -> Retrieval.t26Sql,
+    "s12_mmr"           -> Similarity.s12Sql,
+    "s13_rrf_hybrid"    -> Retrieval.s13Sql,
   )
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{TopK, VectorExpressions => V}
+
+/** Lexical + hybrid retrieval — the serving-side query surface of the
+  * reference's RAG loop (conversationController.js:31-38 retrieves
+  * top-10 by dense similarity only; production retrieval stacks fuse a
+  * lexical BM25 leg with the dense leg, which is exactly what these two
+  * operators add on top of the Similarity family):
+  *
+  *  - [[t26Bm25]]: Okapi BM25 (Robertson & Spärck Jones; the Lucene
+  *    variant with the +1-shifted IDF) scored entirely in the engine;
+  *  - [[s13RrfHybrid]]: reciprocal-rank fusion (Cormack et al.
+  *    SIGIR'09) of the BM25 ranking with the dense cosine ranking —
+  *    the standard "hybrid search" composition (Elastic/Vespa/Weaviate
+  *    all ship this exact formula) expressed as two bounded rank lists
+  *    and one integer merge.
+  *
+  * Determinism contract (the t12/t17 rule): ONE ln per distinct query
+  * term → `idf_micro` (floored micro-nats); every other float op is an
+  * IEEE-correctly-rounded +,*,/ chain over exactly-representable
+  * integer inputs and identically-parsed literals, evaluated with the
+  * SAME association order in both engines, then floored per (doc,term)
+  * and summed as integers — so cross-engine hashes match exactly.
+  * RRF is pure integer arithmetic over ranks.
+  *
+  * Scale notes:
+  *  - the corpus-sized work in BM25 is ONE tokenize pass feeding two
+  *    map-combined aggregates (per-doc length; per-(doc,term) tf for
+  *    QUERY TERMS ONLY — the isin filter prunes before the shuffle, so
+  *    the tf exchange is bound by docs-containing-query-terms, the
+  *    selective case at a real 100 TB corpus);
+  *  - df and idf live on a ≤|query| row sliver, broadcast back;
+  *  - the corpus-wide (n_docs, total_tokens) scalar is a one-row
+  *    broadcast (the q40 rule: never a window for a global constant);
+  *  - top-20 is TakeOrdered (distributed partial top-k), never a global
+  *    sort; the rank window runs on the 20-row result;
+  *  - RRF joins two 20-row lists — sliver work end to end after the
+  *    two legs.
+  */
+object Retrieval {
+
+  /** Fixed demo query (the reference hard-codes top-10 retrieval per
+    * user question; the term set stands in for the analyzed question). */
+  val QueryTerms: Seq[String] = Seq("vector", "spark", "hash", "window", "stream")
+  val K1 = 1.2
+  val B  = 0.75
+  val TopN = 20
+  private val WordRe = "[a-z0-9]+"
+
+  private def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit(WordRe), lit(0))
+
+  /** The (doc_id, score_micro) BM25-scored sliver — shared by t26 and
+    * the s13 lexical leg. Only docs containing ≥1 query term appear. */
+  private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame =
+    bm25ScoredFrame(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** Corpus-parameterized body of [[bm25Scored]] (spec fixtures). */
+  private[graft] def bm25ScoredFrame(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val tf = toks.filter(col("term").isin(QueryTerms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"),
+        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * 1e6)
+          .cast("long").as("idf_micro"),
+        col("n_docs"), col("total_tokens"))
+    // r = dl/avgdl computed as (dl*n_docs)/total — exact int64 operands,
+    // ONE division; identical association order in the SQL twin.
+    val r = (col("dl") * col("n_docs")).cast("double") / col("total_tokens").cast("double")
+    val denom = col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * r)
+    tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"),
+        floor(col("idf_micro") * (col("tf") * lit(K1 + 1.0)) / denom).cast("long").as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score_micro"))
+  }
+
+  /** t26: BM25 top-20 over the documents corpus for the fixed query. */
+  def t26Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(TopN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .select("rank", "doc_id", "score_micro")
+      .orderBy("rank")
+
+  private val termsSqlList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private def bm25ScoredSql: String =
+    s"""toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term
+       | FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+       |tfc AS (
+       | SELECT doc_id, term, count(*) AS tf FROM toks
+       | WHERE term IN $termsSqlList GROUP BY doc_id, term),
+       |idf AS (
+       | SELECT term,
+       |  cast(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS bigint) AS idf_micro,
+       |  n_docs, total_tokens
+       | FROM (SELECT term, count(*) AS df FROM tfc GROUP BY term) dfc CROSS JOIN stats),
+       |contribs AS (
+       | SELECT tfc.doc_id,
+       |  cast(floor(idf_micro * (tf * ${K1 + 1.0}) /
+       |    (cast(tf AS double) + $K1 * (${1.0 - B} + $B *
+       |      (cast(dl * n_docs AS double) / cast(total_tokens AS double))))) AS bigint) AS contrib
+       | FROM tfc JOIN idf USING (term) JOIN dl USING (doc_id)),
+       |scored AS (
+       | SELECT doc_id, cast(sum(contrib) AS bigint) AS score_micro
+       | FROM contribs GROUP BY doc_id)""".stripMargin
+
+  val t26Sql: String =
+    s"""WITH ${bm25ScoredSql}
+       |SELECT row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank,
+       | doc_id, score_micro
+       |FROM scored
+       |QUALIFY rank <= $TopN
+       |ORDER BY rank""".stripMargin
+
+  /** RRF constant (Cormack et al. use 60) and per-leg numerator: the
+    * standard 1/(c+rank) scaled to exact integers at nano resolution —
+    * floor(1e9/(60+rank)) is collision-free for ranks ≤ 20. */
+  val RrfC = 60
+  val RrfK = 10
+  /** Dense-leg query: the corpus vector standing in for the embedded
+    * user question (the reference embeds the question then queries the
+    * index; qid 0 is that embedding here). */
+  val DenseQid = 0
+
+  /** s13: hybrid retrieval — BM25 leg (t26's top-20) fused with the
+    * dense cosine leg (top-20 neighbors of embedding 0, doc_id ≡
+    * vec_id — the store keys vectors by document id) by reciprocal-rank
+    * fusion: rrf_nano = Σ_legs floor(1e9/(60+rank)), absent leg → 0.
+    * Output: top-10 fused (rank, doc_id, rrf_nano, lex_rank,
+    * dense_rank) with 0 marking "not in that leg's list".
+    *
+    * The dense ranking is engine-internal float order (the Similarity
+    * family's rank-stability contract); everything downstream of the
+    * two rank lists is exact integer arithmetic. */
+  def s13RrfHybrid(s: SparkSession, dir: String): DataFrame = {
+    val lex = t26Bm25(s, dir).select(col("doc_id"), col("rank").as("lex_rank"))
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === DenseQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val dense = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), TopN).as("nbrs"))
+      .select(posexplode(col("nbrs")).as(Seq("pos", "doc_id")))
+      .select(col("doc_id"), (col("pos") + 1).as("dense_rank"))
+    val rrf = (rk: Column) =>
+      when(rk.isNull, lit(0L)).otherwise(floor(lit(1e9) / (lit(RrfC) + rk)).cast("long"))
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (rrf(col("lex_rank")) + rrf(col("dense_rank"))).as("rrf_nano"),
+        coalesce(col("lex_rank"), lit(0)).cast("int").as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).cast("int").as("dense_rank"))
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+      .limit(RrfK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_nano").desc, col("doc_id").asc)))
+      .select("rank", "doc_id", "rrf_nano", "lex_rank", "dense_rank")
+      .orderBy("rank")
+  }
+
+  val s13Sql: String =
+    s"""WITH ${bm25ScoredSql},
+       |lex AS (
+       | SELECT doc_id, rank AS lex_rank FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored) WHERE rank <= $TopN),
+       |dense AS (
+       | SELECT v.vec_id AS doc_id,
+       |  row_number() OVER (
+       |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) AS dense_rank
+       | FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+       | WHERE q.vec_id = $DenseQid
+       | QUALIFY dense_rank <= $TopN),
+       |fused AS (
+       | SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |  coalesce(cast(floor(1e9 / ($RrfC + lex_rank)) AS bigint), 0) +
+       |  coalesce(cast(floor(1e9 / ($RrfC + dense_rank)) AS bigint), 0) AS rrf_nano,
+       |  cast(coalesce(lex_rank, 0) AS int) AS lex_rank,
+       |  cast(coalesce(dense_rank, 0) AS int) AS dense_rank
+       | FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
+       |SELECT row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS rank,
+       | doc_id, rrf_nano, lex_rank, dense_rank
+       |FROM fused
+       |QUALIFY rank <= $RrfK
+       |ORDER BY rank""".stripMargin
+}

@@ -993,4 +993,120 @@ object Similarity {
     """SELECT label, count(*) AS cnt, cast(sum(vec_id) AS bigint) AS id_checksum
       |FROM embeddings WHERE label NOT IN (3, 7)
       |GROUP BY label ORDER BY label""".stripMargin
+
+  // ---- s12: MMR diversity re-rank ----
+
+  /** MMR parameters: shortlist depth, selected count, relevance weight. */
+  val MmrShortlist = 20
+  val MmrK = 5
+  val MmrLambda = 0.5
+
+  /** s12: Maximal Marginal Relevance re-rank (Carbonell & Goldstein
+    * SIGIR'98) — the diversity pass a RAG retriever runs between ANN
+    * shortlist and prompt assembly (LangChain exposes it as
+    * `maxMarginalRelevanceSearch` on the same HNSW store the reference
+    * builds): from each query's cosine top-20 shortlist, greedily pick 5
+    * maximizing `λ·rel(c,q) − (1−λ)·max_{s∈S} sim(c,s)` at λ=0.5.
+    *
+    * Spark-first shape: the ONLY corpus-sized work is the s1-style
+    * bounded top-k pass (broadcast queries, codegen'd cosine, TopKByScore
+    * partial aggregate). Everything after runs on a (queries × 20)
+    * sliver: candidate embeddings re-join the corpus BY BROADCASTING THE
+    * SLIVER (the corpus is never shuffled), pairwise sims are a
+    * qid-keyed sliver self-join (≤ q·20² rows), and the greedy loop is
+    * MmrK−1 unrolled rounds of [anti-join selected → max-sim join →
+    * per-qid argmax window] — every frame localCheckpoint'd so round r
+    * does not re-execute rounds 1..r−1 (the s6 truth-materialization
+    * discipline). At 100 TB only the shortlist pass scales with the
+    * corpus; the re-rank cost is queries-bound, exactly how a serving
+    * tier runs MMR.
+    *
+    * Output is the family's rank-only contract (qid, rank, neighbor):
+    * greedy argmax gaps are ~1e-2 cosine while cross-engine float
+    * divergence is ~1e-8, so selections are rank-stable (the s1 rule);
+    * ties break by neighbor id ASC in both engines. */
+  def s12MmrRerank(s: SparkSession, dir: String): DataFrame =
+    s12MmrRerankFrame(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+
+  /** Corpus-parameterized body of [[s12MmrRerank]] (spec fixtures plant
+    * near-duplicate shortlists to pin the diversity behavior). */
+  private[graft] def s12MmrRerankFrame(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val shortIds = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), MmrShortlist).as("nbrs"))
+      .select(col("qid"), explode(col("nbrs")).as("cand_id"))
+    val cand = e.select(col("vec_id").as("cand_id"), col("embedding").as("cemb"))
+      .join(broadcast(shortIds), Seq("cand_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("cand_id"), V.cosine(col("qemb"), col("cemb")).as("rel"), col("cemb"))
+      .localCheckpoint()
+    val pairs = cand.select(col("qid"), col("cand_id").as("a"), col("cemb").as("aemb"))
+      .join(cand.select(col("qid"), col("cand_id").as("b"), col("cemb").as("bemb")), Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"), V.cosine(col("aemb"), col("bemb")).as("sim"))
+      .localCheckpoint()
+    val wFirst = Window.partitionBy("qid").orderBy(col("rel").desc, col("cand_id").asc)
+    var sel = cand
+      .withColumn("rn", row_number().over(wFirst)).filter(col("rn") === 1)
+      .select(col("qid"), col("cand_id"), lit(1).as("rank"))
+      .localCheckpoint()
+    val wMmr = Window.partitionBy("qid").orderBy(col("mmr").desc, col("cand_id").asc)
+    for (r <- 2 to MmrK) {
+      val selected = sel.select(col("qid").as("sqid"), col("cand_id").as("sid"))
+      val maxSim = pairs
+        .join(selected, col("qid") === col("sqid") && col("b") === col("sid"))
+        .groupBy("qid", "a").agg(max(col("sim")).as("maxsim"))
+        .select(col("qid").as("mqid"), col("a"), col("maxsim"))
+      val pick = cand
+        .join(selected, col("qid") === col("sqid") && col("cand_id") === col("sid"), "left_anti")
+        .join(maxSim, col("qid") === col("mqid") && col("cand_id") === col("a"))
+        .withColumn("mmr", lit(MmrLambda) * col("rel") - lit(1.0 - MmrLambda) * col("maxsim"))
+        .withColumn("rn", row_number().over(wMmr)).filter(col("rn") === 1)
+        .select(col("qid"), col("cand_id"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    sel.select(col("qid"), col("rank"), col("cand_id").as("neighbor"))
+      .orderBy("qid", "rank")
+  }
+
+  /** DuckDB twin: the identical greedy unroll as chained CTEs — each
+    * round's argmax over `0.5·rel − 0.5·max(sim to selected)` with the
+    * same cid-ASC tie-break, built programmatically for rounds 2..MmrK. */
+  lazy val s12Sql: String = {
+    val rounds = (2 to MmrK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""selu${r - 1} AS ($prev),
+         |pick$r AS (
+         | SELECT c.qid, c.cid, $MmrLambda * c.rel - ${1.0 - MmrLambda} * max(p.sim) AS mmr
+         | FROM cand c
+         | JOIN pairs p ON p.qid = c.qid AND p.a = c.cid
+         | JOIN selu${r - 1} s ON s.qid = p.qid AND s.cid = p.b
+         | WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x WHERE x.qid = c.qid AND x.cid = c.cid)
+         | GROUP BY c.qid, c.cid, c.rel),
+         |sel$r AS (
+         | SELECT qid, cid, $r AS rank FROM pick$r
+         | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY mmr DESC, cid ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val allSel = (1 to MmrK).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH cand AS (
+       | SELECT q.vec_id AS qid, v.vec_id AS cid,
+       |  list_cosine_similarity(q.embedding, v.embedding) AS rel,
+       |  v.embedding AS cemb
+       | FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+       | WHERE q.vec_id < 10
+       | QUALIFY row_number() OVER (PARTITION BY q.vec_id
+       |   ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC, v.vec_id ASC) <= $MmrShortlist),
+       |pairs AS (
+       | SELECT a.qid, a.cid AS a, b.cid AS b, list_cosine_similarity(a.cemb, b.cemb) AS sim
+       | FROM cand a JOIN cand b ON a.qid = b.qid AND a.cid <> b.cid),
+       |sel1 AS (
+       | SELECT qid, cid, 1 AS rank FROM cand
+       | QUALIFY row_number() OVER (PARTITION BY qid ORDER BY rel DESC, cid ASC) = 1),
+       |$rounds
+       |SELECT qid, rank, cid AS neighbor FROM ($allSel) u
+       |ORDER BY qid, rank""".stripMargin
+  }
 }
