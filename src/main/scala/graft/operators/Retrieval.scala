@@ -60,6 +60,24 @@ object Retrieval {
   private[operators] def bm25Scored(s: SparkSession, dir: String): DataFrame =
     bm25ScoredFrame(Tables.documents(s, dir).select("doc_id", "text"))
 
+  /** The per-(doc,term) BM25 contribution in micro units, over columns
+    * (idf_micro, tf, dl, n_docs, total_tokens) — ONE definition shared
+    * by the in-session query, the stored-stats batch scorer, and the
+    * row-local streaming scorer, so batch ≡ stored ≡ stream is
+    * structural. r = dl/avgdl computed as (dl·n_docs)/total — exact
+    * int64 operands, ONE division; identical association order in the
+    * SQL twin. */
+  private[graft] def bm25Contrib(idfMicro: Column, tf: Column, dl: Column,
+                                 nDocs: Column, total: Column): Column = {
+    val r = (dl * nDocs).cast("double") / total.cast("double")
+    val denom = tf.cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * r)
+    floor(idfMicro * (tf * lit(K1 + 1.0)) / denom).cast("long")
+  }
+
+  /** The +1-shifted (Lucene) IDF in floored micro-nats. */
+  private def idfMicroCol(df: Column, nDocs: Column): Column =
+    floor(log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) * 1e6).cast("long")
+
   /** Corpus-parameterized body of [[bm25Scored]] (spec fixtures). */
   private[graft] def bm25ScoredFrame(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -69,19 +87,81 @@ object Retrieval {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
-      .select(col("term"),
-        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) * 1e6)
-          .cast("long").as("idf_micro"),
+      .select(col("term"), idfMicroCol(col("df"), col("n_docs")).as("idf_micro"),
         col("n_docs"), col("total_tokens"))
-    // r = dl/avgdl computed as (dl*n_docs)/total — exact int64 operands,
-    // ONE division; identical association order in the SQL twin.
-    val r = (col("dl") * col("n_docs")).cast("double") / col("total_tokens").cast("double")
-    val denom = col("tf").cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * r)
     tf.join(broadcast(idf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .select(col("doc_id"),
-        floor(col("idf_micro") * (col("tf") * lit(K1 + 1.0)) / denom).cast("long").as("contrib"))
+        bm25Contrib(col("idf_micro"), col("tf"), col("dl"),
+          col("n_docs"), col("total_tokens")).as("contrib"))
       .groupBy("doc_id").agg(sum(col("contrib")).as("score_micro"))
+  }
+
+  // ---- the persisted lexical index (deployment twin) ----
+
+  /** Persist the INDEX-TIME BM25 statistics for a corpus: the
+    * full-vocabulary idf table (`path/idf`: term, df, idf_micro) and the
+    * one-row corpus stats (`path/stats`: n_docs, total_tokens) — the
+    * lexical index's model artifact (what Lucene freezes per segment).
+    * Vocabulary-bound, so the artifact is tiny relative to the corpus;
+    * at 100 TB it is built by the same two map-combined aggregates and
+    * any later query is served WITHOUT touching the indexed corpus
+    * again. Query-time idf reads prune to the query's terms (pushed
+    * isin filter on the vocab scan). */
+  def t26StatsWrite(s: SparkSession, dir: String, path: String): Unit = {
+    val toks = Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl")).localCheckpoint()
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .localCheckpoint()
+    stats.coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"), idfMicroCol(col("df"), col("n_docs")).as("idf_micro"))
+      .write.mode("overwrite").parquet(s"$path/idf")
+  }
+
+  /** Score a (doc_id, text) batch against the stored stats: identical
+    * arithmetic to [[bm25ScoredFrame]] but idf/n_docs/avgdl come FROM
+    * THE ARTIFACT (frozen at index time — scoring a new batch does not
+    * shift the collection statistics, the Lucene segment contract). On
+    * the indexed corpus itself the scores are bit-identical to the
+    * in-session query (spec-pinned). */
+  def t26ScoreFrom(s: SparkSession, path: String, docs: DataFrame,
+                   terms: Seq[String] = QueryTerms): DataFrame = {
+    val idf = s.read.parquet(s"$path/idf")
+      .filter(col("term").isin(terms: _*)).select("term", "idf_micro")
+    val stats = s.read.parquet(s"$path/stats")
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = toks.filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        bm25Contrib(col("idf_micro"), col("tf"), col("dl"),
+          col("n_docs"), col("total_tokens")).as("contrib"))
+      .groupBy("doc_id").agg(sum(col("contrib")).as("score_micro"))
+  }
+
+  /** ROW-LOCAL scoring column over (text, im: map<term,idf_micro>,
+    * n_docs, total_tokens) — tf and dl from the document's own token
+    * array, zero shuffles; the streaming scorer's projection (see
+    * graft.streaming.StreamingBm25). Terms absent from the document
+    * contribute exactly 0 (tf = 0 zeroes the numerator), matching the
+    * relational form's missing (doc,term) rows. */
+  private[graft] def bm25RowScore(toks: Column, im: Column,
+                                  nDocs: Column, total: Column,
+                                  terms: Seq[String]): Column = {
+    val dl = size(toks)
+    // per-term floored contributions, integer-summed (order-free)
+    terms.map { t =>
+      val tf = size(filter(toks, w => w === lit(t)))
+      coalesce(
+        when(tf > 0, bm25Contrib(element_at(im, lit(t)), tf, dl, nDocs, total)),
+        lit(0L))
+    }.reduce(_ + _)
   }
 
   /** t26: BM25 top-20 over the documents corpus for the fixed query. */
