@@ -451,6 +451,56 @@ object Quality {
        | cast(sum(tf * cost_micro) // sum(tf) AS bigint) AS mean_micro
        |FROM costed GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---- t17 deployment twin: the persisted unigram LM ----
+
+  /** Persist t17's trained unigram LM: the vocabulary-bound (term,
+    * cost_micro) table plus a NULL-term sentinel row carrying the
+    * unseen-token default (cost at ctf = 1 — the most surprising a
+    * token can be under the trained totals). This is the CCNet
+    * deployment shape proper (Wenzek et al. train their LM on clean
+    * text and score the CRAWL with it): training pays the corpus
+    * shuffle once; every later batch scores against the artifact
+    * without touching the training corpus. Third member of the stored-
+    * model family (t19 DSIR costs, t26 BM25 stats). */
+  def t17LmWrite(s: SparkSession, dir: String, path: String): Unit = {
+    val tf = Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val ctf = tf.groupBy("term").agg(sum(col("tf")).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total")).localCheckpoint()
+    val costs = ctf.crossJoin(broadcast(total))
+      .select(col("term"),
+        floor(log(col("total").cast("double") / col("ctf")) * 1e6).as("cost_micro"))
+    val dflt = total.select(lit(null).cast("string").as("term"),
+      floor(log(col("total").cast("double") / lit(1L)) * 1e6).as("cost_micro"))
+    costs.unionByName(dflt).write.mode("overwrite").parquet(path)
+  }
+
+  /** Score a (doc_id, text) batch against the stored LM — identical
+    * arithmetic to [[t17UnigramLm]] on the training corpus itself
+    * (spec-pinned); unseen terms take the sentinel default. The batch's
+    * only shuffle is its own (doc,term) count; the cost join is
+    * vocabulary-bound (broadcast when it fits, hash-join when not). */
+  def t17ScoreFrom(s: SparkSession, path: String, batch: DataFrame): DataFrame = {
+    val stored = s.read.parquet(path)
+    val costs = stored.filter(col("term").isNotNull)
+    val dflt = stored.filter(col("term").isNull)
+      .select(col("cost_micro").as("dflt_micro"))
+    batch.select(col("doc_id"), explode(words(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .join(costs, Seq("term"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("cost_micro"), col("dflt_micro")).as("cost_micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cost_micro")).as("surprisal_micro"))
+      .withColumn("mean_micro", expr("surprisal_micro div n_tokens"))
+      .select("doc_id", "n_tokens", "surprisal_micro", "mean_micro")
+  }
+
   // ---- t18: fuzzy benchmark decontamination ----
 
   /** Benchmark set for t18: every 7th corpus doc, PERTURBED (appended
