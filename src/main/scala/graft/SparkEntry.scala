@@ -139,6 +139,7 @@ object SparkEntry {
     "t26_bm25"          -> (Retrieval.t26Bm25 _),
     "s12_mmr"           -> (Similarity.s12MmrRerank _),
     "s13_rrf_hybrid"    -> (Retrieval.s13RrfHybrid _),
+    "d21_containment"   -> (Dedup.d21Containment _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -339,5 +340,6 @@ object SparkEntry {
     "t26_bm25"          -> Retrieval.t26Sql,
     "s12_mmr"           -> Similarity.s12Sql,
     "s13_rrf_hybrid"    -> Retrieval.s13Sql,
+    "d21_containment"   -> Dedup.d21Sql,
   )
 }

@@ -1818,4 +1818,132 @@ object Dedup {
        |UNION ALL
        |SELECT doc_id, n_members, rep_chars FROM reps
        |ORDER BY doc_id""".stripMargin
+
+  // ---- d21: containment (quote / wholesale-reuse) detection ----
+
+  /** Containment threshold θ = 4/5, kept RATIONAL so the keep test is
+    * the exact integer compare `inter·5 ≥ size·4` in both engines. */
+  val ContainThetaNum = 4
+  val ContainThetaDen = 5
+  /** Inverted-index df cap: only shingles appearing in ≤ this many docs
+    * index the container side (hot-shingle flood control). */
+  val ContainDfCap = 64L
+
+  /** d21's corpus: the d3 near-dup corpus PLUS a 16-word "quote"
+    * extract of every 13th doc (id+300000) — contained in its original
+    * with containment 1 but Jaccard ≈ 0.25, the pair class a
+    * Jaccard-tuned LSH screen structurally misses. */
+  private def d21Corpus(s: SparkSession, dir: String): DataFrame =
+    corpusNear(s, dir).unionByName(
+      base(s, dir).filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 16)).as("text")))
+
+  private val d21CorpusSql: String =
+    s"""$corpusNearSql
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id,
+       |   array_to_string((string_split_regex(trim(text), '\\s+'))[1:16], ' ') AS text
+       |  FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  /** Distinct word-bigram shingle set per doc (d3's shingle universe,
+    * kept as strings because containment compares SETS, not sketches). */
+  private def shingleSets(corpus: DataFrame): DataFrame =
+    corpus.select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1])))"))
+        .as("sh"))
+
+  /** d21: directional containment pairs — for every (contained,
+    * container) pair with |S_a ∩ S_b| / |S_a| ≥ 4/5, the intersection
+    * count, |S_a|, and containment in exact ppm. The asymmetric twin of
+    * d2/d3's Jaccard: a short document quoted wholesale inside a long
+    * one has containment 1 but arbitrarily low Jaccard, so MinHash-LSH
+    * (tuned to Jaccard) structurally misses it.
+    *
+    * Candidate screen = PREFIX FILTERING (Chaudhuri ICDE'06 /
+    * PPJoin, the asymmetric variant): order the vocabulary rarest-first
+    * (df asc, shingle asc) and take each doc's first
+    * `sz − ⌈θ·sz⌉ + 1` shingles in that order — if a pair meets θ with
+    * contained side a, a's prefix MUST intersect S_b (fewer than
+    * prefix-many of a's shingles lie outside S_b), so joining prefixes
+    * against a df-capped inverted index of full sets loses only pairs
+    * whose every prefix∩S_b witness is a hotter-than-cap shingle
+    * (none on this corpus: the brute-force equality is spec-asserted;
+    * at web scale rarest-first prefixes hit the Zipf tail where
+    * df ≤ cap by construction). Verification is EXACT — intersection
+    * counts via one (pair, shingle) join, the θ test as integer
+    * cross-multiplication, ppm as one floored division both engines
+    * compute identically.
+    *
+    * Scale: the shingle frame is distinct-(doc,bigram)-bound; df and
+    * size rollups are vocabulary/doc-bound; each doc emits ~(1−θ)·sz+1
+    * prefix keys; index buckets are df-capped; the verify join is
+    * candidate-bound. The per-doc rank window partitions by
+    * high-cardinality doc_id. Nothing is all-pairs. */
+  def d21Containment(s: SparkSession, dir: String): DataFrame =
+    d21ContainmentFrame(d21Corpus(s, dir))
+
+  /** Corpus-parameterized body of [[d21Containment]] (spec fixtures). */
+  private[graft] def d21ContainmentFrame(corpus: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleSets(corpus).localCheckpoint()
+    val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val prefix = sh.join(dfc, Seq("sh"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df").asc, col("sh").asc)))
+      .join(sz, Seq("doc_id"))
+      .filter(col("rk") <=
+        expr(s"sz - (($ContainThetaNum * sz + ${ContainThetaDen - 1}) div $ContainThetaDen) + 1"))
+    val index = sh.join(dfc.filter(col("df") <= ContainDfCap), Seq("sh"))
+    val cands = prefix.select(col("doc_id").as("a"), col("sh"))
+      .join(index.select(col("doc_id").as("b"), col("sh")), Seq("sh"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    inter.join(sz.select(col("doc_id").as("a"), col("sz")), Seq("a"))
+      .filter(col("inter") * ContainThetaDen >= col("sz") * ContainThetaNum)
+      .select(col("a").as("contained"), col("b").as("container"),
+        col("inter"), col("sz").as("n_shingles"),
+        floor(lit(1e6) * col("inter") / col("sz")).cast("long").as("cont_ppm"))
+      .orderBy("contained", "container")
+  }
+
+  lazy val d21Sql: String =
+    s"""WITH corpus AS ($d21CorpusSql),
+       |shs AS (
+       | SELECT DISTINCT doc_id, s AS sh
+       | FROM (SELECT doc_id,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS s
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM corpus)
+       |  WHERE len(t) >= 2)),
+       |dfc AS (SELECT sh, count(*) AS df FROM shs GROUP BY sh),
+       |szs AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+       |pfx AS (
+       | SELECT doc_id, sh FROM (
+       |  SELECT shs.doc_id, shs.sh, sz,
+       |   row_number() OVER (PARTITION BY shs.doc_id ORDER BY df ASC, shs.sh ASC) AS rk
+       |  FROM shs JOIN dfc USING (sh) JOIN szs USING (doc_id))
+       | WHERE rk <= sz - (($ContainThetaNum * sz + ${ContainThetaDen - 1}) // $ContainThetaDen) + 1),
+       |idx AS (
+       | SELECT shs.doc_id, shs.sh FROM shs JOIN dfc USING (sh) WHERE df <= $ContainDfCap),
+       |cand AS (
+       | SELECT DISTINCT p.doc_id AS a, x.doc_id AS b
+       | FROM pfx p JOIN idx x ON p.sh = x.sh AND p.doc_id <> x.doc_id),
+       |itc AS (
+       | SELECT c.a, c.b, count(*) AS inter
+       | FROM cand c
+       | JOIN shs sa ON sa.doc_id = c.a
+       | JOIN shs sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+       | GROUP BY c.a, c.b)
+       |SELECT a AS contained, b AS container, inter, sz AS n_shingles,
+       | cast(floor(1e6 * inter / sz) AS bigint) AS cont_ppm
+       |FROM itc JOIN szs ON szs.doc_id = itc.a
+       |WHERE inter * $ContainThetaDen >= sz * $ContainThetaNum
+       |ORDER BY contained, container""".stripMargin
 }

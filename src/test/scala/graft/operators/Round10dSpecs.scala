@@ -38,3 +38,65 @@ class UnigramLmStoreSpec extends SparkSpec {
     assert(dflt >= maxCost)
   }
 }
+
+/** d21 containment: the prefix-filter screen must lose nothing — the
+  * operator's output is compared against brute-force all-pairs
+  * containment over the same distinct-shingle sets. */
+class ContainmentSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def shingles(text: String): Set[String] = {
+    val t = text.trim.split("\\s+")
+    if (t.length < 2) Set.empty
+    else (0 until t.length - 1).map(i => s"${t(i)} ${t(i + 1)}").toSet
+  }
+
+  /** The d21 corpus rebuilt driver-side. */
+  private def d21CorpusLocal: Seq[(Long, String)] = {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    docs ++
+      docs.filter(_._1 % 10 == 0).map { case (id, t) =>
+        (id + 100000, t + Dedup.NearTail) } ++
+      docs.filter(_._1 % 13 == 0).map { case (id, t) =>
+        (id + 300000, t.trim.split("\\s+").take(16).mkString(" ")) }
+  }
+
+  test("d21 equals brute-force all-pairs containment (the screen loses nothing)") {
+    val sets = d21CorpusLocal.map { case (id, t) => id -> shingles(t) }
+      .filter(_._2.nonEmpty).toMap
+    val want = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a != b
+      inter = (sa & sb).size
+      if inter * Dedup.ContainThetaDen >= sa.size * Dedup.ContainThetaNum
+    } yield (a, b, inter.toLong, sa.size.toLong,
+      math.floor(1e6 * inter / sa.size).toLong))
+      .sortBy(r => (r._1, r._2))
+    val got = Dedup.d21Containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == want)
+  }
+
+  test("planted quotes surface at containment 1 despite low Jaccard") {
+    val out = Dedup.d21Containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val quoteIds = docs.filter { case (id, t) =>
+      id % 13 == 0 && t.trim.split("\\s+").length >= 17 }.map(_._1 + 300000)
+    assert(quoteIds.nonEmpty)
+    quoteIds.foreach { q =>
+      val hit = out.find(r => r._1 == q && r._2 == q - 300000)
+      assert(hit.exists(_._3 == 1000000L), s"quote $q not contained in its original")
+    }
+    // and at least one quote→original pair has Jaccard below the d3 LSH
+    // regime (the pair class this operator exists for)
+    val sets = d21CorpusLocal.map { case (id, t) => id -> shingles(t) }.toMap
+    val lowJac = quoteIds.exists { q =>
+      val (sa, sb) = (sets(q), sets(q - 300000))
+      val j = (sa & sb).size.toDouble / (sa ++ sb).size
+      j < 0.5
+    }
+    assert(lowJac)
+  }
+}
