@@ -140,6 +140,7 @@ object SparkEntry {
     "s12_mmr"           -> (Similarity.s12MmrRerank _),
     "s13_rrf_hybrid"    -> (Retrieval.s13RrfHybrid _),
     "d21_containment"   -> (Dedup.d21Containment _),
+    "a4_hll_union"      -> (Approx.a4HllUnion _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -341,5 +342,6 @@ object SparkEntry {
     "s12_mmr"           -> Similarity.s12Sql,
     "s13_rrf_hybrid"    -> Retrieval.s13Sql,
     "d21_containment"   -> Dedup.d21Sql,
+    "a4_hll_union"      -> Approx.a4Sql,
   )
 }

@@ -167,4 +167,66 @@ object Approx {
        | cast(est_cnt - exact_cnt AS bigint) AS overcount
        |FROM est ORDER BY exact_cnt DESC, w""".stripMargin
   }
+
+  // ---- a4: MERGEABLE distinct-count sketches (HLL union) ----
+
+  /** Bound for the a4 verdict: Datasketches HLL at the default
+    * lgConfigK=12 has standard error ≈ 1.04/√4096 ≈ 1.6%; 3σ with
+    * union slack ⇒ 5%. */
+  val HllUnionBound = 0.05
+
+  /** a4: the MERGEABILITY contract of the distinct sketch, oracle-gated
+    * by the a1 construction. Why it matters at 100 TB: a recurring
+    * crawl can't re-scan history to count distinct users — each
+    * snapshot ships its per-group HLL SKETCH (kilobytes), and totals
+    * across groups/snapshots come from sketch UNION, never a rescan
+    * (d15 is the membership analogue; this is the cardinality ledger).
+    * The query groups per event type (sketch + exact in ONE two-phase
+    * aggregate), unions the type sketches into the corpus-wide
+    * estimate, and emits per-type rows plus an `__all__` row — each
+    * carrying the exact distinct both engines compute and a verdict
+    * that the estimate (per-type, and the UNIONED global) landed within
+    * the documented envelope. DuckDB pins every verdict to 1, so a
+    * sketch or union drifting out of contract fails the driver gate. */
+  def a4HllUnion(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_type", "user_id")
+    val perType = e.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           countDistinct(col("user_id")).as("exact_distinct"))
+      .localCheckpoint()  // reused by the per-type rows AND the union row
+    val typeRows = perType.select(col("event_type"), col("exact_distinct"),
+      (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct"))
+        <= lit(HllUnionBound) * col("exact_distinct")).cast("int").as("within_bound"))
+    val globalExact = e.agg(countDistinct(col("user_id")).as("exact_distinct"))
+    val unionRow = perType.agg(hll_union_agg(col("sk")).as("sk"))
+      .crossJoin(broadcast(globalExact))
+      .select(lit("__all__").as("event_type"), col("exact_distinct"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_distinct"))
+          <= lit(HllUnionBound) * col("exact_distinct")).cast("int").as("within_bound"))
+    typeRows.unionByName(unionRow).orderBy("event_type")
+  }
+
+  val a4Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+      | cast(1 AS int) AS within_bound
+      |FROM events GROUP BY event_type
+      |UNION ALL
+      |SELECT '__all__' AS event_type, count(DISTINCT user_id) AS exact_distinct,
+      | cast(1 AS int) AS within_bound
+      |FROM events
+      |ORDER BY event_type""".stripMargin
+
+  /** Persist the per-type sketches (the snapshot artifact a crawl
+    * ships): binary Datasketches HLL rows, mergeable later without the
+    * original data. */
+  def a4SketchWrite(s: SparkSession, dir: String, path: String): Unit =
+    Tables.events(s, dir).select("event_type", "user_id")
+      .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Union STORED sketches into the global estimate — no event data
+    * touched. Spec pins this equal to the in-session union estimate. */
+  def a4UnionFrom(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk")).as("est"))
 }

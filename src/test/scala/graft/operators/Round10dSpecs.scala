@@ -39,6 +39,35 @@ class UnigramLmStoreSpec extends SparkSpec {
   }
 }
 
+/** a4: HLL sketch union — contract verdicts plus the stored-sketch
+  * deployment path. */
+class HllUnionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("a4 verdicts hold on the corpus: per-type and unioned global") {
+    val rows = Approx.a4HllUnion(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).contains("__all__"))
+    rows.foreach(r => assert(r.getInt(2) == 1, s"out of contract: $r"))
+    // the global exact is genuinely the cross-type distinct, not a sum
+    val exactAll = rows.find(_.getString(0) == "__all__").get.getLong(1)
+    val perType = rows.filter(_.getString(0) != "__all__").map(_.getLong(1))
+    assert(exactAll <= perType.sum)
+    assert(exactAll >= perType.max)
+  }
+
+  test("stored sketches union to the same estimate as the in-session union") {
+    val path = java.nio.file.Files.createTempDirectory("hll_store").toString + "/sk"
+    Approx.a4SketchWrite(spark, sfDir, path)
+    val stored = Approx.a4UnionFrom(spark, path).as[Long].head()
+    val inSession = graft.Tables.events(spark, sfDir).select("event_type", "user_id")
+      .groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .agg(hll_union_agg(col("sk")).as("sk"))
+      .select(hll_sketch_estimate(col("sk"))).as[Long].head()
+    assert(stored == inSession)
+  }
+}
+
 /** d21 containment: the prefix-filter screen must lose nothing — the
   * operator's output is compared against brute-force all-pairs
   * containment over the same distinct-shingle sets. */
