@@ -141,6 +141,7 @@ object SparkEntry {
     "s13_rrf_hybrid"    -> (Retrieval.s13RrfHybrid _),
     "d21_containment"   -> (Dedup.d21Containment _),
     "a4_hll_union"      -> (Approx.a4HllUnion _),
+    "p4_rag_context"    -> (Retrieval.p4RagContext _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -343,5 +344,6 @@ object SparkEntry {
     "s13_rrf_hybrid"    -> Retrieval.s13Sql,
     "d21_containment"   -> Dedup.d21Sql,
     "a4_hll_union"      -> Approx.a4Sql,
+    "p4_rag_context"    -> Retrieval.p4Sql,
   )
 }

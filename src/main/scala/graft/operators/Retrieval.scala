@@ -253,8 +253,10 @@ object Retrieval {
       .orderBy("rank")
   }
 
-  val s13Sql: String =
-    s"""WITH ${bm25ScoredSql},
+  /** The s13 WITH-body up to the ranked fused top-10 — shared by the
+    * s13 oracle and p4's (which keeps composing past it). */
+  private def fusedCtesSql: String =
+    s"""${bm25ScoredSql},
        |lex AS (
        | SELECT doc_id, rank AS lex_rank FROM (
        |  SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
@@ -272,10 +274,124 @@ object Retrieval {
        |  coalesce(cast(floor(1e9 / ($RrfC + dense_rank)) AS bigint), 0) AS rrf_nano,
        |  cast(coalesce(lex_rank, 0) AS int) AS lex_rank,
        |  cast(coalesce(dense_rank, 0) AS int) AS dense_rank
-       | FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id)
-       |SELECT row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS rank,
-       | doc_id, rrf_nano, lex_rank, dense_rank
-       |FROM fused
-       |QUALIFY rank <= $RrfK
+       | FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+       |fusedtop AS (
+       | SELECT * FROM (
+       |  SELECT row_number() OVER (ORDER BY rrf_nano DESC, doc_id ASC) AS rank,
+       |   doc_id, rrf_nano, lex_rank, dense_rank
+       |  FROM fused) WHERE rank <= $RrfK)""".stripMargin
+
+  val s13Sql: String =
+    s"""WITH $fusedCtesSql
+       |SELECT rank, doc_id, rrf_nano, lex_rank, dense_rank
+       |FROM fusedtop
        |ORDER BY rank""".stripMargin
+
+  // ---- p4: the composed RAG serving pipeline ----
+
+  /** Context slots the packer fills (the reference feeds its top matches
+    * straight into the prompt; 5 diversified slots is the MMR default). */
+  val P4K = 5
+
+  /** p4: the reference's SERVING flow composed end-to-end as ONE query
+    * (conversationController.js:31-38 embeds the question, queries the
+    * index top-10, and stuffs the matches into the prompt — this is
+    * that flow with the two modern upgrades a production RAG stack
+    * runs): hybrid retrieve (s13's BM25 ⊕ dense RRF fusion, top-10) →
+    * MMR diversity re-rank over the shortlist's embeddings (s12's
+    * greedy at λ=0.5, 5 slots) → token-budget ledger (per-doc word
+    * count + running total — what the prompt assembler checks against
+    * the context window).
+    *
+    * Scale: the two corpus-sized legs are t26's tokenize pass and the
+    * bounded dense top-k; EVERYTHING past the fused top-10 — candidate
+    * embeddings (broadcast sliver join), pairwise sims, the greedy
+    * unroll, the token ledger — is ≤10-row sliver work, exactly the
+    * split a serving tier runs. MMR operates on candidates HAVING
+    * embeddings (lex-only hits without a stored vector can't be
+    * diversity-scored; membership is engine-agnostic so both engines
+    * agree). Output is rank-only (the s1 stability rule) plus exact
+    * integer token counts. */
+  def p4RagContext(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fused = s13RrfHybrid(s, dir)
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === DenseQid).select(col("embedding").as("qemb"))
+    val cand = e.join(broadcast(fused.select(col("doc_id"))), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), V.cosine(col("qemb"), col("embedding")).as("rel"),
+        col("embedding").as("cemb"))
+      .localCheckpoint()
+    val pairs = cand.select(col("doc_id").as("a"), col("cemb").as("aemb"))
+      .join(cand.select(col("doc_id").as("b"), col("cemb").as("bemb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"), V.cosine(col("aemb"), col("bemb")).as("sim"))
+      .localCheckpoint()
+    var sel = cand.orderBy(col("rel").desc, col("doc_id").asc).limit(1)
+      .select(col("doc_id"), lit(1).as("rank")).localCheckpoint()
+    for (r <- 2 to P4K) {
+      val selected = sel.select(col("doc_id").as("sid"))
+      val maxSim = pairs.join(selected, col("b") === col("sid"))
+        .groupBy("a").agg(max(col("sim")).as("maxsim"))
+      val pick = cand
+        .join(selected, col("doc_id") === col("sid"), "left_anti")
+        .join(maxSim, col("doc_id") === col("a"))
+        .withColumn("mmr", lit(Similarity.MmrLambda) * col("rel")
+          - lit(1.0 - Similarity.MmrLambda) * col("maxsim"))
+        .orderBy(col("mmr").desc, col("doc_id").asc).limit(1)
+        .select(col("doc_id"), lit(r).as("rank"))
+      sel = sel.unionByName(pick).localCheckpoint()
+    }
+    val toks = Tables.documents(s, dir).select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"))
+    sel.join(toks, Seq("doc_id"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(Window.orderBy(col("rank"))))
+      .select("rank", "doc_id", "n_tokens", "cum_tokens")
+      .orderBy("rank")
+  }
+
+  /** DuckDB twin: the fused CTEs + the same greedy unroll (no qid key —
+    * one serving query) + the token ledger. */
+  lazy val p4Sql: String = {
+    val lam = Similarity.MmrLambda
+    val rounds = (2 to P4K).map { r =>
+      val prev = (1 until r).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+      s"""selu${r - 1} AS ($prev),
+         |pick$r AS (
+         | SELECT c.doc_id, $lam * c.rel - ${1.0 - lam} * max(p.sim) AS mmr
+         | FROM cand c
+         | JOIN cpairs p ON p.a = c.doc_id
+         | JOIN selu${r - 1} s ON s.doc_id = p.b
+         | WHERE NOT EXISTS (SELECT 1 FROM selu${r - 1} x WHERE x.doc_id = c.doc_id)
+         | GROUP BY c.doc_id, c.rel),
+         |sel$r AS (
+         | SELECT doc_id, $r AS rank FROM pick$r
+         | QUALIFY row_number() OVER (ORDER BY mmr DESC, doc_id ASC) = 1)""".stripMargin
+    }.mkString(",\n")
+    val allSel = (1 to P4K).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")
+    s"""WITH $fusedCtesSql,
+       |cand AS (
+       | SELECT f.doc_id,
+       |  list_cosine_similarity(q.embedding, v.embedding) AS rel,
+       |  v.embedding AS cemb
+       | FROM fusedtop f
+       | JOIN embeddings v ON v.vec_id = f.doc_id
+       | CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = $DenseQid) q),
+       |cpairs AS (
+       | SELECT a.doc_id AS a, b.doc_id AS b, list_cosine_similarity(a.cemb, b.cemb) AS sim
+       | FROM cand a JOIN cand b ON a.doc_id <> b.doc_id),
+       |sel1 AS (
+       | SELECT doc_id, 1 AS rank FROM cand
+       | QUALIFY row_number() OVER (ORDER BY rel DESC, doc_id ASC) = 1),
+       |$rounds,
+       |allsel AS ($allSel),
+       |ledger AS (
+       | SELECT doc_id, cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS n_tokens
+       | FROM documents)
+       |SELECT s.rank, s.doc_id, l.n_tokens,
+       | cast(sum(l.n_tokens) OVER (ORDER BY s.rank) AS bigint) AS cum_tokens
+       |FROM allsel s JOIN ledger l ON l.doc_id = s.doc_id
+       |ORDER BY s.rank""".stripMargin
+  }
 }

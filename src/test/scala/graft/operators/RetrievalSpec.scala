@@ -105,6 +105,44 @@ class RetrievalSpec extends SparkSpec {
     assert(got == fusedWant)
   }
 
+  test("p4 equals the driver-side composition: fuse, MMR-diversify, token ledger") {
+    val fusedIds = Retrieval.s13RrfHybrid(spark, sfDir).collect()
+      .sortBy(_.getInt(0)).map(_.getLong(1)).toSeq
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val qe = e(Retrieval.DenseQid.toLong)
+    val cand = fusedIds.filter(e.contains).map(id => id -> cos(qe, e(id))).toMap
+    val lam = Similarity.MmrLambda
+    var selected = Vector.empty[Long]
+    while (selected.length < Retrieval.P4K && selected.length < cand.size) {
+      val pick = cand.keys.toSeq.filterNot(selected.contains).map { c =>
+        val m = if (selected.isEmpty) cand(c)
+                else lam * cand(c) - (1.0 - lam) * selected.map(s => cos(e(c), e(s))).max
+        (c, m)
+      }.minBy { case (c, m) => (-m, c) }._1
+      selected :+= pick
+    }
+    val toks = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+      .map { case (id, t) => id -> "[a-z0-9]+".r.findAllIn(t.toLowerCase).length.toLong }
+    val want = selected.zipWithIndex.map { case (id, i) => (i + 1, id, toks(id)) }
+      .scanLeft((0, 0L, 0L, 0L)) { case ((_, _, _, cum), (r, id, n)) => (r, id, n, cum + n) }
+      .drop(1)
+    val got = Retrieval.p4RagContext(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.map(_._1) == (1 to got.length))
+  }
+
   test("s13 rrf_nano is exact integer arithmetic over the two rank columns") {
     Retrieval.s13RrfHybrid(spark, sfDir).collect().foreach { r =>
       val (nano, lexR, denseR) = (r.getLong(2), r.getInt(3), r.getInt(4))
