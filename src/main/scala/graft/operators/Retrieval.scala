@@ -69,7 +69,12 @@ object Retrieval {
     * SQL twin. */
   private[graft] def bm25Contrib(idfMicro: Column, tf: Column, dl: Column,
                                  nDocs: Column, total: Column): Column = {
-    val r = (dl * nDocs).cast("double") / total.cast("double")
+    // each factor cast to double BEFORE the multiply (the t19 rule): the
+    // int64 product dl·n_docs would overflow past ~2^63 at extreme
+    // corpus sizes, while the double product is exact below 2^53 (all
+    // test scales) and merely rounds above — harmless under the /avgdl
+    // saturation. Same association order in the SQL twin.
+    val r = (dl.cast("double") * nDocs.cast("double")) / total.cast("double")
     val denom = tf.cast("double") + lit(K1) * (lit(1.0 - B) + lit(B) * r)
     floor(idfMicro * (tf * lit(K1 + 1.0)) / denom).cast("long")
   }
@@ -194,7 +199,7 @@ object Retrieval {
        | SELECT tfc.doc_id,
        |  cast(floor(idf_micro * (tf * ${K1 + 1.0}) /
        |    (cast(tf AS double) + $K1 * (${1.0 - B} + $B *
-       |      (cast(dl * n_docs AS double) / cast(total_tokens AS double))))) AS bigint) AS contrib
+       |      ((cast(dl AS double) * cast(n_docs AS double)) / cast(total_tokens AS double))))) AS bigint) AS contrib
        | FROM tfc JOIN idf USING (term) JOIN dl USING (doc_id)),
        |scored AS (
        | SELECT doc_id, cast(sum(contrib) AS bigint) AS score_micro

@@ -29,7 +29,7 @@ class RetrievalSpec extends SparkSpec {
     }
     tf.groupBy(_._1).map { case (id, rows) =>
       id -> rows.map { case (_, w, t) =>
-        val r = (dl(id) * nDocs).toDouble / total.toDouble
+        val r = (dl(id).toDouble * nDocs.toDouble) / total.toDouble
         val denom = t.toDouble + Retrieval.K1 * ((1.0 - Retrieval.B) + Retrieval.B * r)
         math.floor(idfMicro(w) * (t * (Retrieval.K1 + 1.0)) / denom).toLong
       }.sum
