@@ -142,6 +142,7 @@ object SparkEntry {
     "d21_containment"   -> (Dedup.d21Containment _),
     "a4_hll_union"      -> (Approx.a4HllUnion _),
     "p4_rag_context"    -> (Retrieval.p4RagContext _),
+    "t28_novelty"       -> (Dedup.t28Novelty _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -345,5 +346,6 @@ object SparkEntry {
     "d21_containment"   -> Dedup.d21Sql,
     "a4_hll_union"      -> Approx.a4Sql,
     "p4_rag_context"    -> Retrieval.p4Sql,
+    "t28_novelty"       -> Dedup.t28Sql,
   )
 }

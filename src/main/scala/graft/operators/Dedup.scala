@@ -1630,8 +1630,10 @@ object Dedup {
     * (equivalent to the engine's 64-bit fingerprint absent collisions,
     * which are negligible at oracle scale) — row_number first-occurrence
     * + the classic gaps-and-islands interval union. */
-  lazy val d17Sql: String =
-    s"""WITH c1 AS (
+  /** The c1→wins CTE prefix (planted corpus + window strings) — shared
+    * by d17's and t28's oracles. */
+  private def subWindowCtesSql: String =
+    s"""c1 AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 3 = 0 THEN text || ' $MirrorPassage' ELSE text END AS text
        |  FROM documents),
@@ -1646,7 +1648,10 @@ object Dedup {
        |wins AS (
        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+${SubW - 1}], ' ') AS w
        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, n_tokens - ${SubW - 1})) AS i) u
-       |  WHERE n_tokens >= $SubW),
+       |  WHERE n_tokens >= $SubW)""".stripMargin
+
+  lazy val d17Sql: String =
+    s"""WITH $subWindowCtesSql,
        |dups AS (
        |  SELECT doc_id, pos, pos + $SubW AS e
        |  FROM (SELECT doc_id, pos,
@@ -1913,6 +1918,47 @@ object Dedup {
         floor(lit(1e6) * col("inter") / col("sz")).cast("long").as("cont_ppm"))
       .orderBy("contained", "container")
   }
+
+  // ---- t28: per-document novelty (inverse memorization) ----
+
+  /** t28: per-document NOVELTY — the fraction of a doc's SubW-token
+    * sliding windows whose fingerprint appears in NO other document
+    * (the inverse of the cross-doc memorization mass Lee et al.
+    * arXiv:2107.06499 measure; as a selection signal it ranks documents
+    * by how much genuinely new text they contribute, where d17 reports
+    * WHERE the duplicated spans sit). Within-doc repetition does not
+    * reduce novelty — only cross-document sharing does.
+    *
+    * Shape: d17's corpus and rolling `token_window_hashes` expression,
+    * ONE (doc, fingerprint) map-combined count (the same exchange class
+    * as d17's), a fingerprint-bound distinct-doc rollup joined back on
+    * the (doc, fingerprint) frame, and a doc-keyed final agg — nothing
+    * corpus-text-sized shuffles, and the ppm is one floored division
+    * both engines compute identically. */
+  def t28Novelty(s: SparkSession, dir: String): DataFrame = {
+    val wins = corpusSub(s, dir).select(col("doc_id"),
+      explode(graft.functions.TokenWindows.hashes(col("text"), SubW)).as("h"))
+    val pdh = wins.groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    val hd = pdh.groupBy("h").agg(count(lit(1)).as("ndocs"))
+    pdh.join(hd, Seq("h"))
+      .groupBy("doc_id")
+      .agg(sum(col("cnt")).as("n_windows"),
+        sum(when(col("ndocs") === 1, col("cnt")).otherwise(0L)).as("novel_windows"))
+      .withColumn("novelty_ppm",
+        floor(lit(1e6) * col("novel_windows") / col("n_windows")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t28Sql: String =
+    s"""WITH $subWindowCtesSql,
+       |pdh AS (SELECT doc_id, w, count(*) AS cnt FROM wins GROUP BY doc_id, w),
+       |hd AS (SELECT w, count(*) AS ndocs FROM pdh GROUP BY w)
+       |SELECT doc_id,
+       | cast(sum(cnt) AS bigint) AS n_windows,
+       | cast(sum(CASE WHEN ndocs = 1 THEN cnt ELSE 0 END) AS bigint) AS novel_windows,
+       | cast(floor(1e6 * sum(CASE WHEN ndocs = 1 THEN cnt ELSE 0 END) / sum(cnt)) AS bigint) AS novelty_ppm
+       |FROM pdh JOIN hd USING (w)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   lazy val d21Sql: String =
     s"""WITH corpus AS ($d21CorpusSql),

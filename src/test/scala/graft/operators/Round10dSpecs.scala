@@ -39,6 +39,43 @@ class UnigramLmStoreSpec extends SparkSpec {
   }
 }
 
+/** t28 novelty: driver-side recompute from the definition over the
+  * planted d17 corpus. */
+class NoveltySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("t28 equals the definition recomputed driver-side; planted shares depress novelty") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+      .map { case (id, t0) =>
+        var t = t0
+        if (id % 3 == 0) t = t + " " + Dedup.MirrorPassage
+        if (id % 5 == 0) t = Dedup.BoilerPrefix + " " + t
+        (id, t)
+      }
+    val w = Dedup.SubW
+    val wins = docs.flatMap { case (id, t) =>
+      val toks = t.split("\\s+")
+      if (toks.length < w) Seq.empty
+      else (0 to toks.length - w).map(i => (id, toks.slice(i, i + w).mkString(" ")))
+    }
+    val pdh = wins.groupBy(identity).map { case ((id, win), g) => (id, win, g.size.toLong) }
+    val ndocs = pdh.groupBy(_._2).map { case (win, g) => win -> g.size }
+    val want = pdh.groupBy(_._1).map { case (id, rows) =>
+      val n = rows.map(_._3).sum
+      val novel = rows.filter(r => ndocs(r._2) == 1).map(_._3).sum
+      id -> (n, novel, math.floor(1e6 * novel / n).toLong)
+    }
+    val got = Dedup.t28Novelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // planted cross-doc shares (mirror passage on doc%3, boiler prefix on
+    // doc%5) must depress novelty below 1e6 on those docs
+    val shared = got.filter { case (id, _) => id % 3 == 0 || id % 5 == 0 }
+    assert(shared.nonEmpty && shared.values.forall(_._3 < 1000000L))
+  }
+}
+
 /** a4: HLL sketch union — contract verdicts plus the stored-sketch
   * deployment path. */
 class HllUnionSpec extends SparkSpec {
