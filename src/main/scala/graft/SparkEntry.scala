@@ -143,6 +143,7 @@ object SparkEntry {
     "a4_hll_union"      -> (Approx.a4HllUnion _),
     "p4_rag_context"    -> (Retrieval.p4RagContext _),
     "t28_novelty"       -> (Dedup.t28Novelty _),
+    "m4_phash_neardup"  -> (Multimodal.m4PhashNearDup _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —

@@ -51,6 +51,73 @@ object Multimodal {
         md5(col("frame_key").cast("binary")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** m4 hamming radius and banding geometry: 8 bands × 8 bits. τ=16 is
+    * calibrated to the LOW-CONTRAST surrogate stream (uniform ASCII
+    * text keeps adjacent stripe means within ~0.5 byte, so resampling
+    * flips more near-tie gradient bits than a natural image's
+    * high-contrast grid would — the spec documents the measured
+    * distribution). */
+  val PhashTau = 16
+  val PhashBands = 8
+  val PhashBandBits = 8
+
+  /** m4: PERCEPTUAL near-dup detection over media assets — the dHash
+    * twin of d4's SimHash (m3 is the SEMANTIC twin; this is the
+    * pixel-level one a crawl runs to catch RESAMPLED re-encodes of the
+    * same image). Corpus: assets ∪ resolution-doubled re-encodes of
+    * every 10th (each byte repeated — the byte-stream surrogate of an
+    * image upscale; payload = the decoded-surrogate stream, m1's
+    * convention). Candidate generation is HAMMING-SPACE LSH BANDING
+    * (the d3 shape in bit space): the 64-bit hash splits into 8 bands
+    * of 8 bits, assets colliding on ANY band meet, and the exact
+    * `bit_count(xor) ≤ 12` verify prunes band false-positives — a
+    * single leading-bit prefix block is NOT sound here because
+    * low-contrast streams flip near-tie gradient bits anywhere, while
+    * ≤τ errors across 8 bands leave a clean band with high
+    * probability. Recall is PROBABILISTIC — the honest property of any
+    * LSH candidate screen (d19's S-curve quantifies the same trade):
+    * the spec asserts ≥90% planted recall plus the exact machinery
+    * contract (every emitted pair verified ≤ τ; every planted pair
+    * with a clean band and hamming ≤ τ is emitted, deterministically).
+    *
+    * Robustness class, stated honestly: dHash's 65 equal-FRACTION
+    * stripes resample the stream to a fixed grid, so it is invariant
+    * to RESOLUTION changes — but NOT to content-shifting edits like
+    * appends, which realign every stripe (that class belongs to
+    * d17/t28's alignment-free window fingerprints; the kernel spec
+    * pins both behaviors).
+    *
+    * Engine-defined fingerprint → no SQL twin (the d4/d6/t6 class);
+    * spec-validated: planted recall, hamming bound, determinism.
+    * Scale: map-only hash, one (band, key) shuffle bounded by band
+    * occupancy, exact verify candidate-bound — never all-pairs. */
+  def m4PhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DHash
+    val d = Tables.documents(s, dir).select("doc_id", "text")
+    val assets = d.unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "(.)", "$1$1").as("text")))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val hashed = assets
+      .select(col("doc_id"), DHash.dhash64(col("payload")).as("ph"))
+      .localCheckpoint()
+    val bands = hashed.select(col("doc_id"), col("ph"),
+      posexplode(array((0 until PhashBands).map(b =>
+        shiftrightunsigned(col("ph"), b * PhashBandBits)
+          .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)).as(Seq("band", "key")))
+    val a = bands.select(col("doc_id").as("doc_a"), col("ph").as("ph_a"),
+      col("band"), col("key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("ph").as("ph_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "ph_a", "ph_b").distinct()
+      .withColumn("hamming", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
+      .filter(col("hamming") <= PhashTau)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val m2Sql: String =
     s"""SELECT doc_id, cast(i AS bigint) AS frame_idx,
        | md5(doc_id::varchar || '_' || i::varchar) AS frame_md5
