@@ -68,6 +68,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("char_hist_embed", "char_hist_embed(text) - stub encoder: normalized char histogram"),
       (args: Seq[Expression]) => CharHistEmbed(args(0))))
     ext.injectFunction((
+      FunctionIdentifier("dhash64"),
+      info("dhash64", "dhash64(payload) - 64-bit perceptual difference hash over a binary stream"),
+      (args: Seq[Expression]) => DHash64(args(0))))
+    ext.injectFunction((
       FunctionIdentifier("md5_prefix_mod"),
       info("md5_prefix_mod", "md5_prefix_mod(s, m) - first 60 md5 bits mod m"),
       (args: Seq[Expression]) => Md5PrefixMod(args(0),

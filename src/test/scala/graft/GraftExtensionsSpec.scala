@@ -56,8 +56,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       """SELECT size(winnow_fingerprints('the quick brown fox jumps over the dog')) AS nf,
         |       size(recursive_chunks('one two three four five six seven eight', 12, 2)) AS nc,
         |       size(char_hist_embed('hello')) AS dim,
-        |       md5_prefix_mod('abc', 1000000007) AS h""".stripMargin).head()
+        |       md5_prefix_mod('abc', 1000000007) AS h,
+        |       dhash64(cast('some binary payload content here' AS binary)) AS ph""".stripMargin).head()
     assert(r.getInt(0) > 0 && r.getInt(1) > 1 && r.getInt(2) == 64 && r.getLong(3) >= 0)
+    assert(r.getLong(4) == graft.functions.DHashUtil.dhash64(
+      "some binary payload content here".getBytes("UTF-8")))
   }
 
   // NOTE: the spark.sql.extensions CONFIG activation path is applied when
