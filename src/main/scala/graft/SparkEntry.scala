@@ -144,6 +144,7 @@ object SparkEntry {
     "p4_rag_context"    -> (Retrieval.p4RagContext _),
     "t28_novelty"       -> (Dedup.t28Novelty _),
     "m4_phash_neardup"  -> (Multimodal.m4PhashNearDup _),
+    "s14_binary_topk"   -> (Similarity.s14BinaryTopK _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -348,5 +349,6 @@ object SparkEntry {
     "a4_hll_union"      -> Approx.a4Sql,
     "p4_rag_context"    -> Retrieval.p4Sql,
     "t28_novelty"       -> Dedup.t28Sql,
+    "s14_binary_topk"   -> Similarity.s14Sql,
   )
 }

@@ -994,6 +994,62 @@ object Similarity {
       |FROM embeddings WHERE label NOT IN (3, 7)
       |GROUP BY label ORDER BY label""".stripMargin
 
+  // ---- s14: binary (1-bit) quantized top-k ----
+
+  /** s14: BINARY-quantized ANN — the fourth point on the compression
+    * curve (256 B float → 64 B SQ8 (s11) → 20 B PQ (s9) → 8 B binary):
+    * each vector collapses to its 64 SIGN bits packed into ONE int64
+    * (the FAISS IndexBinaryFlat shape), queries binarize the same way,
+    * and ranking is exact integer HAMMING via `bit_count(xor)` — zero
+    * floats anywhere past the sign compare, so unlike every other
+    * Similarity query the SCORE COLUMN itself is oracle-hashable, not
+    * just the rank order (sign(x) is precision-independent: float32
+    * and the oracle's float64 agree bit-for-bit on > 0).
+    *
+    * Scale: codes are map-only (one HOF fold per row), the corpus
+    * never shuffles (broadcast query codes), top-5 is the bounded
+    * payload-carrying aggregate — 8-byte codes mean a 100 TB float
+    * corpus ranks from a 3 TB code table, the memory-resident regime
+    * binary indexes exist for. Recall vs s1 truth is measured in the
+    * spec (the s6 harness family). */
+  def s14BinaryTopK(s: SparkSession, dir: String): DataFrame = {
+    val code = expr(
+      """aggregate(sequence(0, 63), cast(0 as bigint),
+        |  (acc, d) -> acc + if(element_at(embedding, d + 1) > cast(0 as float),
+        |                       shiftleft(cast(1 as bigint), d), cast(0 as bigint)))""".stripMargin)
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), code.as("code"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("hamming", bit_count(col("qcode").bitwiseXOR(col("code"))))
+      .groupBy("qid")
+      .agg(graft.functions.TopKRows.topKRowsByScore(
+        -col("hamming").cast("double"), col("vec_id"),
+        struct(col("vec_id").as("neighbor"), col("hamming")), 5).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
+      .select(col("qid"), (col("pos") + 1).as("rank"),
+        col("nbr.neighbor").as("neighbor"), col("nbr.hamming").as("hamming"))
+      .orderBy("qid", "rank")
+  }
+
+  val s14Sql: String =
+    """WITH codes AS (
+      | SELECT vec_id,
+      |  cast(list_sum(list_transform(range(0, 64),
+      |    d -> CASE WHEN embedding[d + 1] > 0
+      |         THEN (CASE WHEN d = 63 THEN (-9223372036854775807::BIGINT - 1) ELSE (1::BIGINT << d) END)
+      |         ELSE 0::BIGINT END)) AS bigint) AS code
+      | FROM embeddings)
+      |SELECT q.vec_id AS qid,
+      | row_number() OVER (PARTITION BY q.vec_id
+      |   ORDER BY bit_count(xor(q.code, v.code)) ASC, v.vec_id ASC) AS rank,
+      | v.vec_id AS neighbor,
+      | cast(bit_count(xor(q.code, v.code)) AS int) AS hamming
+      |FROM codes q JOIN codes v ON v.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      |QUALIFY rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
   // ---- s12: MMR diversity re-rank ----
 
   /** MMR parameters: shortlist depth, selected count, relevance weight. */

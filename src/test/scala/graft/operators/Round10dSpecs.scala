@@ -39,6 +39,39 @@ class UnigramLmStoreSpec extends SparkSpec {
   }
 }
 
+/** s14 binary quantization: driver-side recompute + the compression
+  * curve's recall measurement vs the s1 truth. */
+class BinaryTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("s14 equals a driver-side recompute from the sign-bit definition") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect().toMap
+    def code(v: Array[Float]): Long =
+      (0 until 64).map(d => if (d < v.length && v(d) > 0f) 1L << d else 0L).sum
+    val codes = vecs.map { case (id, v) => id -> code(v) }
+    val want = codes.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      codes.toSeq.filter(_._1 != qid)
+        .map { case (id, c) => (id, java.lang.Long.bitCount(codes(qid) ^ c)) }
+        .sortBy { case (id, h) => (h, id) }.take(5)
+        .zipWithIndex.map { case ((id, h), i) => (qid, i + 1, id, h) }
+    }
+    val got = Similarity.s14BinaryTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got == want)
+  }
+
+  test("s14 recall vs s1 truth is nonzero (the 32x-compression trade, measured)") {
+    val truth = Similarity.s1BruteForceTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = Similarity.s14BinaryTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall > 0.0, s"binary recall@5 $recall")
+    info(f"s14 binary recall@5 vs s1 truth: $recall%.2f")
+  }
+}
+
 /** t28 novelty: driver-side recompute from the definition over the
   * planted d17 corpus. */
 class NoveltySpec extends SparkSpec {
