@@ -9,16 +9,21 @@ import graft.functions.{TopK, VectorExpressions => V}
 /** Lexical + hybrid retrieval — the serving-side query surface of the
   * reference's RAG loop (conversationController.js:31-38 retrieves
   * top-10 by dense similarity only; production retrieval stacks fuse a
-  * lexical BM25 leg with the dense leg, which is exactly what these two
-  * operators add on top of the Similarity family):
+  * lexical BM25 leg with the dense leg, which is what this family adds
+  * on top of the Similarity operators):
   *
   *  - [[t26Bm25]]: Okapi BM25 (Robertson & Spärck Jones; the Lucene
   *    variant with the +1-shifted IDF) scored entirely in the engine;
+  *  - [[t26StatsWrite]] / [[t26ScoreFrom]] / [[bm25RowScore]]: the
+  *    persisted lexical index and its batch/streaming scorers (one
+  *    [[bm25Contrib]] definition across all three deployment shapes);
   *  - [[s13RrfHybrid]]: reciprocal-rank fusion (Cormack et al.
   *    SIGIR'09) of the BM25 ranking with the dense cosine ranking —
   *    the standard "hybrid search" composition (Elastic/Vespa/Weaviate
   *    all ship this exact formula) expressed as two bounded rank lists
-  *    and one integer merge.
+  *    and one integer merge;
+  *  - [[p4RagContext]]: the composed serving pipeline (hybrid retrieve
+  *    → MMR diversify → token-budget ledger).
   *
   * Determinism contract (the t12/t17 rule): ONE ln per distinct query
   * term → `idf_micro` (floored micro-nats); every other float op is an
