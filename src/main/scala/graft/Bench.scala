@@ -43,13 +43,17 @@ object Bench {
     * in later diagnostic objects (medians, delta ratios), so times are
     * taken from the substring starting at the `"queries":{` marker up to
     * its closing `}` when the marker survived the driver's tail
-    * truncation, and otherwise FIRST occurrence wins (the min-times
-    * object precedes every diagnostic repeat in the emitted line). */
+    * truncation — PLUS everything BEFORE the marker, which in the
+    * current two-line format is the surviving suffix of the full-map
+    * `queries_full` line (true min times, never ratios; historical
+    * diagnostic repeats all sat AFTER the queries object). Without a
+    * marker, FIRST occurrence wins over the whole text. */
   private[graft] def prevTimes(text: String, names: Set[String]): Map[String, Double] = {
     val marker = """\\?"queries\\?":\{""".r
     val scoped = marker.findFirstMatchIn(text).map { m =>
       val rest = text.substring(m.end)
-      rest.substring(0, math.max(0, rest.indexOf('}')))
+      text.substring(0, m.start) + "," +
+        rest.substring(0, math.max(0, rest.indexOf('}')))
     }.getOrElse(text)
     val pair = """\\?"([a-z0-9_]+)\\?":(-?[0-9]+\.[0-9]+)""".r
     pair.findAllMatchIn(scoped)
@@ -98,6 +102,52 @@ object Bench {
     }
     once(); once()
     (1 to 5).map(_ => once()).min
+  }
+
+  /** The stdout contract output, sized to the driver's bounded tail.
+    *
+    * Returns (optional full-map line, contract line). The contract line
+    * carries the fixed fields plus as many per-query times as fit a
+    * [[LineBudget]]-byte budget, filled in DESCENDING cost order so the
+    * perf-gated queries always survive, with `queries_omitted` and a
+    * `detail` pointer to the committed full snapshot. When anything was
+    * omitted, the full-map line is emitted FIRST so the tail window's
+    * remaining bytes carry a suffix of the complete map. */
+  private[graft] val LineBudget = 1900
+  private[graft] def contractLines(mins: Seq[(String, Double)], totalMin: Double,
+      failed: Seq[String], sfDir: String, detailPath: String): (Option[String], String) = {
+    def obj(kvs: Seq[(String, String)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmt4(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    val fixedHead = Seq(
+      "metric" -> "\"total\"",
+      "value" -> f"$totalMin%.4f",
+      "unit" -> "\"sec\"")
+    val fixedTail = Seq(
+      "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
+      "sf" -> ("\"" + sfDir + "\""),
+      "detail" -> ("\"" + detailPath + "\""))
+    val fixedLen = obj(fixedHead ++ fixedTail).length +
+      "\"queries\":{},\"queries_omitted\":000,".length
+    val entries = mins.sortBy { case (_, t) => -t }
+      .map { case (k, v) => (k, "\"" + k + "\":" + fmt4(v)) }
+    val taken = {
+      var used = fixedLen
+      entries.takeWhile { case (_, e) =>
+        val ok = used + e.length + 1 <= LineBudget
+        if (ok) used += e.length + 1
+        ok
+      }.map(_._1).toSet
+    }
+    val included = mins.filter { case (k, _) => taken(k) }
+    val line = obj(fixedHead ++ Seq(
+      "queries" -> obj(included.map { case (k, v) => k -> fmt4(v) }),
+      "queries_omitted" -> (mins.size - included.size).toString) ++ fixedTail)
+    val fullLine =
+      if (included.size < mins.size)
+        Some(obj(Seq("queries_full" -> obj(mins.map { case (k, v) => k -> fmt4(v) }))))
+      else None
+    (fullLine, line)
   }
 
   def main(args: Array[String]): Unit = {
@@ -187,20 +237,28 @@ object Bench {
       kvs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val totalMin = mins.collect { case (_, t) if t > 0 => t }.sum
     val totalMedian = medians.collect { case (_, t) if t > 0 => t }.sum
-    // Contract line: stdout, ONE SHORT json object. The driver keeps only
-    // a bounded tail of stdout and parses the line out of it — round-2's
-    // line with inlined medians+deltas outgrew that window and the driver
-    // recorded parsed:null. Keep this to the contract fields (times at
-    // 4 dp ≈ 25 B/query) and write the full diagnostics to a side file
-    // whose name deliberately does NOT match BENCH_r\d+.json.
-    def fmt4(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
-    val line = obj(Seq(
-      "metric" -> "\"total\"",
-      "value" -> f"$totalMin%.4f",
-      "unit" -> "\"sec\"",
-      "queries" -> obj(mins.map { case (k, v) => k -> fmt4(v) }),
-      "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
-      "sf" -> ("\"" + sfDir + "\"")))
+    // Round number of the snapshot this run will write (the driver's own
+    // run is the last writer, so its snapshot is the canonical gate run).
+    val roundNum = {
+      val latest = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      latest + 1
+    }
+    val detailPath = f"docs/BENCH_DETAIL_r$roundNum%02d.json"
+    // Contract line: stdout, ONE json object the driver can parse. The
+    // driver keeps only the LAST ~2000 chars of stdout — a line carrying
+    // all queries at 4 dp (~25 B/query) outgrew that window around 80
+    // queries, truncating its HEAD and leaving the driver with
+    // parsed:null (observed in the r9/r10 artifacts). So the final line
+    // is SIZED TO THE WINDOW: fixed contract fields plus as many
+    // per-query times as fit, filled in DESCENDING cost order (the
+    // perf-gated queries always survive), with `queries_omitted` + a
+    // `detail` pointer to the committed full snapshot. A full-map line
+    // printed just before it lets the window's remaining bytes carry a
+    // suffix of the complete map for round-over-round archaeology.
+    val (fullLine, line) = contractLines(mins, totalMin, failed, sfDir, detailPath)
+    fullLine.foreach(println)
     println(line)
     val detail = obj(Seq(
       "min_total" -> totalMin.toString,
@@ -227,10 +285,7 @@ object Bench {
     // the driver's own run is the last writer, so the committed snapshot
     // is the canonical gate run.
     try {
-      val latest = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
-        .foldLeft(0)(math.max)
-      val p = java.nio.file.Paths.get("docs", f"BENCH_DETAIL_r${latest + 1}%02d.json")
+      val p = java.nio.file.Paths.get(detailPath)
       java.nio.file.Files.createDirectories(p.getParent)
       java.nio.file.Files.write(p, (detail + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] round snapshot write failed: $e") }

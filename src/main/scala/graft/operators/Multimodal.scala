@@ -96,7 +96,10 @@ object Multimodal {
     val d = Tables.documents(s, dir).select("doc_id", "text")
     val assets = d.unionByName(d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), "(.)", "$1$1").as("text")))
+          // (?s): '.' must match line terminators too, or a newline-bearing
+          // doc's re-encode would double every char EXCEPT \n while the
+          // spec's driver-side recompute doubles every code point
+          regexp_replace(col("text"), "(?s)(.)", "$1$1").as("text")))
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val hashed = assets
       .select(col("doc_id"), DHash.dhash64(col("payload")).as("ph"))

@@ -160,7 +160,12 @@ object Retrieval {
     * array, zero shuffles; the streaming scorer's projection (see
     * graft.streaming.StreamingBm25). Terms absent from the document
     * contribute exactly 0 (tf = 0 zeroes the numerator), matching the
-    * relational form's missing (doc,term) rows. */
+    * relational form's missing (doc,term) rows; terms absent from the
+    * INDEX vocabulary also contribute 0 (the `map_contains_key` guard —
+    * under ANSI mode a bare `element_at` on a missing key throws, and
+    * the batch scorer drops such terms via its idf join, so the guard
+    * is what keeps stream ≡ batch on out-of-vocabulary query terms).
+    * An empty term list scores 0 (the foldLeft seed). */
   private[graft] def bm25RowScore(toks: Column, im: Column,
                                   nDocs: Column, total: Column,
                                   terms: Seq[String]): Column = {
@@ -169,9 +174,10 @@ object Retrieval {
     terms.map { t =>
       val tf = size(filter(toks, w => w === lit(t)))
       coalesce(
-        when(tf > 0, bm25Contrib(element_at(im, lit(t)), tf, dl, nDocs, total)),
+        when(tf > 0 && map_contains_key(im, lit(t)),
+          bm25Contrib(element_at(im, lit(t)), tf, dl, nDocs, total)),
         lit(0L))
-    }.reduce(_ + _)
+    }.foldLeft(lit(0L))(_ + _)
   }
 
   /** t26: BM25 top-20 over the documents corpus for the fixed query. */

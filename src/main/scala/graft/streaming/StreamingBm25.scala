@@ -39,7 +39,13 @@ object StreamingBm25 {
     val model = idf.filter(col("term").isin(terms: _*))
       .agg(map_from_entries(collect_list(struct(col("term"), col("idf_micro")))).as("im"))
       .crossJoin(stats.select(col("n_docs"), col("total_tokens")))
-    val termsArr = array(terms.map(lit): _*)
+    // an empty `array()` literal types as array<null> and fails the
+    // array_intersect analysis — give the degenerate no-terms case
+    // (reachable through the public parameter) an explicit string type;
+    // the scorer's foldLeft seed then scores nothing, emitting no rows
+    val termsArr =
+      if (terms.isEmpty) array().cast("array<string>")
+      else array(terms.map(lit): _*)
     stream
       .withColumn("toks", regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
       .filter(size(array_intersect(col("toks"), termsArr)) > 0)

@@ -41,6 +41,48 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.prevTimes(text, names) == Map("e1_sessionize" -> 0.9))
   }
 
+  test("contractLines sizes the final line under the driver's tail window") {
+    // 140 synthetic queries at ~25 B each would blow a 2000-char tail —
+    // the exact r9/r10 failure (driver recorded parsed:null)
+    val mins = (0 until 140).map(i => (f"q${i}%03d_synthetic_name", 0.01 * (140 - i)))
+    val (full, line) = Bench.contractLines(mins, 12.3456, Seq("qbad"), "/sf", "docs/D.json")
+    assert(line.length <= Bench.LineBudget, s"line is ${line.length} B")
+    assert(full.isDefined)
+    // the line is valid JSON head-to-tail (the whole point of the fix)
+    assert(line.startsWith("{\"metric\":\"total\"") && line.endsWith("}"))
+    // the most expensive queries are always included
+    assert(line.contains("\"q000_synthetic_name\":1.4000"))
+    assert(line.contains("\"queries_omitted\":"))
+    assert(line.contains("\"detail\":\"docs/D.json\""))
+    // the full-map line carries every query for archaeology
+    assert(mins.forall { case (k, _) => full.get.contains("\"" + k + "\":") })
+  }
+
+  test("contractLines with a small suite emits one complete line, nothing omitted") {
+    val mins = Seq(("q1_agg", 0.5), ("e1_sessionize", 1.25))
+    val (full, line) = Bench.contractLines(mins, 1.75, Seq(), "/sf", "docs/D.json")
+    assert(full.isEmpty)
+    assert(line.contains("\"queries_omitted\":0"))
+    assert(line.contains("\"q1_agg\":0.5000") && line.contains("\"e1_sessionize\":1.2500"))
+  }
+
+  test("prevTimes recovers the union of the full-map fragment and the contract line") {
+    // the new two-line stdout, truncated the way the driver's tail cuts it:
+    // a suffix of the queries_full line, then the complete contract line
+    val text =
+      raw""":0.9000,"q20_set_ops":6.9600}}""" + "\n" +
+      raw"""{"metric":"total","value":8.0,"unit":"sec","queries":{"q20_set_ops":6.9600,"q1_agg":1.2000},"queries_omitted":1,"failed":[],"sf":"x","detail":"docs/D.json"}"""
+    val t = Bench.prevTimes(text, names)
+    // the fragment's cut-off name (only ":0.9000" survived) is ignored;
+    // its complete pair and the contract line's pairs are all recovered
+    assert(t == Map("q20_set_ops" -> 6.96, "q1_agg" -> 1.2))
+    val text2 =
+      raw"""{"queries_full":{"e1_sessionize":0.9000,"q20_set_ops":6.9600}}""" + "\n" +
+      raw"""{"metric":"total","queries":{"q20_set_ops":6.9600},"queries_omitted":1,"sf":"x"}"""
+    val t2 = Bench.prevTimes(text2, names)
+    assert(t2 == Map("e1_sessionize" -> 0.9, "q20_set_ops" -> 6.96))
+  }
+
   test("baselineTimes parses markdown table rows, ignoring prose and unknown names") {
     val text =
       """# BASELINE — numeric per-query gate

@@ -58,6 +58,54 @@ class StreamingBm25Spec extends SparkSpec {
     assert(!got.contains(900002L) && got.contains(900001L) && got.contains(900003L))
   }
 
+  test("out-of-vocabulary query terms score 0 in the stream, matching the batch scorer") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("bm25_oov").toString
+    Retrieval.t26StatsWrite(spark, sfDir, dir)
+    val idf = spark.read.parquet(s"$dir/idf")
+    val stats = spark.read.parquet(s"$dir/stats")
+    // "zzqoov" is in the query but in no indexed document, so it is
+    // absent from the stored vocabulary; a doc carrying it WITH an
+    // indexed term must score as if the OOV term were not there (ANSI
+    // element_at on the idf map used to throw here), and a doc carrying
+    // ONLY the OOV term must be dropped like the batch scorer drops it
+    val terms = Retrieval.QueryTerms :+ "zzqoov"
+    val docs = Seq(
+      (910001L, "spark zzqoov vector mixed arrival"),
+      (910002L, "zzqoov zzqoov nothing indexed here"))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingBm25.scoreAgainstStore(
+        mem.toDF().toDF("doc_id", "text"), idf, stats, terms)
+      .writeStream.format("memory").queryName("bm25_oov_out")
+      .outputMode("append").start()
+    mem.addData(docs: _*); q.processAllAvailable()
+    val got = spark.sql("select * from bm25_oov_out").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = Retrieval.t26ScoreFrom(spark, dir,
+        docs.toDF("doc_id", "text"), terms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    assert(got.contains(910001L) && !got.contains(910002L))
+    // and the OOV term contributes exactly 0: same doc scored without it
+    val without = Retrieval.t26ScoreFrom(spark, dir,
+        docs.toDF("doc_id", "text"), Retrieval.QueryTerms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(910001L) == without(910001L))
+  }
+
+  test("an empty term list scores nothing and throws nowhere") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bm25_noterms").toString
+    Retrieval.t26StatsWrite(spark, sfDir, dir)
+    val idf = spark.read.parquet(s"$dir/idf")
+    val stats = spark.read.parquet(s"$dir/stats")
+    val docs = Seq((920001L, "spark vector window")).toDF("doc_id", "text")
+    val out = StreamingBm25.scoreAgainstStore(docs, idf, stats, Seq.empty)
+    assert(out.collect().isEmpty)
+  }
+
   test("frozen collection stats: scoring a new batch does not shift existing scores") {
     val dir = java.nio.file.Files.createTempDirectory("bm25_frozen").toString
     Retrieval.t26StatsWrite(spark, sfDir, dir)
