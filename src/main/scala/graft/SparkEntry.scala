@@ -145,6 +145,9 @@ object SparkEntry {
     "t28_novelty"       -> (Dedup.t28Novelty _),
     "m4_phash_neardup"  -> (Multimodal.m4PhashNearDup _),
     "s14_binary_topk"   -> (Similarity.s14BinaryTopK _),
+    "s15_external_topk" -> (Similarity.s15ExternalTopK _),
+    "s16_external_recall" -> (Similarity.s16ExternalRecall _),
+    "t27_bm25_batch"    -> ((s, d) => Retrieval.t27Bm25Batch(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -350,5 +353,8 @@ object SparkEntry {
     "p4_rag_context"    -> Retrieval.p4Sql,
     "t28_novelty"       -> Dedup.t28Sql,
     "s14_binary_topk"   -> Similarity.s14Sql,
+    "s15_external_topk" -> Similarity.s15Sql,
+    "s16_external_recall" -> Similarity.s16Sql,
+    "t27_bm25_batch"    -> Retrieval.t27Sql,
   )
 }

@@ -88,12 +88,14 @@ object Retrieval {
   private def idfMicroCol(df: Column, nDocs: Column): Column =
     floor(log((nDocs - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) * 1e6).cast("long")
 
-  /** Corpus-parameterized body of [[bm25Scored]] (spec fixtures). */
-  private[graft] def bm25ScoredFrame(docs: DataFrame): DataFrame = {
+  /** Corpus-parameterized body of [[bm25Scored]] (spec fixtures; the
+    * term set defaults to the demo query and is the public knob). */
+  private[graft] def bm25ScoredFrame(docs: DataFrame,
+      terms: Seq[String] = QueryTerms): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
     val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
-    val tf = toks.filter(col("term").isin(QueryTerms: _*))
+    val tf = toks.filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
@@ -180,6 +182,107 @@ object Retrieval {
     }.foldLeft(lit(0L))(_ + _)
   }
 
+  // ---- t27: multi-query batch scoring (the external-question shape) ----
+
+  /** The t27 batch fixture: three analyzed user questions, one carrying
+    * an out-of-vocabulary term (scores 0 — the bm25RowScore contract). */
+  val BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("vector", "spark", "hash"),
+    1L -> Seq("window", "stream", "data"),
+    2L -> Seq("table", "row", "zzqoov"))
+
+  /** Score a BATCH of analyzed queries — a (qid, term) DataFrame — in
+    * ONE corpus pass: the reference serves one embedded question per
+    * request (conversationController.js:31-38); a serving tier batches
+    * them, and the right plan amortizes the corpus-sized work (one
+    * tokenize pass, one per-(doc,term) tf aggregate over the UNION of
+    * all queries' terms) across every query in the batch. df/idf are
+    * per-term collection statistics — independent of which query asked —
+    * so the per-(doc,term) contributions are computed ONCE and fan out
+    * to queries by a broadcast (qid, term) join AFTER the corpus-sized
+    * work, never corpus × queries. Terms no query asked for never enter
+    * the tf shuffle (broadcast semi-join on the batch's distinct terms —
+    * same pruning class as the single-query isin, which is a post-
+    * explode filter, not a scan pushdown, in both forms). */
+  private[graft] def bm25ScoredBatchFrame(docs: DataFrame, qterms: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val batchTerms = qterms.select("term").distinct()
+    val tf = toks.join(broadcast(batchTerms), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), idfMicroCol(col("df"), col("n_docs")).as("idf_micro"),
+        col("n_docs"), col("total_tokens"))
+    tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("doc_id"), col("term"),
+        bm25Contrib(col("idf_micro"), col("tf"), col("dl"),
+          col("n_docs"), col("total_tokens")).as("contrib"))
+      .join(broadcast(qterms), Seq("term"))
+      .groupBy("qid", "doc_id").agg(sum(col("contrib")).as("score_micro"))
+  }
+
+  /** t27: the BM25 batch-serving query — top-10 docs per query for the
+    * [[BatchQueries]] fixture, ranked within each qid. The public API is
+    * [[t27Bm25Batch(s,dir,qterms)]] with an arbitrary (qid, term)
+    * frame. */
+  def t27Bm25Batch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qterms = BatchQueries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("qid", "term")
+    t27Bm25Batch(s, dir, qterms)
+  }
+
+  /** Batch BM25 with a caller-supplied (qid, term) query frame. */
+  def t27Bm25Batch(s: SparkSession, dir: String, qterms: DataFrame): DataFrame = {
+    val scored = bm25ScoredBatchFrame(
+      Tables.documents(s, dir).select("doc_id", "text"), qterms)
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .filter(col("rank") <= RrfK)
+      .select("qid", "rank", "doc_id", "score_micro")
+      .orderBy("qid", "rank")
+  }
+
+  lazy val t27Sql: String = {
+    val qtermsValues = BatchQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    s"""WITH qterms AS (SELECT * FROM (VALUES $qtermsValues) AS q(qid, term)),
+       |toks AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term
+       | FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+       |tfc AS (
+       | SELECT doc_id, term, count(*) AS tf FROM toks
+       | WHERE term IN (SELECT DISTINCT term FROM qterms) GROUP BY doc_id, term),
+       |idf AS (
+       | SELECT term,
+       |  cast(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1e6) AS bigint) AS idf_micro,
+       |  n_docs, total_tokens
+       | FROM (SELECT term, count(*) AS df FROM tfc GROUP BY term) dfc CROSS JOIN stats),
+       |contribs AS (
+       | SELECT tfc.doc_id, tfc.term,
+       |  cast(floor(idf_micro * (tf * ${K1 + 1.0}) /
+       |    (cast(tf AS double) + $K1 * (${1.0 - B} + $B *
+       |      ((cast(dl AS double) * cast(n_docs AS double)) / cast(total_tokens AS double))))) AS bigint) AS contrib
+       | FROM tfc JOIN idf USING (term) JOIN dl USING (doc_id)),
+       |scored AS (
+       | SELECT q.qid, c.doc_id, cast(sum(c.contrib) AS bigint) AS score_micro
+       | FROM contribs c JOIN qterms q ON q.term = c.term
+       | GROUP BY q.qid, c.doc_id)
+       |SELECT cast(qid AS bigint) AS qid,
+       | row_number() OVER (PARTITION BY qid ORDER BY score_micro DESC, doc_id ASC) AS rank,
+       | doc_id, score_micro
+       |FROM scored
+       |QUALIFY rank <= $RrfK
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** t26: BM25 top-20 over the documents corpus for the fixed query. */
   def t26Bm25(s: SparkSession, dir: String): DataFrame =
     bm25Scored(s, dir)
@@ -245,11 +348,35 @@ object Retrieval {
     * family's rank-stability contract); everything downstream of the
     * two rank lists is exact integer arithmetic. */
   def s13RrfHybrid(s: SparkSession, dir: String): DataFrame = {
-    val lex = t26Bm25(s, dir).select(col("doc_id"), col("rank").as("lex_rank"))
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val q = e.filter(col("vec_id") === DenseQid)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val dense = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    s13Fused(s, dir, QueryTerms, q, excludeSelf = true)
+  }
+
+  /** [[s13RrfHybrid]] for an EXTERNAL serving query: an analyzed term
+    * list for the lexical leg and a one-row (qemb) embedding frame for
+    * the dense leg — the reference's actual input (an embedded user
+    * question, conversationController.js:31-38), which is NOT a store
+    * member, so no self-exclusion. */
+  def s13RrfHybridFor(s: SparkSession, dir: String, terms: Seq[String],
+      queryVec: DataFrame): DataFrame =
+    s13Fused(s, dir, terms,
+      queryVec.select(lit(-1L).as("qid"), col("qemb")), excludeSelf = false)
+
+  private def s13Fused(s: SparkSession, dir: String, terms: Seq[String],
+      q: DataFrame, excludeSelf: Boolean): DataFrame = {
+    val lex = bm25ScoredFrame(Tables.documents(s, dir).select("doc_id", "text"), terms)
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(TopN)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id").asc)))
+      .select("doc_id", "lex_rank")
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val denseBase =
+      if (excludeSelf) e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      else e.crossJoin(broadcast(q))
+    val dense = denseBase
       .groupBy("qid")
       .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), TopN).as("nbrs"))
       .select(posexplode(col("nbrs")).as(Seq("pos", "doc_id")))
@@ -329,10 +456,23 @@ object Retrieval {
     * agree). Output is rank-only (the s1 stability rule) plus exact
     * integer token counts. */
   def p4RagContext(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val fused = s13RrfHybrid(s, dir)
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val q = e.filter(col("vec_id") === DenseQid).select(col("embedding").as("qemb"))
+    p4Frame(s, dir, s13RrfHybrid(s, dir), q)
+  }
+
+  /** [[p4RagContext]] for an EXTERNAL serving query — the full composed
+    * pipeline (hybrid retrieve → MMR → token ledger) on an analyzed
+    * term list + a one-row (qemb) embedding frame. */
+  def p4RagContextFor(s: SparkSession, dir: String, terms: Seq[String],
+      queryVec: DataFrame): DataFrame =
+    p4Frame(s, dir, s13RrfHybridFor(s, dir, terms, queryVec),
+      queryVec.select(col("qemb")))
+
+  private def p4Frame(s: SparkSession, dir: String, fused: DataFrame,
+      q: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val cand = e.join(broadcast(fused.select(col("doc_id"))), col("vec_id") === col("doc_id"))
       .crossJoin(broadcast(q))
       .select(col("doc_id"), V.cosine(col("qemb"), col("embedding")).as("rel"),

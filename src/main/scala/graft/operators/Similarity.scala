@@ -62,17 +62,194 @@ object Similarity {
       .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
       .orderBy("qid", "rank")
 
+  // ---- external query batches (the serving-side input shape) ----
+
+  /** Number of generated external queries (qids 0..N-1). */
+  val NumExternalQueries = 10
+
+  /** EXTERNAL query batch: (qid, qemb) vectors that are NOT corpus
+    * members — the reference's normal serving case (it embeds an
+    * arbitrary user question and queries the store with it,
+    * conversationController.js:31-38; a query vector that happens to be
+    * in the index is the exception, not the rule). Every `*For` variant
+    * in this family and the t26/s12/s13/p4 retrieval surface accepts a
+    * batch of this shape; this generator exists so the oracle rows
+    * (s15/s16) can pin the external path with a vector set BOTH engines
+    * derive identically.
+    *
+    * qid i = the WEIGHTED combination (3·e₂ᵢ + e₂ᵢ₊₁)/4 of corpus
+    * embeddings 2i and 2i+1, computed in double (3x is exact for any
+    * float32 x, the sum is one correctly-rounded op, /4 is an exact
+    * scale) and rounded once to float32 — the s11 rule, so Spark and
+    * DuckDB hold bit-identical query vectors. The weights are
+    * deliberately ASYMMETRIC: a plain mean of two near-unit vectors is
+    * an exact mathematical tie between its parents (q·a = q·b =
+    * (1+a·b)/2), which cross-engine float noise would break
+    * arbitrarily; the 3:1 blend separates the parents by (1−a·b)/2 —
+    * far above noise — so the family's rank-stability contract applies
+    * downstream. A convex blend of two in-range floats is in range,
+    * and with probability ~1 is no corpus member. */
+  def externalQueries(s: SparkSession, dir: String): DataFrame =
+    externalQueriesFrame(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+
+  /** Corpus-parameterized body of [[externalQueries]] (spec fixtures). */
+  private[graft] def externalQueriesFrame(e: DataFrame): DataFrame = {
+    val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2L * NumExternalQueries)
+      .select((col("vec_id") / 2).cast("long").as("qid"), col("embedding").as("ea"))
+    val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 2L * NumExternalQueries)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("qid"), col("embedding").as("eb"))
+    a.join(b, Seq("qid"))
+      .select(col("qid"), zip_with(col("ea"), col("eb"),
+        (x, y) => ((lit(3.0) * x.cast("double") + y.cast("double")) / lit(4.0)).cast("float")).as("qemb"))
+  }
+
+  /** The extq CTE both oracle rows share (same construction, DuckDB). */
+  val ExtqSql: String =
+    s"""extq AS (
+       | SELECT cast(a.vec_id // 2 AS bigint) AS qid,
+       |  [cast((3 * cast(a.embedding[i] AS double) + cast(b.embedding[i] AS double)) / 4 AS real)
+       |   for i in generate_series(1, len(a.embedding))] AS qemb
+       | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+       | WHERE a.vec_id % 2 = 0 AND a.vec_id < ${2 * NumExternalQueries})""".stripMargin
+
+  /** Brute-force cosine top-k of a (qid, qemb) query batch against a
+    * (vec_id, embedding) corpus — the serving primitive behind
+    * s1/s5/s11/s15: broadcast queries × one corpus scan → codegen'd
+    * cosine → the bounded TopKByScore aggregate (the shuffle carries
+    * O(partitions × queries × k) rows, never the N×Q score matrix).
+    * `excludeSelf` drops the candidate whose vec_id equals qid — the
+    * corpus self-query fixtures; external batches keep every candidate
+    * (their qids live in their own namespace). */
+  private[graft] def bruteTopKFrame(corpus: DataFrame, queries: DataFrame,
+      k: Int, excludeSelf: Boolean): DataFrame = {
+    val joined =
+      if (excludeSelf) corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      else corpus.crossJoin(broadcast(queries))
+    explodeRanks(joined.groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs")))
+  }
+
   /** s1: brute-force cosine top-5 for the 10 query vectors (vec_id<10).
     * Broadcast queries × full scan → codegen'd cosine → bounded topk agg. */
   def s1BruteForceTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val grouped = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .groupBy("qid")
-      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
-    explodeRanks(grouped)
+    bruteTopKFrame(e, q, 5, excludeSelf = true)
   }
+
+  /** s15: brute-force top-5 for an EXTERNAL query batch — the serving
+    * query the reference actually runs (embed the user's question, rank
+    * the whole store against it). Same plan as s1; no self-exclusion
+    * because the queries are not store members. */
+  def s15ExternalTopK(s: SparkSession, dir: String): DataFrame =
+    bruteTopKFrame(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      externalQueries(s, dir), 5, excludeSelf = false)
+
+  lazy val s15Sql: String =
+    s"""WITH $ExtqSql
+       |SELECT q.qid,
+       | row_number() OVER (PARTITION BY q.qid
+       |   ORDER BY list_cosine_similarity(q.qemb, v.embedding) DESC, v.vec_id ASC) AS rank,
+       | v.vec_id AS neighbor
+       |FROM extq q CROSS JOIN embeddings v
+       |QUALIFY rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** nprobe for the s16 external-recall audit (the deployment point). */
+  val ExtNprobe = 2
+
+  /** s16: ANN recall for EXTERNAL queries — the honest serving number
+    * (s6 measures recall on corpus self-queries, which flatter an index
+    * because every query sits exactly on a stored point; a held-out
+    * probe set is how recall is actually reported). IVF probed at
+    * nprobe=2 and 8-plane LSH, each scored against the external
+    * brute-force truth (s15's top-5). Same materialization discipline
+    * as s6: the truth sliver and the tiny query batch are pinned once;
+    * the IVF assignment is the one corpus-sized pass, shared shape with
+    * s4; everything downstream is (queries × k)-bound. */
+  def s16ExternalRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val qs = externalQueries(s, dir).localCheckpoint()
+    val truth = bruteTopKFrame(e, qs, 5, excludeSelf = false)
+      .select("qid", "neighbor").localCheckpoint()
+    // IVF: s4's deterministic codebook, map-only assignment, top-2 probes
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val cb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), ExtNprobe).as("pcids"),
+           first(col("qemb")).as("qemb"))
+      .select(col("qid"), col("qemb"), explode(col("pcids")).as("pcid"))
+    val ivf = explodeRanks(assigned.join(broadcast(probes), col("cid") === col("pcid"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs")))
+      .select("qid", "neighbor")
+    // LSH: 8-plane buckets, query bucketed with the same hyperplanes
+    val bucketed = e.withColumn("bucket", lshBucket(col("embedding")))
+    val qb = qs.withColumn("qbucket", lshBucket(col("qemb")))
+    val lsh = explodeRanks(bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs")))
+      .select("qid", "neighbor")
+    def row(method: String, approx: DataFrame): DataFrame =
+      truth.join(approx.withColumn("hit", lit(1)), Seq("qid", "neighbor"), "left")
+        .agg(count(col("hit")).as("hits"), count(lit(1)).as("total"))
+        .select(lit(method).as("method"), col("hits"), col("total"),
+          expr("hits * 1000000 div total").as("recall_ppm"))
+    row("ivf", ivf).unionByName(row("lsh", lsh)).orderBy("method")
+  }
+
+  lazy val s16Sql: String =
+    s"""WITH $ExtqSql,
+       |truth AS (
+       | SELECT qid, vec_id AS neighbor FROM (
+       |  SELECT q.qid, v.vec_id,
+       |   row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_cosine_similarity(q.qemb, v.embedding) DESC, v.vec_id ASC) AS rank
+       |  FROM extq q CROSS JOIN embeddings v) WHERE rank <= 5),
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       | SELECT e.vec_id, e.embedding, c.cid
+       | FROM embeddings e CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
+       |probes AS (
+       | SELECT q.qid, q.qemb, c.cid FROM extq q CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY q.qid
+       |   ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid ASC) <= $ExtNprobe),
+       |ivf AS (
+       | SELECT qid, neighbor FROM (
+       |  SELECT p.qid, v.vec_id AS neighbor,
+       |   row_number() OVER (PARTITION BY p.qid
+       |    ORDER BY list_cosine_similarity(p.qemb, v.embedding) DESC, v.vec_id ASC) AS rank
+       |  FROM probes p JOIN assigned v ON v.cid = p.cid) WHERE rank <= 5),
+       |lshb AS (
+       | SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+       |qb AS (
+       | SELECT qid, qemb, ${lshBucketSql("qemb")} AS bucket FROM extq),
+       |lsh AS (
+       | SELECT qid, neighbor FROM (
+       |  SELECT q.qid, v.vec_id AS neighbor,
+       |   row_number() OVER (PARTITION BY q.qid
+       |    ORDER BY list_cosine_similarity(q.qemb, v.embedding) DESC, v.vec_id ASC) AS rank
+       |  FROM qb q JOIN lshb v ON v.bucket = q.bucket) WHERE rank <= 5),
+       |tot AS (SELECT count(*) AS total FROM truth),
+       |h AS (
+       | SELECT 'ivf' AS method, count(*) AS hits FROM ivf JOIN truth USING (qid, neighbor)
+       | UNION ALL
+       | SELECT 'lsh' AS method, count(*) AS hits FROM lsh JOIN truth USING (qid, neighbor))
+       |SELECT method, cast(hits AS bigint) AS hits,
+       | cast(total AS bigint) AS total,
+       | cast(hits * 1000000 // total AS bigint) AS recall_ppm
+       |FROM h CROSS JOIN tot ORDER BY method""".stripMargin
 
   /** s2: LSH-bucketed ANN — random-hyperplane bucket equality prunes the
     * candidate set before exact scoring (the 100 TB serving path). */
@@ -215,11 +392,18 @@ object Similarity {
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
     val corpus = e.filter(col("label").isin(1, 2, 3)) // the metadata filter
       .select("vec_id", "embedding")
-    val grouped = corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .groupBy("qid")
-      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), 5).as("nbrs"))
-    explodeRanks(grouped)
+    bruteTopKFrame(corpus, q, 5, excludeSelf = true)
   }
+
+  /** [[s5FilteredTopK]] for an EXTERNAL (qid, qemb) batch — the actual
+    * Pinecone shape: `index.query({vector, filter})` with a caller-
+    * supplied vector. Same pushed label filter, no self-exclusion. */
+  def s5FilteredTopKFor(s: SparkSession, dir: String, queries: DataFrame,
+      labels: Seq[Int] = Seq(1, 2, 3), k: Int = 5): DataFrame =
+    bruteTopKFrame(
+      Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+        .filter(col("label").isin(labels: _*)).select("vec_id", "embedding"),
+      queries, k, excludeSelf = false)
 
   val s5Sql: String =
     """SELECT q.vec_id AS qid,
@@ -368,23 +552,50 @@ object Similarity {
     * degenerate constant corpus (mx = mn) would divide by zero — a real
     * deployment guards that once at range-fit time. */
   def s11Sq8TopK(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val rng = e.agg(
-      min(array_min(col("embedding"))).cast("double").as("mn"),
-      max(array_max(col("embedding"))).cast("double").as("mx"))
-      .localCheckpoint()
-    val deq = e.crossJoin(broadcast(rng))
-      .select(col("vec_id"), expr(
-        """transform(
-          |  transform(embedding, x -> cast(floor((cast(x as double) - mn) * 255e0 / (mx - mn)) as bigint)),
-          |  c -> cast(mn + cast(2 * c + 1 as double) * (mx - mn) / 510e0 as float))""".stripMargin
-      ).as("dq"))
+    val (deq, _) = s11Dequantized(s, dir)
     val q = deq.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("dq").as("qdq"))
     val grouped = deq.join(broadcast(q), col("vec_id") =!= col("qid"))
       .groupBy("qid")
       .agg(TopK.topKByScore(V.cosine(col("qdq"), col("dq")), col("vec_id"), 5).as("nbrs"))
     explodeRanks(grouped)
+  }
+
+  /** The SQ8-dequantized corpus plus its pinned [mn, mx] range row —
+    * shared by the self-query fixture and the external variant. */
+  private def s11Dequantized(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val rng = e.agg(
+      min(array_min(col("embedding"))).cast("double").as("mn"),
+      max(array_max(col("embedding"))).cast("double").as("mx"))
+      .localCheckpoint()
+    val sq8 =
+      """transform(
+        |  transform(%s, x -> cast(floor((cast(x as double) - mn) * 255e0 / (mx - mn)) as bigint)),
+        |  c -> cast(mn + cast(2 * c + 1 as double) * (mx - mn) / 510e0 as float))""".stripMargin
+    val deq = e.crossJoin(broadcast(rng))
+      .select(col("vec_id"), expr(sq8.format("embedding")).as("dq"))
+    (deq, rng)
+  }
+
+  /** [[s11Sq8TopK]] for an EXTERNAL (qid, qemb) batch: the query is
+    * quantized against the SAME stored corpus range (the symmetric-SQ
+    * serving shape — the stored range is part of the index artifact).
+    * A deployment guards out-of-range query components at quantize
+    * time; the generated external batch is in range by construction
+    * (means of stored vectors). */
+  def s11Sq8TopKFor(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val (deq, rng) = s11Dequantized(s, dir)
+    val sq8 =
+      """transform(
+        |  transform(%s, x -> cast(floor((cast(x as double) - mn) * 255e0 / (mx - mn)) as bigint)),
+        |  c -> cast(mn + cast(2 * c + 1 as double) * (mx - mn) / 510e0 as float))""".stripMargin
+    val q = queries.crossJoin(broadcast(rng))
+      .select(col("qid"), expr(sq8.format("qemb")).as("qdq"))
+    explodeRanks(deq.crossJoin(broadcast(q))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qdq"), col("dq")), col("vec_id"), k).as("nbrs")))
   }
 
   val s11Sql: String =
@@ -1012,24 +1223,44 @@ object Similarity {
     * corpus ranks from a 3 TB code table, the memory-resident regime
     * binary indexes exist for. Recall vs s1 truth is measured in the
     * spec (the s6 harness family). */
-  def s14BinaryTopK(s: SparkSession, dir: String): DataFrame = {
-    val code = expr(
-      """aggregate(sequence(0, 63), cast(0 as bigint),
-        |  (acc, d) -> acc + if(element_at(embedding, d + 1) > cast(0 as float),
-        |                       shiftleft(cast(1 as bigint), d), cast(0 as bigint)))""".stripMargin)
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), code.as("code"))
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("code").as("qcode"))
-    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+  /** The 64-sign-bit pack of a float-array column (column name via %s). */
+  private def signCode(colName: String) = expr(
+    s"""aggregate(sequence(0, 63), cast(0 as bigint),
+       |  (acc, d) -> acc + if(element_at($colName, d + 1) > cast(0 as float),
+       |                       shiftleft(cast(1 as bigint), d), cast(0 as bigint)))""".stripMargin)
+
+  private def s14Ranked(corpus: DataFrame, q: DataFrame, k: Int,
+      excludeSelf: Boolean): DataFrame = {
+    val joined =
+      if (excludeSelf) corpus.join(broadcast(q), col("vec_id") =!= col("qid"))
+      else corpus.crossJoin(broadcast(q))
+    joined
       .withColumn("hamming", bit_count(col("qcode").bitwiseXOR(col("code"))))
       .groupBy("qid")
       .agg(graft.functions.TopKRows.topKRowsByScore(
         -col("hamming").cast("double"), col("vec_id"),
-        struct(col("vec_id").as("neighbor"), col("hamming")), 5).as("nbrs"))
+        struct(col("vec_id").as("neighbor"), col("hamming")), k).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "nbr")))
       .select(col("qid"), (col("pos") + 1).as("rank"),
         col("nbr.neighbor").as("neighbor"), col("nbr.hamming").as("hamming"))
       .orderBy("qid", "rank")
+  }
+
+  def s14BinaryTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), signCode("embedding").as("code"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("code").as("qcode"))
+    s14Ranked(e, q, 5, excludeSelf = true)
+  }
+
+  /** [[s14BinaryTopK]] for an EXTERNAL (qid, qemb) batch — the query
+    * binarizes with the same sign pack; ranking stays exact-integer
+    * hamming. */
+  def s14BinaryTopKFor(s: SparkSession, dir: String, queries: DataFrame,
+      k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), signCode("embedding").as("code"))
+    val q = queries.select(col("qid"), signCode("qemb").as("qcode"))
+    s14Ranked(e, q, k, excludeSelf = false)
   }
 
   val s14Sql: String =
@@ -1087,10 +1318,28 @@ object Similarity {
   /** Corpus-parameterized body of [[s12MmrRerank]] (spec fixtures plant
     * near-duplicate shortlists to pin the diversity behavior). */
   private[graft] def s12MmrRerankFrame(e: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
-    val shortIds = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    s12MmrFrame(e, q, excludeSelf = true)
+  }
+
+  /** [[s12MmrRerank]] for an EXTERNAL (qid, qemb) batch — the LangChain
+    * `maxMarginalRelevanceSearch(queryVector, ...)` shape: shortlist by
+    * cosine against the caller's vectors, then the same greedy
+    * diversity unroll. No self-exclusion (the queries are not store
+    * members). */
+  def s12MmrRerankFor(s: SparkSession, dir: String, queries: DataFrame): DataFrame =
+    s12MmrFrame(Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      queries, excludeSelf = false)
+
+  private[graft] def s12MmrFrame(e: DataFrame, q0: DataFrame,
+      excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = q0.select(col("qid"), col("qemb"))
+    val shortBase =
+      if (excludeSelf) e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      else e.crossJoin(broadcast(q))
+    val shortIds = shortBase
       .groupBy("qid")
       .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), MmrShortlist).as("nbrs"))
       .select(col("qid"), explode(col("nbrs")).as("cand_id"))

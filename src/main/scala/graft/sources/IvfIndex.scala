@@ -109,9 +109,14 @@ object IvfIndex {
   }
 
   /** Probe: per query, the `nprobe` nearest centroids' lists only.
-    * queries(qid, qemb) → (qid, rank, neighbor). */
+    * queries(qid, qemb) → (qid, rank, neighbor). `excludeSelf` drops
+    * the stored vector whose vec_id equals qid — the corpus-self-query
+    * fixture shape; pass false for EXTERNAL batches (an embedded user
+    * question is not a store member, and its qid namespace is the
+    * caller's, not the store's). */
   def probe(s: SparkSession, path: String, queries: DataFrame,
-      centroids: Array[Array[Float]], k: Int, nprobe: Int): DataFrame = {
+      centroids: Array[Array[Float]], k: Int, nprobe: Int,
+      excludeSelf: Boolean = true): DataFrame = {
     val cb = codebookDf(s, centroids)
     // rank ALL centroids per query (|codebook| is broadcast-small), keep
     // nprobe; qcid stays the scan's partition-column type so the join
@@ -136,8 +141,11 @@ object IvfIndex {
     // in PartitionFilters), and the probed-id set never rides through
     // the driver, so a thousand-query batch prunes exactly like a
     // one-query batch
+    val joinCond =
+      if (excludeSelf) col("cid") === col("qcid") && col("vec_id") =!= col("qid")
+      else col("cid") === col("qcid")
     s.read.parquet(path)
-      .join(broadcast(qcids), col("cid") === col("qcid") && col("vec_id") =!= col("qid"))
+      .join(broadcast(qcids), joinCond)
       .groupBy("qid")
       .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
