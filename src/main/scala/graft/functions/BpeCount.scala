@@ -61,21 +61,39 @@ object BpeVocab {
     ("g", "r"), ("o", "u"), ("gr", "ou"), ("grou", "p"),      // group
     ("m", "er"), ("mer", "g"), ("merg", "e"))                 // merge
 
-  /** Zipf-head memo: merge loops run once per distinct word per JVM.
-    * Bounded so an adversarial vocab cannot grow it without limit. */
-  private val memo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private final val MemoCap = 1 << 16
+  /** The fixture vocabulary as a [[BpeTable]] — ONE merge-loop
+    * implementation serves both the compiled-fixture expression and the
+    * broadcast production path. */
+  val Table: BpeTable = new BpeTable(Merges.toArray)
 
   /** BPE token count of one word (rank-ascending full application). */
+  def countWord(word: String): Int = Table.countWord(word)
+
+  /** Total BPE token count of a word array (null words count 0). */
+  def countAll(words: ArrayData): Long = Table.countAll(words)
+}
+
+/** The BPE merge-loop engine over an ARBITRARY ordered merge table —
+  * the object a PRODUCTION vocabulary (cl100k: ~100k merges, a few MB)
+  * rides to executors as a Spark broadcast instead of being compiled
+  * into the expression tree (which serializes per task and per codegen
+  * compile). Same algorithm as documented on [[BpeVocab]]; the memo is
+  * per-instance, rebuilt lazily on each executor after deserialization,
+  * and bounded so the Zipf head is collapsed without unbounded growth. */
+final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
+  @transient private lazy val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private final val MemoCap = 1 << 16
+
   def countWord(word: String): Int = {
     val cached = memo.get(word)
     if (cached != null) return cached.intValue()
-    var syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) { syms += String.valueOf(word.charAt(i)); i += 1 }
     var r = 0
-    while (r < Merges.length && syms.length > 1) {
-      val (a, b) = Merges(r)
+    while (r < merges.length && syms.length > 1) {
+      val (a, b) = merges(r)
       var j = 0
       while (j < syms.length - 1) {
         if (syms(j) == a && syms(j + 1) == b) {
@@ -129,6 +147,59 @@ case class BpeCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** bpe_count with the merge table as a BROADCAST model artifact — the
+  * production-vocabulary path promised on [[BpeVocab]]: the table ships
+  * to each executor ONCE (TorrentBroadcast), the expression tree carries
+  * only the broadcast handle, and evaluation stays map-only inside
+  * whole-stage codegen via a plan reference object. Counting is
+  * identical to [[BpeCount]] given the same merges (spec-asserted,
+  * including a ≥4k-merge synthetic table). */
+case class BpeCountBroadcast(child: Expression,
+    table: org.apache.spark.broadcast.Broadcast[BpeTable])
+  extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_count_bc needs array<string>, got $other")
+    }
+  override def prettyName: String = "bpe_count_bc"
+
+  protected override def nullSafeEval(input: Any): Any =
+    table.value.countAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeBc", table,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev,
+      c => s"((graft.functions.BpeTable) $ref.value()).countAll($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeCountF {
   def count(words: Column): Column = Shim.column(BpeCount(Shim.expression(words)))
+
+  /** Count with an explicit broadcast merge table. */
+  def countWith(words: Column,
+      table: org.apache.spark.broadcast.Broadcast[BpeTable]): Column =
+    Shim.column(BpeCountBroadcast(Shim.expression(words), table))
+
+  /** Load a persisted (rank, left, right) merge-table DataFrame — the
+    * tokenizer model artifact — and bind it as a broadcast counting
+    * column. The collect is VOCABULARY-bound (cl100k ≈ 100k rows, a few
+    * MB): a model-artifact load like PqCodebook's, not a data-path
+    * collect; rules apply in ascending rank order. */
+  def countFromModel(s: org.apache.spark.sql.SparkSession,
+      mergesDf: org.apache.spark.sql.DataFrame, words: Column): Column = {
+    val merges = mergesDf.select("rank", "left", "right").collect()
+      .sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2)))
+    countWith(words, s.sparkContext.broadcast(new BpeTable(merges)))
+  }
 }
