@@ -148,6 +148,7 @@ object SparkEntry {
     "s15_external_topk" -> (Similarity.s15ExternalTopK _),
     "s16_external_recall" -> (Similarity.s16ExternalRecall _),
     "t27_bm25_batch"    -> ((s, d) => Retrieval.t27Bm25Batch(s, d)),
+    "d22_snapshot_diff" -> (Corpus.d22SnapshotDiff _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -356,5 +357,6 @@ object SparkEntry {
     "s15_external_topk" -> Similarity.s15Sql,
     "s16_external_recall" -> Similarity.s16Sql,
     "t27_bm25_batch"    -> Retrieval.t27Sql,
+    "d22_snapshot_diff" -> Corpus.d22Sql,
   )
 }

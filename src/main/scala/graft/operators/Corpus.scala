@@ -566,4 +566,95 @@ object Corpus {
        |CROSS JOIN tot
        |ORDER BY l12.lang""".stripMargin
   }
+
+  // ---- d22: snapshot diff (the corpus version ledger) ----
+
+  /** The marker the "changed" branch appends (a re-crawled page whose
+    * content drifted between snapshots). */
+  private val ChangedSuffix = " updated content v2"
+
+  /** d22: SNAPSHOT DIFF — the docs added / removed / changed report
+    * between two corpus versions with per-language token-mass deltas:
+    * the artifact a recurring-crawl pipeline reviews before promoting a
+    * snapshot (d9/d15/a4 answer membership and cardinality across
+    * crawls; this is the review report itself, the "what changed since
+    * the last cut" datasheet). The two snapshots are derived
+    * deterministically from the documents table — A drops doc_id%10=7,
+    * B drops doc_id%9=4 and re-crawls every sixth doc with drifted
+    * content — so both engines diff identical versions.
+    *
+    * Scale shape: each snapshot reduces to ONE fingerprint-and-count
+    * projection (doc_id, lang, md5(text), token count) — the full-outer
+    * membership join then shuffles ~40 bytes per doc, never text
+    * (production would use xxhash64's 8 bytes; md5 is the
+    * engine-portable choice for the oracle). Classification is
+    * row-local; the per-language rollup is map-side combined and
+    * language-count-bound. At 100 TB this is exactly the d9 anti-join
+    * exchange class, paid twice. */
+  def d22SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val snapA = d.filter(col("doc_id") % 10 =!= 7)
+    val snapB = d.filter(col("doc_id") % 9 =!= 4)
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(ChangedSuffix))).otherwise(col("text")))
+    snapshotDiffFrames(snapA, snapB)
+  }
+
+  /** The diff core over ANY two (doc_id, text, lang) snapshots — the
+    * public API; [[d22SnapshotDiff]] binds the oracle's derived pair. */
+  def snapshotDiffFrames(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    def slim(df: DataFrame, side: String): DataFrame = df.select(
+      col("doc_id"), col("lang").as(s"lang_$side"),
+      md5(col("text").cast("binary")).as(s"fp_$side"),
+      tokenCount(col("text")).as(s"nt_$side"))
+    val j = slim(snapA, "a").join(slim(snapB, "b"), Seq("doc_id"), "full_outer")
+    j.select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("fp_a").isNull, lit("added"))
+          .when(col("fp_b").isNull, lit("removed"))
+          .when(col("fp_a") =!= col("fp_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("nt_a"), lit(0L)).as("nt_a"),
+        coalesce(col("nt_b"), lit(0L)).as("nt_b"))
+      .groupBy("lang")
+      .agg(
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(col("nt_a")).as("tokens_a"),
+        sum(col("nt_b")).as("tokens_b"))
+      .withColumn("delta_tokens", col("tokens_b") - col("tokens_a"))
+      .orderBy("lang")
+  }
+
+  val d22Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+       |snap_a AS (
+       | SELECT doc_id, lang, md5(text) AS fp,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS nt
+       | FROM d WHERE doc_id % 10 <> 7),
+       |snap_b AS (
+       | SELECT doc_id, lang, md5(t2) AS fp,
+       |  cast(len(regexp_extract_all(lower(t2), '$WordRe')) AS bigint) AS nt
+       | FROM (
+       |  SELECT doc_id, lang,
+       |   CASE WHEN doc_id % 6 = 0 THEN text || '$ChangedSuffix' ELSE text END AS t2
+       |  FROM d WHERE doc_id % 9 <> 4)),
+       |j AS (
+       | SELECT coalesce(a.lang, b.lang) AS lang,
+       |  CASE WHEN a.fp IS NULL THEN 'added'
+       |       WHEN b.fp IS NULL THEN 'removed'
+       |       WHEN a.fp <> b.fp THEN 'changed'
+       |       ELSE 'unchanged' END AS status,
+       |  coalesce(a.nt, 0) AS nt_a, coalesce(b.nt, 0) AS nt_b
+       | FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+       |SELECT lang,
+       | cast(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS bigint) AS n_added,
+       | cast(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS bigint) AS n_removed,
+       | cast(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS bigint) AS n_changed,
+       | cast(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS bigint) AS n_unchanged,
+       | cast(sum(nt_a) AS bigint) AS tokens_a,
+       | cast(sum(nt_b) AS bigint) AS tokens_b,
+       | cast(sum(nt_b) - sum(nt_a) AS bigint) AS delta_tokens
+       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 }

@@ -160,4 +160,45 @@ class CorpusSpec extends SparkSpec {
     assert(scans == 0, // cells are checkpointed: rollups read the RDD, not the files
       s"rollups must derive from the materialized cell grid, found $scans scans:\n$plan")
   }
+
+  test("snapshotDiffFrames classifies planted add/remove/change exactly") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, "alpha beta", "en"),   // unchanged
+      (2L, "gamma delta", "en"),  // changed in B
+      (3L, "uno dos tres", "es"), // removed in B
+      (5L, "eins zwei", "de")     // unchanged
+    ).toDF("doc_id", "text", "lang")
+    val b = Seq(
+      (1L, "alpha beta", "en"),
+      (2L, "gamma delta epsilon", "en"),
+      (4L, "cuatro cinco", "es"), // added in B
+      (5L, "eins zwei", "de")
+    ).toDF("doc_id", "text", "lang")
+    val got = Corpus.snapshotDiffFrames(a, b).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    //                 (added, removed, changed, unchanged, tok_a, tok_b, delta)
+    assert(got("en") == ((0L, 0L, 1L, 1L, 4L, 5L, 1L)))
+    assert(got("es") == ((1L, 1L, 0L, 0L, 3L, 2L, -1L)))
+    assert(got("de") == ((0L, 0L, 0L, 1L, 2L, 2L, 0L)))
+  }
+
+  test("d22: the derived snapshots obey their construction invariants") {
+    val rows = Corpus.d22SnapshotDiff(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    val inA = rows.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum  // removed+changed+unchanged
+    val inB = rows.map(r => r.getLong(1) + r.getLong(3) + r.getLong(4)).sum  // added+changed+unchanged
+    // membership counts match the modular construction exactly
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(inA == docs.count(_ % 10 != 7))
+    assert(inB == docs.count(_ % 9 != 4))
+    // every changed doc gained tokens (the appended marker), so the
+    // changed count is positive and B's mass exceeds A's on langs where
+    // additions dominate removals... pin the global identity instead:
+    val changed = rows.map(_.getLong(3)).sum
+    assert(changed == docs.count(d => d % 10 != 7 && d % 9 != 4 && d % 6 == 0))
+  }
 }
