@@ -149,6 +149,10 @@ object SparkEntry {
     "s16_external_recall" -> (Similarity.s16ExternalRecall _),
     "t27_bm25_batch"    -> ((s, d) => Retrieval.t27Bm25Batch(s, d)),
     "d22_snapshot_diff" -> (Corpus.d22SnapshotDiff _),
+    // same τ-Jaccard contract as d2, candidates via the PPJoin prefix
+    // screen instead of per-block all-pairs — the hot-block scale escape,
+    // driver-gated against the same oracle (outputs are identical)
+    "d23_prefix_jaccard" -> (Dedup.d2PrefixScreened _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -358,5 +362,6 @@ object SparkEntry {
     "s16_external_recall" -> Similarity.s16Sql,
     "t27_bm25_batch"    -> Retrieval.t27Sql,
     "d22_snapshot_diff" -> Corpus.d22Sql,
+    "d23_prefix_jaccard" -> Dedup.d2Sql,
   )
 }

@@ -43,6 +43,19 @@ object CharNgramJaccardUtil {
     val union = sa.size + sb.size - overlap
     if (union == 0) 0.0 else overlap.toDouble / union
   }
+
+  /** The distinct n-gram hash set of one string as an array — the SAME
+    * FNV window hashes [[jaccard]] compares, exposed so a candidate
+    * screen (d2's prefix filter) can operate in the identical set space
+    * and shuffle 8-byte longs instead of substrings. */
+  def ngramHashes(s: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val set = ngramSet(s.toString, n)
+    val arr = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
 }
 
 /** NOTE on edge semantics: strings shorter than n contribute their whole
@@ -66,4 +79,27 @@ case class CharNgramJaccard(left: Expression, right: Expression, n: Int)
 object CharNgramJaccard {
   def apply(a: Column, b: Column, n: Int): Column =
     Shim.column(CharNgramJaccard(Shim.expression(a), Shim.expression(b), n))
+}
+
+/** char_ngram_hashes(text) → array<long>: the distinct FNV n-gram hash
+  * set of a string (the exact set [[CharNgramJaccard]] scores over). */
+case class CharNgramHashes(child: Expression, n: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "char_ngram_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    CharNgramJaccardUtil.ngramHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharNgramJaccardUtil.ngramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNgramHashesF {
+  def apply(text: Column, n: Int): Column =
+    Shim.column(CharNgramHashes(Shim.expression(text), n))
 }

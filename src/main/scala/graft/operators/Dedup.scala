@@ -246,6 +246,88 @@ object Dedup {
     cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
+  /** d2 at the 100 TB default: PREFIX-FILTER candidate screening (the
+    * AllPairs/PPJoin lineage — Bayardo et al. WWW'07, Xiao et al.
+    * ICDE'08 — i.e. d21's machinery turned symmetric) replaces the
+    * per-block all-pairs stage. Identical output to
+    * [[d2NgramJaccardCollapsed]] (spec-asserted).
+    *
+    * Why: the collapsed form still scores every DISTINCT-text pair
+    * inside a block — quadratic in distinct texts per block, which a
+    * shared-boilerplate crawl (one hot 40-char prefix) turns into the
+    * exact flooding d19 warns about. The prefix screen admits a pair
+    * only if the two texts share a shingle among each one's RAREST
+    * L = sz − ⌈τ·sz⌉ + 1 shingles under the global (df ASC, hash ASC)
+    * order — the standard mid-prefix lemma: J ≥ τ forces the two
+    * prefixes to intersect, so the screen loses nothing; exact
+    * verification then scores only survivors.
+    *
+    * Scale shape: shingles are the SAME 64-bit FNV hashes the verify
+    * expression compares (CharNgramHashes — one codegen pass, 8-byte
+    * longs shuffle, no substring materialization); df and sz rollups
+    * are vocabulary/set-bound; the candidate join keys on (hash, blk) —
+    * an equi-join whose bucket sizes are bounded by how many PREFIXES
+    * carry a hash (rarest-first keeps those small), never by block
+    * population; verification is candidate-bound. Within-block
+    * duplicate texts collapse first (the d2/d5/s3 discipline), so
+    * multiplicity never enters the quadratic space at all. */
+  def d2PrefixScreened(s: SparkSession, dir: String): DataFrame =
+    d2PrefixScreenedFrame(corpusNear(s, dir))
+
+  /** The screened candidate stage over a collapsed (gid, blk, text)
+    * frame: distinct-text pairs sharing a rarest-prefix shingle within
+    * a block — exposed so specs can measure the screen's admission
+    * volume against the all-pairs block space. */
+  private[graft] def d2PrefixCandidates(g: DataFrame): DataFrame = {
+    import graft.functions.CharNgramHashesF
+    import org.apache.spark.sql.expressions.Window
+    val sh = g.select(col("gid"), col("blk"),
+      explode(CharNgramHashesF(col("text"), 3)).as("h"))
+    val dfc = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sz = sh.groupBy("gid").agg(count(lit(1)).as("sz"))
+    val prefix = sh.join(dfc, Seq("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("gid").orderBy(col("df").asc, col("h").asc)))
+      .join(sz, Seq("gid"))
+      // τ = 1/2: prefix length sz − ⌈sz/2⌉ + 1
+      .filter(col("rk") <= col("sz") - ((col("sz") + 1) / 2).cast("long") + 1)
+      .select("gid", "blk", "h")
+    prefix.select(col("gid").as("ga"), col("blk"), col("h"))
+      .join(prefix.select(col("gid").as("gb"), col("blk").as("blk_b"), col("h")), Seq("h"))
+      .filter(col("ga") < col("gb") && col("blk") === col("blk_b"))
+      .select("ga", "gb").distinct()
+  }
+
+  /** Corpus-parameterized body of [[d2PrefixScreened]] (spec fixtures
+    * plant a flooded shared-prefix block). */
+  private[graft] def d2PrefixScreenedFrame(corpus: DataFrame): DataFrame = {
+    import graft.functions.CharNgramJaccard
+    val g = corpus
+      .groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids").getItem(0).as("gid"),
+        substring(col("text"), 1, 40).as("blk"), col("text"), col("ids"))
+      .localCheckpoint() // read by the shingle pass, verify, and expansion
+    val cands = d2PrefixCandidates(g)
+    val cross = cands
+      .join(g.select(col("gid").as("ga"), col("text").as("text_a"), col("ids").as("ids_a")), Seq("ga"))
+      .join(g.select(col("gid").as("gb"), col("text").as("text_b"), col("ids").as("ids_b")), Seq("gb"))
+      .withColumn("jaccard", CharNgramJaccard(col("text_a"), col("text_b"), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("ids_a")).as("a"), col("ids_b"), col("jaccard"))
+      .select(col("a"), explode(col("ids_b")).as("b"), col("jaccard"))
+      .select(least(col("a"), col("b")).as("doc_a"),
+        greatest(col("a"), col("b")).as("doc_b"), col("jaccard"))
+    val within = g.filter(size(col("ids")) > 1)
+      .withColumn("jaccard", CharNgramJaccard(col("text"), col("text"), 3))
+      .filter(col("jaccard") >= 0.5)
+      .select(explode(col("ids")).as("a"), col("ids"), col("jaccard"))
+      .select(col("a"), explode(col("ids")).as("b"), col("jaccard"))
+      .filter(col("a") < col("b"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("jaccard"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
+  }
+
   /** d2 candidate pairs as a reusable CTE body (no ORDER BY) — d7's
     * recursive-clustering oracle builds on the same pair set. */
   val d2PairsSql: String =

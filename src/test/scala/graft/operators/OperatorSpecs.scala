@@ -434,6 +434,59 @@ class DedupSpec extends SparkSpec {
     assert(collapsed == naive)
   }
 
+  test("d2 prefix-screened form equals the collapsed form (and the naive form)") {
+    val collapsed = Dedup.d2NgramJaccardCollapsed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val screened = Dedup.d2PrefixScreened(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(screened == collapsed)
+  }
+
+  test("d2 prefix screen defuses a flooded shared-prefix block") {
+    import spark.implicits._
+    // one hot block: 60 DISTINCT texts sharing the same 40-char prefix
+    // (the shared-boilerplate multilingual-crawl shape): 6 "languages"
+    // with DISJOINT 4-letter alphabets, 10 docs each — cross-language
+    // pairs share only the boilerplate (never a rare shingle), so the
+    // screen admits at most the 6·C(10,2) same-language pairs where the
+    // collapsed form scores the full block square
+    val boiler = "breaking news from the wire service desk " // 41 chars
+    val rnd = new scala.util.Random(11)
+    val filler = (0 until 60).map { i =>
+      val alpha = (0 until 4).map(k => ('a' + 4 * (i / 10) + k).toChar)
+      (i.toLong, boiler + (0 until 30).map(_ =>
+        (0 until 6).map(_ => alpha(rnd.nextInt(4))).mkString).mkString(" "))
+    }
+    val planted = Seq(
+      (100L, boiler + "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (101L, boiler + "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (102L, boiler + "one two three four five six seven eight nine ten"),
+      (103L, boiler + "one two three four five six seven eight nine eleven"))
+    val corpus = (filler ++ planted).toDF("doc_id", "text")
+    val screened = Dedup.d2PrefixScreenedFrame(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screened.contains((100L, 101L)) && screened.contains((102L, 103L)))
+    // candidate volume: same-language pairs + the planted four at most —
+    // far under the block's all-pairs space (C(64,2) = 2016) the
+    // collapsed form would score in full
+    val g = corpus.groupBy(col("text"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("ids").getItem(0).as("gid"),
+        substring(col("text"), 1, 40).as("blk"), col("text"))
+    val nCands = Dedup.d2PrefixCandidates(g).count()
+    // 270 same-language + a handful the planted English bodies admit
+    assert(nCands <= 300, s"screen admitted $nCands of 2016 block pairs")
+    // and the screened output equals the naive all-pairs reference
+    val naive = corpus.as("a").crossJoin(corpus.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id") &&
+        substring(col("a.text"), 1, 40) === substring(col("b.text"), 1, 40))
+      .withColumn("j", graft.functions.CharNgramJaccard(col("a.text"), col("b.text"), 3))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(screened == naive)
+  }
+
   test("d6 collapsed default (registered) equals the naive all-pairs form") {
     val naive = Dedup.d6Winnowing(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
