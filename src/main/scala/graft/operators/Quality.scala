@@ -632,6 +632,10 @@ object Quality {
         when(col("mean_micro") <= col("p33"), lit("head"))
           .when(col("mean_micro") <= col("p67"), lit("middle"))
           .otherwise(lit("tail")).as("bucket"))
+      // ORACLE-HASH sort only: the driver's compare needs a total order
+      // on this corpus-sized output. A serving deployment consumes the
+      // unsorted frame — do not ship this global sort. (The rule applies
+      // to every corpus-sized .orderBy feeding the oracle gate.)
       .orderBy("doc_id")
   }
 

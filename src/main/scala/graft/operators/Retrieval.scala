@@ -235,6 +235,16 @@ object Retrieval {
     t27Bm25Batch(s, dir, qterms)
   }
 
+  /** Batch BM25 from RAW question text — the reference's actual input
+    * shape (`message` arrives as a string and is analyzed server-side):
+    * a (qid, question) frame is tokenized with the SAME analyzer the
+    * index uses (the words() regex — analyzer symmetry is the Lucene
+    * rule), distinct terms per question, then scored as a term batch. */
+  def t27FromQuestions(s: SparkSession, dir: String, questions: DataFrame): DataFrame =
+    t27Bm25Batch(s, dir, questions
+      .select(col("qid"), explode(words(col("question"))).as("term"))
+      .distinct())
+
   /** Batch BM25 with a caller-supplied (qid, term) query frame. */
   def t27Bm25Batch(s: SparkSession, dir: String, qterms: DataFrame): DataFrame = {
     val scored = bm25ScoredBatchFrame(

@@ -143,6 +143,21 @@ class RetrievalSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1) == (1 to got.length))
   }
 
+  test("t27 from raw question text equals the analyzed term-batch form") {
+    import spark.implicits._
+    // same analyzer as the index (words regex), duplicate terms within a
+    // question must not double-count
+    val questions = Seq(
+      (0L, "Vector SPARK hash... vector hash?"),
+      (1L, "window stream data window"),
+      (2L, "table row zzqoov row")).toDF("qid", "question")
+    val viaText = Retrieval.t27FromQuestions(spark, sfDir, questions)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val viaTerms = Retrieval.t27Bm25Batch(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(viaText == viaTerms)
+  }
+
   test("s13 rrf_nano is exact integer arithmetic over the two rank columns") {
     Retrieval.s13RrfHybrid(spark, sfDir).collect().foreach { r =>
       val (nano, lexR, denseR) = (r.getLong(2), r.getInt(3), r.getInt(4))
