@@ -153,6 +153,8 @@ object SparkEntry {
     // screen instead of per-block all-pairs — the hot-block scale escape,
     // driver-gated against the same oracle (outputs are identical)
     "d23_prefix_jaccard" -> (Dedup.d2PrefixScreened _),
+    "d24_fuzzy_incremental" -> (Dedup.d24FuzzyIncremental _),
+    "t29_c4_filter"     -> (Quality.t29C4Filter _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -363,5 +365,7 @@ object SparkEntry {
     "t27_bm25_batch"    -> Retrieval.t27Sql,
     "d22_snapshot_diff" -> Corpus.d22Sql,
     "d23_prefix_jaccard" -> Dedup.d2Sql,
+    "d24_fuzzy_incremental" -> Dedup.d24Sql,
+    "t29_c4_filter"     -> Quality.t29Sql,
   )
 }

@@ -361,11 +361,13 @@ object Dedup {
   def hashA(i: Int): Long = ((i + 1L) * 2654435761L) % P
   def hashB(i: Int): Long = ((i + 7L) * 40503L * 9973L) % P
 
-  /** LSH candidate pairs over ANY (doc_id, text) corpus — the banded
-    * MinHash core shared by d3 (within-corpus near-dup), t18
-    * (cross-corpus decontamination, ids partitioned by side), and d14
-    * (cluster-split). Same plan as documented on d3MinHashLsh. */
-  private[operators] def lshPairs(corpus: DataFrame): DataFrame = {
+  /** Per-document LSH band keys (doc_id, band, key) over ANY
+    * (doc_id, text) corpus — the signature+banding half of [[lshPairs]],
+    * factored out so d24 can PERSIST the keys as the incremental-dedup
+    * index and probe a new batch against them without pairing the
+    * existing corpus with itself. One codegen'd signature expression per
+    * doc; the output is 4 fingerprint-sized rows per doc. */
+  private[operators] def bandKeys(corpus: DataFrame): DataFrame = {
     val c = corpus
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("t"))
       .filter(size(col("t")) >= 2)
@@ -373,12 +375,20 @@ object Dedup {
     val bs = (0 until NumHashes).map(hashB)
     val bandExpr = s"transform(sequence(0, ${NumHashes / BandSize - 1}), " +
       s"b -> concat_ws('_', ${(0 until BandSize).map(j => s"sig[b * $BandSize + $j]").mkString(", ")}))"
+    c.select(col("doc_id"), graft.functions.MinHashSigF(col("t"), P, as, bs).as("sig"))
+      .select(col("doc_id"), posexplode(expr(bandExpr)).as(Seq("band", "key")))
+  }
+
+  /** LSH candidate pairs over ANY (doc_id, text) corpus — the banded
+    * MinHash core shared by d3 (within-corpus near-dup), t18
+    * (cross-corpus decontamination, ids partitioned by side), and d14
+    * (cluster-split). Same plan as documented on d3MinHashLsh. */
+  private[operators] def lshPairs(corpus: DataFrame): DataFrame = {
     val pairExpr =
       """flatten(transform(sequence(1, size(ds) - 1),
         |  i -> transform(slice(ds, i + 1, size(ds) - i),
         |    d -> named_struct('doc_a', element_at(ds, i), 'doc_b', d))))""".stripMargin
-    c.select(col("doc_id"), graft.functions.MinHashSigF(col("t"), P, as, bs).as("sig"))
-      .select(col("doc_id"), posexplode(expr(bandExpr)).as(Seq("band", "key")))
+    bandKeys(corpus)
       .groupBy("band", "key").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
       .select(explode(expr(pairExpr)).as("p"))
@@ -2074,4 +2084,157 @@ object Dedup {
        |FROM itc JOIN szs ON szs.doc_id = itc.a
        |WHERE inter * $ContainThetaDen >= sz * $ContainThetaNum
        |ORDER BY contained, container""".stripMargin
+
+  // ---- d24: incremental FUZZY dedup against a persisted band-key index ----
+
+  /** Ids below this are the already-ingested corpus; the new batch is
+    * everything else (the d9 split convention). */
+  private[operators] val D24Split = 400L
+
+  /** Verify threshold for the incremental screen — word-bigram Jaccard
+    * of a candidate (new, existing) pair. Planted near-recrawls score
+    * ≥0.6; the corpus also carries NATURAL one-word-edit near-dups
+    * (j ≈ 0.97) which the screen correctly flags — the spec re-verifies
+    * every reported match driver-side. */
+  private[operators] val D24Tau = 0.5
+
+  private[graft] def d24Existing(s: SparkSession, dir: String): DataFrame =
+    base(s, dir).filter(col("doc_id") < D24Split)
+
+  /** The incoming crawl: genuinely new docs ∪ planted NEAR-recrawls
+    * (tail-perturbed — the case exact d9 misses) of every 10th existing
+    * doc ∪ planted EXACT recrawls of every 15th (the fuzzy screen must
+    * catch those too, Jaccard 1.0). */
+  private[graft] def d24NewBatch(s: SparkSession, dir: String): DataFrame = {
+    val d = base(s, dir)
+    d.filter(col("doc_id") >= D24Split)
+      .unionByName(d.filter(col("doc_id") < D24Split && col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(NearTail)).as("text")))
+      .unionByName(d.filter(col("doc_id") < D24Split && col("doc_id") % 15 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+  }
+
+  /** The screen core, parameterized on the index so the persisted-store
+    * twin ([[d24ScreenFrom]]) runs the identical flow off parquet.
+    * Candidates come from a (band, key) join of the batch's 4 keys/doc
+    * against the stored keys — batch-sized, never existing-corpus-
+    * sized; verification attaches text only to the candidate sliver
+    * (broadcast build sides, the t18 audit-join shape). */
+  private def d24Screen(newBatch: DataFrame, indexKeys: DataFrame,
+      indexTexts: DataFrame): DataFrame = {
+    import graft.functions.WordBigramJaccard
+    val newKeys = bandKeys(newBatch)
+      .select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val cand = newKeys
+      .join(indexKeys.select(col("doc_id").as("base_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select("new_id", "base_id").distinct()
+    val tn = newBatch.select(col("doc_id").as("new_id"), col("text").as("text_n"))
+    val tb = indexTexts.select(col("doc_id").as("base_id"), col("text").as("text_b"))
+    val scored = tb.join(broadcast(tn.join(broadcast(cand), Seq("new_id"))), Seq("base_id"))
+      .withColumn("matched", WordBigramJaccard(col("text_n"), col("text_b")) >= D24Tau)
+    val agg = scored.groupBy("new_id").agg(
+      count(lit(1)).as("n_cand"),
+      sum(when(col("matched"), 1L).otherwise(0L)).as("n_match"),
+      min(when(col("matched"), col("base_id"))).as("match_id"))
+    newBatch.select(col("doc_id"))
+      .join(agg, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"),
+        col("match_id"),
+        when(coalesce(col("n_match"), lit(0L)) === 0, 1L).otherwise(0L).as("is_novel"))
+      .orderBy("doc_id")
+  }
+
+  /** d24: incremental FUZZY dedup — the cross-crawl twin of d9 at the
+    * near-duplicate level, and the operator a recurring-crawl pipeline
+    * actually runs between full d12 passes (the FineWeb "dedup each
+    * crawl against the index" step): screen an incoming batch against
+    * the ALREADY-INGESTED corpus's persisted MinHash band-key index,
+    * verify band collisions with exact word-bigram Jaccard
+    * ([[graft.functions.WordBigramJaccard]]), and emit the per-doc
+    * ingest verdict — candidate count, verified match count, the
+    * lowest matching existing doc, and the novelty bit the ingest
+    * gate keys on. Reference analogue: upserting new trained data into
+    * the persistent vector store rather than rebuilding it
+    * (customTrainDataController.js:56-62 loads the stored index and
+    * adds to it).
+    *
+    * Scale: the 100 TB existing corpus contributes 4 band keys per doc
+    * — the index IS the artifact ([[d24IndexWrite]] persists it;
+    * appending a promoted batch is a parquet append) — so the screen's
+    * shuffles are (batch × 4 keys) join-probes against a bucketed key
+    * store plus a candidate-sliver verify; nothing existing-corpus-
+    * sized moves. Recall is banding recall (d19's curve governs);
+    * the verify stage makes precision exact. */
+  def d24FuzzyIncremental(s: SparkSession, dir: String): DataFrame = {
+    val ex = d24Existing(s, dir)
+    d24Screen(d24NewBatch(s, dir), bandKeys(ex), ex)
+  }
+
+  /** Persist the incremental-dedup index: the existing corpus's band
+    * keys plus the (doc_id, text) verify side. In a deployment the
+    * verify side would carry bigram-set fingerprints rather than raw
+    * text; text is what the local oracle can check. */
+  def d24IndexWrite(s: SparkSession, dir: String, path: String): Unit = {
+    val ex = d24Existing(s, dir)
+    bandKeys(ex).write.mode("overwrite").parquet(path + "/bands")
+    ex.write.mode("overwrite").parquet(path + "/texts")
+  }
+
+  /** The deployment twin: screen the new batch against the index as
+    * persisted by [[d24IndexWrite]] — spec-asserted identical to the
+    * one-shot [[d24FuzzyIncremental]]. */
+  def d24ScreenFrom(s: SparkSession, dir: String, path: String): DataFrame =
+    d24Screen(d24NewBatch(s, dir),
+      s.read.parquet(path + "/bands"), s.read.parquet(path + "/texts"))
+
+  private val d24CorpusSql =
+    s"""SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id, text || '$NearTail' AS text
+       |  FROM documents WHERE doc_id < $D24Split AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, text FROM documents
+       |  WHERE doc_id < $D24Split AND doc_id % 15 = 0""".stripMargin
+
+  /** Oracle: the family's md5 MinHash pairs over the union corpus,
+    * restricted to cross-side (existing ids < split < new ids, so
+    * doc_a is always the existing side), exact-Jaccard-verified, then
+    * left-joined onto the full batch roster. */
+  lazy val d24Sql: String =
+    s"""WITH pairs AS (${lshPairsSqlFor(d24CorpusSql)}),
+       |newb AS (
+       |  SELECT doc_id FROM documents WHERE doc_id >= $D24Split
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id FROM documents
+       |  WHERE doc_id < $D24Split AND doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id FROM documents
+       |  WHERE doc_id < $D24Split AND doc_id % 15 = 0),
+       |bg AS (
+       | SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bg
+       | FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM ($d24CorpusSql))
+       | WHERE len(t) >= 2),
+       |scored AS (
+       | SELECT p.doc_b AS new_id, p.doc_a AS base_id,
+       |  cast(len(list_intersect(a.bg, b.bg)) AS double)
+       |    / len(list_distinct(list_concat(a.bg, b.bg))) AS j
+       | FROM pairs p JOIN bg a ON p.doc_a = a.doc_id JOIN bg b ON p.doc_b = b.doc_id
+       | WHERE p.doc_a < $D24Split AND p.doc_b >= $D24Split),
+       |agg AS (
+       | SELECT new_id, count(*) AS n_cand,
+       |  sum(CASE WHEN j >= $D24Tau THEN 1 ELSE 0 END) AS n_match,
+       |  min(CASE WHEN j >= $D24Tau THEN base_id END) AS match_id
+       | FROM scored GROUP BY new_id)
+       |SELECT n.doc_id,
+       | cast(coalesce(a.n_cand, 0) AS bigint) AS n_cand,
+       | cast(coalesce(a.n_match, 0) AS bigint) AS n_match,
+       | a.match_id,
+       | cast(CASE WHEN coalesce(a.n_match, 0) = 0 THEN 1 ELSE 0 END AS bigint) AS is_novel
+       |FROM newb n LEFT JOIN agg a ON n.doc_id = a.new_id
+       |ORDER BY n.doc_id""".stripMargin
 }

@@ -924,4 +924,93 @@ object Quality {
        | cast(sum(doc_id) AS bigint) AS id_checksum
        |FROM v GROUP BY source, reason ORDER BY source, reason""".stripMargin
   }
+
+  // ---- t29: C4 line-rule filter ----
+
+  /** A kept line needs at least this many whitespace words (C4 §2.2:
+    * "only retained lines that contained at least 5 words"). */
+  val C4MinWords = 5
+
+  /** A kept page needs at least this many surviving sentences (C4 §2.2:
+    * "discarded any page with fewer than 3 sentences"). */
+  val C4MinSentences = 3
+
+  /** (modulus, planted lines) — the doc_id-keyed page pathologies, each
+    * exercising exactly one rule: %2 adds two extra KEPT sentences (so
+    * odd ids fail the 3-sentence page rule), %3 a javascript line that
+    * passes every other line rule, %4 a punctuation-less line that
+    * passes every other line rule, %7 a lorem-ipsum sentence (line-
+    * kept, page-dropped), %11 a code fragment (page-dropped via '{'). */
+  private val C4Plants: Seq[(Int, String)] = Seq(
+    2 -> "this page has useful verified content indeed.\nthe quick brown fox jumps over the dog.",
+    3 -> "please enable javascript to view this site.",
+    4 -> "click here for more information and offers",
+    7 -> "lorem ipsum dolor sit amet consectetur adipiscing.",
+    11 -> "function() { return 0; }")
+
+  /** t29: the C4 LINE-RULE quality filter (Raffel et al. 1910.10683
+    * §2.2) — the third member of the published rule families next to
+    * t8 (Gopher document statistics) and t20 (CCNet model-based
+    * buckets), and the rule set d10's line-DEDUP pass is usually paired
+    * with: keep a line iff it ends in terminal punctuation, has ≥
+    * [[C4MinWords]] words, and does not mention javascript; keep the
+    * page iff ≥ [[C4MinSentences]] lines survive and the page contains
+    * neither '{' nor 'lorem ipsum'. Output per page: line counts, the
+    * page verdict, and an md5 fingerprint of the surviving text (the
+    * d10 reconstruction contract).
+    *
+    * The corpus is single-line word soup, so the page fixture plants
+    * each pathology deterministically by doc_id ([[C4Plants]]),
+    * mirrored in the oracle.
+    *
+    * Scale: a pure per-row map stage — the line split, rule lambdas,
+    * and fingerprint all run inside one codegen'd projection with
+    * nothing shuffled but the presentation sort; at 100 TB this is a
+    * scan-bound pass like t8, and the verdict column is what the
+    * pipeline's next stage filters on. */
+  def t29C4Filter(s: SparkSession, dir: String): DataFrame = {
+    val page = C4Plants.foldLeft(concat(col("text"), lit(".\nshort line"))) {
+      case (acc, (m, txt)) =>
+        when(col("doc_id") % m === 0, concat(acc, lit("\n" + txt))).otherwise(acc)
+    }
+    val lines = split(col("page"), "\n")
+    val keptArr = filter(transform(lines, t => trim(t)), t =>
+      substring(t, -1, 1).isin(".", "!", "?", "\"") &&
+        size(split(t, "\\s+")) >= C4MinWords &&
+        !lower(t).contains("javascript"))
+    Tables.documents(s, dir).select(col("doc_id"), page.as("page"))
+      .select(col("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(keptArr).cast("long").as("n_kept"),
+        when(size(keptArr) >= C4MinSentences && !col("page").contains("{") &&
+          !lower(col("page")).contains("lorem ipsum"), 1L).otherwise(0L).as("page_kept"),
+        when(size(keptArr) > 0,
+          md5(array_join(keptArr, "\n").cast("binary"))).as("kept_fp"))
+      .orderBy("doc_id")
+  }
+
+  val t29Sql: String = {
+    def sqlLit(s: String): String =
+      "'" + s.replace("\n", "' || chr(10) || '") + "'"
+    val page = C4Plants.foldLeft("text || '.' || chr(10) || 'short line'") {
+      case (acc, (m, txt)) =>
+        s"CASE WHEN doc_id % $m = 0 THEN ($acc) || chr(10) || ${sqlLit(txt)} ELSE ($acc) END"
+    }
+    s"""WITH page AS (SELECT doc_id, $page AS page FROM documents),
+       |k AS (
+       | SELECT doc_id, page,
+       |  len(string_split(page, chr(10))) AS n_lines,
+       |  list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
+       |    t -> right(t, 1) IN ('.', '!', '?', '"')
+       |     AND len(string_split_regex(t, '\\s+')) >= $C4MinWords
+       |     AND NOT contains(lower(t), 'javascript')) AS kept
+       | FROM page)
+       |SELECT doc_id,
+       | cast(n_lines AS bigint) AS n_lines,
+       | cast(len(kept) AS bigint) AS n_kept,
+       | cast(CASE WHEN len(kept) >= $C4MinSentences AND NOT contains(page, '{')
+       |       AND NOT contains(lower(page), 'lorem ipsum') THEN 1 ELSE 0 END AS bigint) AS page_kept,
+       | CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, chr(10))) END AS kept_fp
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
 }

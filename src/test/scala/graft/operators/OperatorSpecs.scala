@@ -487,6 +487,58 @@ class DedupSpec extends SparkSpec {
     assert(screened == naive)
   }
 
+  test("d24 incremental fuzzy screen recalls planted recrawls with no false matches") {
+    val rows = Dedup.d24FuzzyIncremental(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    // roster: every new-batch doc appears exactly once
+    assert(rows.length == rows.map(_._1).distinct.length)
+    val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def wbJ(a: String, b: String): Double = {
+      def bg(s: String) = s.trim.split("\\s+").toSeq
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val x = bg(a); val y = bg(b)
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    def newText(id: Long): String =
+      if (id >= 300000) texts(id - 300000)
+      else if (id >= 100000) texts(id - 100000) + Dedup.NearTail
+      else texts(id)
+    val near = (0L until 400L).filter(_ % 10 == 0)
+    val exact = (0L until 400L).filter(_ % 15 == 0)
+    // exact recrawls: identical text => identical signature => every band
+    // collides and the verify scores 1.0 — MUST be flagged; the reported
+    // match is the LOWEST verified base doc, which (the corpus has
+    // natural one-word-edit near-dups) may precede the source
+    exact.foreach { id =>
+      val t = byId(id + 300000)
+      assert(t._5 == 0L && t._4 <= id, s"exact recrawl of $id: $t")
+    }
+    // near recrawls: banding recall (d3's)
+    val hits = near.count(id => byId(id + 100000)._5 == 0L)
+    assert(hits >= near.length * 8 / 10, s"only $hits of ${near.length} near recrawls caught")
+    // NO false matches anywhere: every reported match re-verifies at tau
+    // against an independently recomputed word-bigram Jaccard
+    rows.filter(_._4 >= 0L).foreach { t =>
+      val j = wbJ(newText(t._1), texts(t._4))
+      assert(j >= 0.5, s"doc ${t._1} matched base ${t._4} but recomputed j=$j")
+    }
+    // and flagged docs without a planted source are true natural near-dups,
+    // not noise: most of the 100 genuinely-new docs stay novel
+    val novelNew = (400L until 500L).count(id => byId(id)._5 == 1L)
+    assert(novelNew >= 85, s"only $novelNew of 100 new docs novel")
+  }
+
+  test("d24 screen from the persisted index equals the one-shot screen") {
+    val path = java.nio.file.Files.createTempDirectory("graft-d24").toString
+    Dedup.d24IndexWrite(spark, sfDir, path)
+    val a = Dedup.d24FuzzyIncremental(spark, sfDir).collect().map(_.toString).toSeq
+    val b = Dedup.d24ScreenFrom(spark, sfDir, path).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("d6 collapsed default (registered) equals the naive all-pairs form") {
     val naive = Dedup.d6Winnowing(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq

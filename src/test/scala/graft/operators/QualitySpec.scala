@@ -28,6 +28,31 @@ class QualitySpec extends SparkSpec {
     assert(rows.filter(col("dup_line_ratio") < 0 || col("dup_line_ratio") >= 1).count() == 0)
   }
 
+  test("t29 applies each C4 rule to its planted line and verdicts pages") {
+    val rows = Quality.t29C4Filter(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // id 2 (%2 only): main + short + two extra kept => 4 lines, 3 kept, page kept
+    assert(rows(2L) == ((4L, 3L, 1L)))
+    // id 3 (%3 only): the javascript line is line-dropped; 1 kept => page dropped
+    assert(rows(3L) == ((3L, 1L, 0L)))
+    // id 7 (%7 only): the lorem line is line-KEPT but page-drops the doc
+    assert(rows(7L) == ((3L, 2L, 0L)))
+    // id 11 (%11 only): '{' page-drops the doc; the code line is line-dropped
+    assert(rows(11L) == ((3L, 1L, 0L)))
+    // id 4 (%2 and %4): punctuation-less line dropped, page survives on 3 kept
+    assert(rows(4L) == ((5L, 3L, 1L)))
+    // every odd id has at most 2 kept sentences => fails the 3-sentence rule
+    assert(rows.collect { case (id, (_, _, kept)) if id % 2 == 1 => kept }.forall(_ == 0L))
+  }
+
+  test("t29 is a pure map stage: no join, no explode, no hash shuffle") {
+    val plan = Quality.t29C4Filter(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"t29 must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"t29 must not explode:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"t29 must not hash-shuffle:\n$plan")
+  }
+
   test("t9 is a pure map stage: no join, no explode, one exchange (the final sort)") {
     val plan = Quality.t9Repetition(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"t9 must not join:\n$plan")
