@@ -155,6 +155,7 @@ object SparkEntry {
     "d23_prefix_jaccard" -> (Dedup.d2PrefixScreened _),
     "d24_fuzzy_incremental" -> (Dedup.d24FuzzyIncremental _),
     "t29_c4_filter"     -> (Quality.t29C4Filter _),
+    "s17_external_adc_serve" -> ((s, d) => Similarity.s17ExternalAdcServe(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -367,5 +368,6 @@ object SparkEntry {
     "d23_prefix_jaccard" -> Dedup.d2Sql,
     "d24_fuzzy_incremental" -> Dedup.d24Sql,
     "t29_c4_filter"     -> Quality.t29Sql,
+    "s17_external_adc_serve" -> Similarity.s17Sql,
   )
 }

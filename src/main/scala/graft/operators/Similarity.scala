@@ -251,6 +251,114 @@ object Similarity {
        | cast(hits * 1000000 // total AS bigint) AS recall_ppm
        |FROM h CROSS JOIN tot ORDER BY method""".stripMargin
 
+  /** s17: EXTERNAL-query serving at the COMPRESSED tier — the full
+    * production read path as one query, s10's machinery pointed at the
+    * reference's actual input (an embedded user question that is not in
+    * the index, conversationController.js:31-38): external batch
+    * ([[externalQueries]]) → ranked coarse probes (nprobe=[[ExtNprobe]])
+    * → integer ADC over the codes of probed lists ONLY → top-
+    * [[IvfAdcShortlist]] shortlist → exact float re-rank → the top-k
+    * ANSWER (qid, rank, neighbor). s15 is the brute-force serving truth
+    * and s16 the recall audit; s17 is what the serving tier would
+    * actually execute at 100 TB, where scanning full floats per query
+    * (s15's plan) is the thing the compressed tier exists to avoid.
+    *
+    * Plan: the corpus is touched by two map-only passes (coarse assign,
+    * PQ encode) + the probed-list candidate join (broadcast probes);
+    * the re-rank attaches floats only to the (queries × shortlist)
+    * sliver. ADC scores are exact integers (the PqCodebook micro-unit
+    * discipline), so shortlist membership is engine-exact; the final
+    * float re-rank rides the family's rank-stability contract (the
+    * asymmetric 3:1 query blend separates parents far above float
+    * noise, the s15 precedent). */
+  def s17ExternalAdcServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import graft.sources.PqCodebook
+    import graft.functions.{PqExpressions => PQ}
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val qs = externalQueries(s, dir).localCheckpoint()
+    val cent = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val ccb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = e.crossJoin(broadcast(ccb))
+      .select(col("vec_id"), col("embedding"),
+        element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
+    val cents = PqCodebook.train(e, IvfAdcK).withColumn("kcb", lit(IvfAdcK)).localCheckpoint()
+    val pcb = PqCodebook.kbsRow(cents, Seq(IvfAdcK))
+    val codes = assigned.crossJoin(broadcast(pcb))
+      .select(col("vec_id"), col("cid"),
+        PQ.encode(col("embedding"), element_at(col("kbs"), 1)).as("codes"))
+    val qt = qs.crossJoin(broadcast(pcb))
+      .select(col("qid"), PQ.adcTable(col("qemb"), element_at(col("kbs"), 1)).as("tbls"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), ExtNprobe).as("pcids"),
+           first(col("qemb")).as("qemb"))
+      .select(col("qid"), col("qemb"), explode(col("pcids")).as("pcid"))
+      .join(qt, Seq("qid"))
+    val short = codes.join(broadcast(probes), col("cid") === col("pcid"))
+      .select(col("qid"), col("qemb"), col("vec_id"),
+        PQ.adcScore(col("codes"), col("tbls")).cast("double").as("score"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(col("score"), col("vec_id"), IvfAdcShortlist).as("short"),
+           first(col("qemb")).as("qemb"))
+    val sliver = short.select(col("qid"), col("qemb"), explode(col("short")).as("nbr"))
+    explodeRanks(e.join(broadcast(sliver), col("vec_id") === col("nbr"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")), col("vec_id"), k).as("nbrs")))
+  }
+
+  /** Oracle: extq + the s10 coarse/PQ CTEs, with the query-side ADC
+    * table built from the EXTERNAL vectors (same micro-unit
+    * quantization), shortlist by exact integer score, exact re-rank. */
+  lazy val s17Sql: String = {
+    import graft.sources.PqCodebook
+    val sub = PqCodebook.Sub
+    val ip = (1 to sub).map(j => s"q.xm[$j] * c.cent[$j]").mkString(" + ")
+    s"""WITH $ExtqSql,
+       |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+       |assigned AS (
+       | SELECT e.vec_id, c.cid
+       | FROM embeddings e CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
+       |probes AS (
+       | SELECT q.qid, c.cid FROM extq q CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY q.qid
+       |   ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid ASC) <= $ExtNprobe),
+       |pts AS (${PqCodebook.ptsSql()}),
+       |${PqCodebook.trainSql("p", IvfAdcK)},
+       |${PqCodebook.encodeSql("p")},
+       |qpts AS (
+       | SELECT qid, m,
+       |  list_transform(list_slice(qemb, m*$sub+1, m*$sub+$sub),
+       |    v -> CAST(floor(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS xm
+       | FROM extq CROSS JOIN (SELECT unnest(range(${PqCodebook.M})) AS m) ms),
+       |qtbl AS (
+       | SELECT q.qid, c.m, c.c, $ip AS t
+       | FROM qpts q JOIN pcent${PqCodebook.Iters} c ON c.m = q.m),
+       |cand AS (
+       | SELECT p.qid, cd.vec_id AS neighbor, sum(t.t) AS score
+       | FROM pcodes cd
+       | JOIN assigned a ON a.vec_id = cd.vec_id
+       | JOIN probes p ON p.cid = a.cid
+       | JOIN qtbl t ON t.qid = p.qid AND t.m = cd.m AND t.c = cd.code
+       | GROUP BY p.qid, cd.vec_id),
+       |short AS (
+       | SELECT qid, neighbor FROM cand
+       | QUALIFY row_number() OVER (PARTITION BY qid
+       |   ORDER BY score DESC, neighbor ASC) <= $IvfAdcShortlist)
+       |SELECT s.qid,
+       | row_number() OVER (PARTITION BY s.qid
+       |   ORDER BY list_cosine_similarity(q.qemb, ve.embedding) DESC, s.neighbor ASC) AS rank,
+       | s.neighbor
+       |FROM short s JOIN extq q ON q.qid = s.qid JOIN embeddings ve ON ve.vec_id = s.neighbor
+       |QUALIFY rank <= 5
+       |ORDER BY s.qid, rank""".stripMargin
+  }
+
   /** s2: LSH-bucketed ANN — random-hyperplane bucket equality prunes the
     * candidate set before exact scoring (the 100 TB serving path). */
   def s2LshTopK(s: SparkSession, dir: String): DataFrame = {

@@ -60,6 +60,22 @@ class ExternalQuerySpec extends SparkSpec {
     }
   }
 
+  test("s17 external ADC serving: exact answer shape, strong overlap with the truth") {
+    val got = Similarity.s17ExternalAdcServe(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byQ.keySet == extq.keySet)
+    assert(byQ.values.forall(_.length == 5), "every query answers exactly top-5")
+    // compressed-tier recall vs the driver-side truth: nprobe=2 of 8
+    // lists + shortlist-25 + exact re-rank recovers most of the true
+    // top-5 (measured 35/50 on the sf0.001 corpus — deterministic)
+    val overlap = extq.toSeq.map { case (q, v) =>
+      byQ(q).toSet.intersect(bruteTop(v, corpus, 5).toSet).size
+    }.sum
+    assert(overlap >= 30, s"compressed-tier overlap too low: $overlap/50")
+    assert(got.forall { case (_, _, n) => corpus.contains(n) })
+  }
+
   test("s5FilteredTopKFor honors the label filter and the brute-force order") {
     val labels = Tables.embeddings(spark, sfDir).select("vec_id", "label")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
