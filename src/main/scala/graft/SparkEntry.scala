@@ -156,6 +156,8 @@ object SparkEntry {
     "d24_fuzzy_incremental" -> (Dedup.d24FuzzyIncremental _),
     "t29_c4_filter"     -> (Quality.t29C4Filter _),
     "s17_external_adc_serve" -> ((s, d) => Similarity.s17ExternalAdcServe(s, d)),
+    "t30_bpe_encode"    -> (TextAnalysis.t30BpeEncode _),
+    "p5_training_shards" -> (Corpus.p5TrainingShards _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -369,5 +371,7 @@ object SparkEntry {
     "d24_fuzzy_incremental" -> Dedup.d24Sql,
     "t29_c4_filter"     -> Quality.t29Sql,
     "s17_external_adc_serve" -> Similarity.s17Sql,
+    "t30_bpe_encode"    -> TextAnalysis.t30Sql,
+    "p5_training_shards" -> Corpus.p5Sql,
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Exact byte-pair-encoding token counting (the reference counts usage
   * tokens with a real BPE — tiktoken.encodingForModel().encode(),
@@ -69,8 +70,14 @@ object BpeVocab {
   /** BPE token count of one word (rank-ascending full application). */
   def countWord(word: String): Int = Table.countWord(word)
 
+  /** One word's token sequence, pipe-joined (the encode path). */
+  def encodeWord(word: String): String = Table.encodeWord(word)
+
   /** Total BPE token count of a word array (null words count 0). */
   def countAll(words: ArrayData): Long = Table.countAll(words)
+
+  /** Pipe-joined token stream of a word array (the encode path). */
+  def encodeAll(words: ArrayData): UTF8String = Table.encodeAll(words)
 }
 
 /** The BPE merge-loop engine over an ARBITRARY ordered merge table —
@@ -83,11 +90,14 @@ object BpeVocab {
 final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  @transient private lazy val encMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private final val MemoCap = 1 << 16
 
-  def countWord(word: String): Int = {
-    val cached = memo.get(word)
-    if (cached != null) return cached.intValue()
+  /** The merge loop itself — rank-ascending full application over one
+    * word's character symbols. Shared by the count and encode paths so
+    * there is exactly ONE implementation of the algorithm. */
+  private def mergeSyms(word: String): scala.collection.mutable.ArrayBuffer[String] = {
     val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
     var i = 0
     while (i < word.length) { syms += String.valueOf(word.charAt(i)); i += 1 }
@@ -106,9 +116,42 @@ final class BpeTable(val merges: Array[(String, String)]) extends Serializable {
       }
       r += 1
     }
-    val n = syms.length
+    syms
+  }
+
+  def countWord(word: String): Int = {
+    val cached = memo.get(word)
+    if (cached != null) return cached.intValue()
+    val n = mergeSyms(word).length
     if (memo.size < MemoCap) memo.put(word, Integer.valueOf(n))
     n
+  }
+
+  /** One word's BPE token SEQUENCE, pipe-joined ("me|rg|e") — the
+    * tokenizer APPLICATION output (t21 counts it, this emits it),
+    * memoized like the count so the Zipf head encodes once per JVM. */
+  def encodeWord(word: String): String = {
+    val cached = encMemo.get(word)
+    if (cached != null) return cached
+    val out = mergeSyms(word).mkString("|")
+    if (encMemo.size < MemoCap) encMemo.put(word, out)
+    out
+  }
+
+  /** The pipe-joined token stream of a word array, in word order (null
+    * words contribute nothing, matching countAll's 0). */
+  def encodeAll(words: ArrayData): UTF8String = {
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    val n = words.numElements()
+    while (i < n) {
+      if (!words.isNullAt(i)) {
+        if (sb.length > 0) sb.append('|')
+        sb.append(encodeWord(words.getUTF8String(i).toString))
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
   }
 
   /** Total BPE token count of a word array (null words count 0). */
@@ -142,6 +185,32 @@ case class BpeCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocab.countAll($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** bpe_encode(words) → string: the word array's full BPE token SEQUENCE
+  * as one pipe-joined stream — tokenizer APPLICATION, where [[BpeCount]]
+  * only counts. Same merge-loop engine and per-JVM distinct-word memo;
+  * map-only, codegen'd. */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_encode needs array<string>, got $other")
+    }
+  override def prettyName: String = "bpe_encode"
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeVocab.encodeAll(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BpeVocab.encodeAll($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -184,6 +253,9 @@ case class BpeCountBroadcast(child: Expression,
 
 object BpeCountF {
   def count(words: Column): Column = Shim.column(BpeCount(Shim.expression(words)))
+
+  /** The full token stream (pipe-joined) of a word array. */
+  def encode(words: Column): Column = Shim.column(BpeEncode(Shim.expression(words)))
 
   /** Count with an explicit broadcast merge table. */
   def countWith(words: Column,

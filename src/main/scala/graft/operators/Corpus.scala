@@ -657,4 +657,82 @@ object Corpus {
        | cast(sum(nt_b) AS bigint) AS tokens_b,
        | cast(sum(nt_b) - sum(nt_a) AS bigint) AS delta_tokens
        |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- p5: the training-shard prep composition ----
+
+  /** p5: TRAINING SHARDS — the final prep step composed end-to-end, the
+    * artifact a pretraining run actually mounts (p3 decides WHAT goes
+    * in; p5 builds the thing loaders read): C4-clean the corpus (t29's
+    * line rules, pages reconstructed from surviving lines) → tokenize
+    * under the REAL tokenizer ([[graft.functions.BpeCount]] — t13's
+    * whitespace counts are the approximation this fixes) → pack into
+    * [[PackWindow]]-token context windows by distributed prefix sum
+    * ([[packSequences]]) → deterministic content-hash shard assignment
+    * (t15's). Per shard: doc/BPE-token counts, the order-independent
+    * hash checksum, and the pack-id span its documents' first tokens
+    * cover.
+    *
+    * Scale: clean + tokenize + hash is ONE map stage (the C4 lambdas,
+    * the memoized BPE loop, and the md5-prefix all codegen'd in a
+    * single projection); packing is the bucket-bound prefix sum — no
+    * global-order window; the shard rollup is S-bound. The one
+    * corpus-sized exchange is the prefix sum's bucket partitioning,
+    * carrying (doc_id, token-count, hash) — never text. */
+  def p5TrainingShards(s: SparkSession, dir: String): DataFrame = {
+    val clean = Quality.c4Clean(s, dir)
+    val toks = clean.select(col("doc_id"),
+      graft.functions.BpeCountF.count(
+        regexp_extract_all(lower(col("text")), lit(WordRe), lit(0))).as("bpe"),
+      graft.functions.Md5PrefixModF(col("text"), Dedup.P).as("h"))
+    packSequences(toks.select("doc_id", "bpe"), "doc_id", "bpe", PackWindow, PackBucket)
+      .join(toks.select("doc_id", "h"), Seq("doc_id"))
+      .withColumn("shard", col("h") % NumShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("bpe").as("bpe_tokens"),
+        sum("h").as("hash_checksum"),
+        min("pack_id").as("first_pack"), max("pack_id").as("last_pack"))
+      .orderBy("shard")
+  }
+
+  /** Oracle: the t29 clean CTEs + the t30 distinct-word BPE recursion +
+    * t13's cumulative window + t15's hash, rolled up per shard. */
+  lazy val p5Sql: String =
+    s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES ${TextAnalysis.bpeMergeRowsSql}),
+       |${Quality.c4CtesSql},
+       |clean AS (
+       | SELECT doc_id, array_to_string(kept, chr(10)) AS text
+       | FROM c4k WHERE ${Quality.c4PageKeptSql}),
+       |docw AS (
+       | SELECT doc_id, unnest(arr) AS w
+       | FROM (SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS arr FROM clean)),
+       |dwc AS (SELECT doc_id, w, count(*) AS n FROM docw GROUP BY doc_id, w),
+       |dw AS (SELECT DISTINCT w FROM dwc),
+       |enc(w, s, rank) AS (
+       | SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|', 1 FROM dw
+       | UNION ALL
+       | SELECT w, replace(s, m.pat, m.rep),
+       |  CASE WHEN replace(s, m.pat, m.rep) <> s THEN e.rank ELSE e.rank + 1 END
+       | FROM enc e JOIN merges m ON m.rank = e.rank),
+       |fin AS (
+       | SELECT w, length(s) - length(replace(s, '|', '')) - 1 AS nt
+       | FROM enc WHERE rank = (SELECT max(rank) + 1 FROM merges)),
+       |toks AS (
+       | SELECT d.doc_id, cast(sum(d.n * f.nt) AS bigint) AS bpe
+       | FROM dwc d JOIN fin f USING (w) GROUP BY d.doc_id),
+       |c AS (
+       | SELECT doc_id, bpe,
+       |  cast(coalesce(sum(bpe) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cum_before
+       | FROM toks),
+       |sh AS (
+       | SELECT c.doc_id, c.bpe, c.cum_before // $PackWindow AS pack_id,
+       |  ('0x' || substr(md5(cl.text), 1, 15))::bigint % ${Dedup.P} AS h
+       | FROM c JOIN clean cl USING (doc_id))
+       |SELECT h % $NumShards AS shard,
+       | count(*) AS n_docs,
+       | cast(sum(bpe) AS bigint) AS bpe_tokens,
+       | cast(sum(h) AS bigint) AS hash_checksum,
+       | cast(min(pack_id) AS bigint) AS first_pack,
+       | cast(max(pack_id) AS bigint) AS last_pack
+       |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin
 }

@@ -968,49 +968,78 @@ object Quality {
     * nothing shuffled but the presentation sort; at 100 TB this is a
     * scan-bound pass like t8, and the verdict column is what the
     * pipeline's next stage filters on. */
-  def t29C4Filter(s: SparkSession, dir: String): DataFrame = {
-    val page = C4Plants.foldLeft(concat(col("text"), lit(".\nshort line"))) {
+  /** The planted page expression (over `doc_id`/`text`). */
+  private def c4Page: Column =
+    C4Plants.foldLeft(concat(col("text"), lit(".\nshort line"))) {
       case (acc, (m, txt)) =>
         when(col("doc_id") % m === 0, concat(acc, lit("\n" + txt))).otherwise(acc)
     }
-    val lines = split(col("page"), "\n")
-    val keptArr = filter(transform(lines, t => trim(t)), t =>
+
+  /** Line-rule survivors of a page column (trimmed kept lines). */
+  private def c4Kept(page: Column): Column =
+    filter(transform(split(page, "\n"), t => trim(t)), t =>
       substring(t, -1, 1).isin(".", "!", "?", "\"") &&
         size(split(t, "\\s+")) >= C4MinWords &&
         !lower(t).contains("javascript"))
-    Tables.documents(s, dir).select(col("doc_id"), page.as("page"))
+
+  /** Page-rule verdict of a page column given its kept lines. */
+  private def c4PageKept(page: Column, kept: Column): Column =
+    size(kept) >= C4MinSentences && !page.contains("{") &&
+      !lower(page).contains("lorem ipsum")
+
+  def t29C4Filter(s: SparkSession, dir: String): DataFrame = {
+    val lines = split(col("page"), "\n")
+    val keptArr = c4Kept(col("page"))
+    Tables.documents(s, dir).select(col("doc_id"), c4Page.as("page"))
       .select(col("doc_id"),
         size(lines).cast("long").as("n_lines"),
         size(keptArr).cast("long").as("n_kept"),
-        when(size(keptArr) >= C4MinSentences && !col("page").contains("{") &&
-          !lower(col("page")).contains("lorem ipsum"), 1L).otherwise(0L).as("page_kept"),
+        when(c4PageKept(col("page"), keptArr), 1L).otherwise(0L).as("page_kept"),
         when(size(keptArr) > 0,
           md5(array_join(keptArr, "\n").cast("binary"))).as("kept_fp"))
       .orderBy("doc_id")
   }
 
-  val t29Sql: String = {
+  /** The C4-CLEAN corpus: kept pages reconstructed from their surviving
+    * lines — the frame the downstream prep pipeline (p5: tokenize →
+    * pack → shard) consumes. */
+  private[operators] def c4Clean(s: SparkSession, dir: String): DataFrame = {
+    val keptArr = c4Kept(col("page"))
+    Tables.documents(s, dir).select(col("doc_id"), c4Page.as("page"))
+      .filter(c4PageKept(col("page"), keptArr))
+      .select(col("doc_id"), array_join(keptArr, "\n").as("text"))
+  }
+
+  /** The page + line-survivor CTEs (`c4page`, `c4k`) and the page
+    * verdict predicate — shared by t29's oracle and p5's. */
+  private[operators] lazy val c4CtesSql: String = {
     def sqlLit(s: String): String =
       "'" + s.replace("\n", "' || chr(10) || '") + "'"
     val page = C4Plants.foldLeft("text || '.' || chr(10) || 'short line'") {
       case (acc, (m, txt)) =>
         s"CASE WHEN doc_id % $m = 0 THEN ($acc) || chr(10) || ${sqlLit(txt)} ELSE ($acc) END"
     }
-    s"""WITH page AS (SELECT doc_id, $page AS page FROM documents),
-       |k AS (
+    s"""c4page AS (SELECT doc_id, $page AS page FROM documents),
+       |c4k AS (
        | SELECT doc_id, page,
        |  len(string_split(page, chr(10))) AS n_lines,
        |  list_filter(list_transform(string_split(page, chr(10)), x -> trim(x)),
        |    t -> right(t, 1) IN ('.', '!', '?', '"')
        |     AND len(string_split_regex(t, '\\s+')) >= $C4MinWords
        |     AND NOT contains(lower(t), 'javascript')) AS kept
-       | FROM page)
+       | FROM c4page)""".stripMargin
+  }
+
+  private[operators] val c4PageKeptSql: String =
+    s"len(kept) >= $C4MinSentences AND NOT contains(page, '{')" +
+      " AND NOT contains(lower(page), 'lorem ipsum')"
+
+  lazy val t29Sql: String =
+    s"""WITH $c4CtesSql
        |SELECT doc_id,
        | cast(n_lines AS bigint) AS n_lines,
        | cast(len(kept) AS bigint) AS n_kept,
-       | cast(CASE WHEN len(kept) >= $C4MinSentences AND NOT contains(page, '{')
-       |       AND NOT contains(lower(page), 'lorem ipsum') THEN 1 ELSE 0 END AS bigint) AS page_kept,
+       | cast(CASE WHEN $c4PageKeptSql THEN 1 ELSE 0 END AS bigint) AS page_kept,
        | CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, chr(10))) END AS kept_fp
-       |FROM k ORDER BY doc_id""".stripMargin
-  }
+       |FROM c4k ORDER BY doc_id""".stripMargin
 }

@@ -431,4 +431,71 @@ object TextAnalysis {
        |$rounds
        |SELECT * FROM ($out) ORDER BY rank""".stripMargin
   }
+
+  // ---- t30: BPE tokenizer APPLICATION (the encode step) ----
+
+  /** t30: BPE ENCODE — the tokenizer application step itself, closing
+    * the family t21 (count) / t22 (cost) / t23 (train) open: every
+    * document's full token SEQUENCE under the ordered merge table, as
+    * the [[graft.functions.BpeEncode]] codegen'd expression (ONE
+    * merge-loop engine shared with the count path, same per-JVM
+    * distinct-word memo). This is what t13's sequence packing consumes
+    * in a real pretraining pipeline — packing needs the ids, not just
+    * the counts. The registered output carries the per-doc token count
+    * plus an md5 fingerprint of the pipe-joined stream (the d10
+    * reconstruction contract — the corpus-sized token text itself never
+    * leaves the executors); the spec additionally pins fixture words'
+    * literal streams and stream-length ≡ count consistency.
+    *
+    * Scale: a pure map stage over the corpus (encode + fingerprint in
+    * one projection, only the presentation sort shuffles); at 100 TB
+    * the stream column writes sharded to parquet instead of
+    * fingerprinting — same plan minus the md5. */
+  def t30BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val w = words(col("text"))
+    Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.BpeCountF.count(w).as("bpe_tokens"),
+        when(size(w) > 0,
+          md5(graft.functions.BpeCountF.encode(w).cast("binary"))).as("tok_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the t21 merge-loop recursion per DISTINCT word (the memo's
+    * twin), re-attached to word OCCURRENCES in position order so the
+    * fingerprint hashes the same stream the engine emits. */
+  /** The fixture merge table as SQL VALUES rows — shared by the t21/t22
+    * CTE, t30's oracle, and p5's. */
+  private[operators] lazy val bpeMergeRowsSql: String =
+    graft.functions.BpeVocab.Merges.zipWithIndex
+      .map { case ((a, b), i) => s"(${i + 1}, '|$a|$b|', '|$a$b|')" }
+      .mkString(", ")
+
+  lazy val t30Sql: String = {
+    val mergeRows = bpeMergeRowsSql
+    s"""WITH RECURSIVE merges(rank, pat, rep) AS (VALUES $mergeRows),
+       |docw AS (
+       | SELECT doc_id, unnest(arr) AS w, unnest(range(len(arr))) AS pos
+       | FROM (SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS arr
+       |       FROM documents)),
+       |dw AS (SELECT DISTINCT w FROM docw),
+       |enc(w, s, rank) AS (
+       | SELECT w, '|' || array_to_string(string_split(w, ''), '|') || '|', 1 FROM dw
+       | UNION ALL
+       | SELECT w, replace(s, m.pat, m.rep),
+       |  CASE WHEN replace(s, m.pat, m.rep) <> s THEN e.rank ELSE e.rank + 1 END
+       | FROM enc e JOIN merges m ON m.rank = e.rank),
+       |fin AS (
+       | SELECT w, trim(s, '|') AS sym,
+       |  length(s) - length(replace(s, '|', '')) - 1 AS nt
+       | FROM enc WHERE rank = (SELECT max(rank) + 1 FROM merges)),
+       |strm AS (
+       | SELECT d.doc_id,
+       |  cast(sum(f.nt) AS bigint) AS bpe_tokens,
+       |  md5(string_agg(f.sym, '|' ORDER BY d.pos)) AS tok_fp
+       | FROM docw d JOIN fin f USING (w) GROUP BY d.doc_id)
+       |SELECT doc.doc_id, coalesce(s.bpe_tokens, 0) AS bpe_tokens, s.tok_fp
+       |FROM documents doc LEFT JOIN strm s ON s.doc_id = doc.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+  }
 }

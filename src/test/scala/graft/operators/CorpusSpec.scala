@@ -201,4 +201,25 @@ class CorpusSpec extends SparkSpec {
     val changed = rows.map(_.getLong(3)).sum
     assert(changed == docs.count(d => d % 10 != 7 && d % 9 != 4 && d % 6 == 0))
   }
+
+  test("p5 training shards conserve the C4-clean corpus and its BPE mass") {
+    val shards = Corpus.p5TrainingShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(shards.nonEmpty && shards.forall(s => s._1 >= 0 && s._1 < Corpus.NumShards))
+    // conservation vs t29: every kept page lands in exactly one shard
+    val kept = Quality.t29C4Filter(spark, sfDir).collect()
+      .map(r => r.getLong(3)).sum
+    assert(shards.map(_._2).sum == kept,
+      s"shard docs ${shards.map(_._2).sum} != t29 kept pages $kept")
+    // pack-id spans are consistent: every shard's span sits inside the
+    // global pack range implied by the total BPE mass
+    val totalBpe = shards.map(_._3).sum
+    val maxPack = totalBpe / Corpus.PackWindow
+    assert(shards.forall { case (_, _, _, first, last) =>
+      first >= 0 && first <= last && last <= maxPack })
+    // determinism across runs
+    val again = Corpus.p5TrainingShards(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5)))
+    assert(shards.toSeq == again.toSeq)
+  }
 }

@@ -69,6 +69,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("encodeWord emits the merged SEQUENCES the counts summarize") {
+    val expected = Seq(
+      "the" -> "the", "merge" -> "merge", "window" -> "window",
+      "group" -> "g|ro|u|p", "sort" -> "s|o|rt",
+      "thethe" -> "the|the", "windows" -> "window|s", "x" -> "x")
+    expected.foreach { case (w, s) =>
+      assert(BpeVocab.encodeWord(w) == s, s"'$w': got ${BpeVocab.encodeWord(w)}")
+      // sequence and count come from ONE loop: lengths must agree
+      assert(BpeVocab.encodeWord(w).split("\\|").length == BpeVocab.countWord(w))
+    }
+    // random words: stream length ≡ count (the shared-engine invariant)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghiklmnoprstuvwy"
+    (1 to 300).foreach { _ =>
+      val w = (1 to (1 + rnd.nextInt(12)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      assert(BpeVocab.encodeWord(w).split("\\|").length == BpeVocab.countWord(w))
+    }
+  }
+
+  test("t30 fingerprints the stream t21 counts: map-only, count-consistent") {
+    val df = TextAnalysis.t30BpeEncode(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Generate"),
+      s"t30 must stay map-only:\n$plan")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val counts = TextAnalysis.t21BpeCount(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows == counts, "t30's per-doc token counts must equal t21's")
+    // determinism: the fingerprints are stable across runs
+    val fp1 = df.collect().map(r => r.getString(2)).toSeq
+    val fp2 = TextAnalysis.t30BpeEncode(spark, sfDir).collect().map(r => r.getString(2)).toSeq
+    assert(fp1 == fp2)
+  }
+
   test("t21 is map-only modulo the final sort and never undercounts vs words") {
     val df = TextAnalysis.t21BpeCount(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
