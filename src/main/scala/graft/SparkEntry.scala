@@ -158,6 +158,7 @@ object SparkEntry {
     "s17_external_adc_serve" -> ((s, d) => Similarity.s17ExternalAdcServe(s, d)),
     "t30_bpe_encode"    -> (TextAnalysis.t30BpeEncode _),
     "p5_training_shards" -> (Corpus.p5TrainingShards _),
+    "a5_hist_union"     -> ((s, d) => Approx.a5HistUnion(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -373,5 +374,6 @@ object SparkEntry {
     "s17_external_adc_serve" -> Similarity.s17Sql,
     "t30_bpe_encode"    -> TextAnalysis.t30Sql,
     "p5_training_shards" -> Corpus.p5Sql,
+    "a5_hist_union"     -> Approx.a5Sql,
   )
 }

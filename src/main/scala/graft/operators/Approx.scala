@@ -229,4 +229,158 @@ object Approx {
   def a4UnionFrom(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path).agg(hll_union_agg(col("sk")).as("sk"))
       .select(hll_sketch_estimate(col("sk")).as("est"))
+
+  // ---- a5: mergeable DETERMINISTIC histogram sketches (quantile union) ----
+
+  /** Number of doubling boundaries: bins are [0,1), [1,2), [2,4), ...,
+    * [2^(HistBits-1), ∞) over `floor(value·100)` micro-units — the
+    * HDR-histogram ladder, integer-exact in both engines (no float log,
+    * no data-dependent boundaries, so two snapshots' sketches always
+    * share bins and merge by vector addition). */
+  val HistBits = 16
+
+  /** bin index = number of ladder boundaries ≤ m (0..HistBits). */
+  private def histBin(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until HistBits).map(i => when(m >= (1L << i), 1).otherwise(0)).reduce(_ + _)
+
+  private val BinLoSql =
+    "CASE WHEN bin = 0 THEN CAST(0 AS BIGINT) ELSE CAST(shiftleft(1L, bin - 1) AS BIGINT) END"
+  private def binHiSql(top: String) =
+    s"CASE WHEN bin >= $HistBits THEN $top ELSE CAST(shiftleft(1L, bin) AS BIGINT) END"
+
+  /** a5: the MERGEABILITY contract of the QUANTILE sketch — a4's twin
+    * for distributions (the other ledger a recurring crawl keeps:
+    * per-snapshot value histograms whose union answers "what is global
+    * p95 latency" without rescanning history). Unlike HLL, this sketch
+    * is fully DETERMINISTIC — fixed log-ladder bins over integer
+    * micro-units — so the whole contract is oracle-exact, not
+    * bound-verdict-only: per event type (and the `__all__` row built by
+    * VECTOR-SUMMING the per-type histograms, never rescanning), the
+    * bin bracketing p50/p95 at the ceil(p·n) rank, the exact rank-based
+    * percentile (Quantiles machinery) in the same micro-units, and the
+    * containment verdict exact_p ∈ [bin_lo, bin_hi) — which a correct
+    * histogram attains ALWAYS (monotone binning), so DuckDB pins 1 and
+    * any merge/binning bug fails the driver gate.
+    *
+    * Shapes: one map stage (micro-unit + 16 integer compares) → a
+    * (type × ≤17 bins) map-combined count; rank location is
+    * tiny-window work over ≤17 rows per type; the exact-percentile
+    * audit rides the bounded two-pass Quantiles machinery (its own
+    * corpus pass — the audit cost, exactly a4's globalExact pattern).
+    * At 100 TB only the two corpus-linear map passes touch data. */
+  def a5HistUnion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select("event_type", "value")
+    val binned = e.select(col("event_type"),
+      histBin(floor(col("value") * 100).cast("long")).as("bin"))
+    val perType = binned.groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    // __all__ = vector sum of the per-type sketches (the union step)
+    val hist = perType.unionByName(
+      perType.groupBy("bin").agg(sum("cnt").as("cnt"))
+        .select(lit("__all__").as("event_type"), col("bin"), col("cnt")))
+    val wCum = Window.partitionBy("event_type").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist
+      .withColumn("cum", sum("cnt").over(wCum))
+      .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+    def bracket(q: Double, nm: String): DataFrame = cum
+      .filter(col("cum") >= expr(s"cast(ceil($q * n) AS bigint)"))
+      .groupBy("event_type").agg(min("bin").as("bin"))
+      .select(col("event_type"), expr(BinLoSql).as(s"${nm}_lo"),
+        expr(binHiSql(Long.MaxValue + "L")).as(s"${nm}_hi"))
+    // exact audit: rank-based percentiles per type AND globally, in the
+    // same micro-units (floor is monotone, so the exact percentile's
+    // micro value must land in the bracketing bin)
+    val keyed = e.unionByName(e.select(lit("__all__").as("event_type"), col("value")))
+    val ex = Quantiles.exactGroupedQuantiles(keyed, "event_type", "value",
+        Seq("p50" -> 0.5, "p95" -> 0.95))
+      .groupBy("event_type")
+      .agg(max(when(col("which") === "p50", col("v"))).as("p50d"),
+           max(when(col("which") === "p95", col("v"))).as("p95d"),
+           max(col("n_events")).as("n_events"))
+    ex.join(bracket(0.5, "p50"), Seq("event_type"))
+      .join(bracket(0.95, "p95"), Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        col("p50_lo"), floor(col("p50d") * 100).cast("long").as("p50_exact"),
+        when(floor(col("p50d") * 100).cast("long").between(
+          col("p50_lo"), col("p50_hi") - 1), 1L).otherwise(0L).as("p50_ok"),
+        col("p95_lo"), floor(col("p95d") * 100).cast("long").as("p95_exact"),
+        when(floor(col("p95d") * 100).cast("long").between(
+          col("p95_lo"), col("p95_hi") - 1), 1L).otherwise(0L).as("p95_ok"))
+      .orderBy("event_type")
+  }
+
+  /** Persist the per-type histogram sketches — tiny (type × ≤17) count
+    * vectors, the snapshot artifact. */
+  def a5SketchWrite(s: SparkSession, dir: String, path: String): Unit =
+    Tables.events(s, dir).select("event_type", "value")
+      .select(col("event_type"),
+        histBin(floor(col("value") * 100).cast("long")).as("bin"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Quantile bounds from STORED sketches only — vector-sum union, no
+    * event data touched. Spec pins this equal to the one-shot query's
+    * `__all__` brackets. */
+  def a5QuantilesFrom(s: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val merged = s.read.parquet(path).groupBy("bin").agg(sum("cnt").as("cnt"))
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(
+        Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("cnt").over(
+        Window.partitionBy(lit(1))))
+    def lo(q: Double, nm: String): DataFrame = cum
+      .filter(col("cum") >= expr(s"cast(ceil($q * n) AS bigint)"))
+      .agg(min("bin").as("bin")).select(expr(BinLoSql).as(nm))
+    lo(0.5, "p50_lo").crossJoin(lo(0.95, "p95_lo"))
+  }
+
+  lazy val a5Sql: String = {
+    val binCase = (0 until HistBits)
+      .map(i => s"(CASE WHEN mv >= ${1L << i} THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH src AS (
+       | SELECT event_type, value, event_id FROM events
+       | UNION ALL
+       | SELECT '__all__' AS event_type, value, event_id FROM events),
+       |m AS (SELECT event_type, value, event_id,
+       |  cast(floor(value * 100) AS bigint) AS mv FROM src),
+       |b AS (SELECT event_type, ($binCase) AS bin FROM m),
+       |hist AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (
+       | SELECT event_type, bin, cnt,
+       |  sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |  sum(cnt) OVER (PARTITION BY event_type) AS n
+       | FROM hist),
+       |p50b AS (
+       | SELECT event_type, min(bin) AS bin FROM cum
+       | WHERE cum >= cast(ceil(0.5 * n) AS bigint) GROUP BY 1),
+       |p95b AS (
+       | SELECT event_type, min(bin) AS bin FROM cum
+       | WHERE cum >= cast(ceil(0.95 * n) AS bigint) GROUP BY 1),
+       |ex AS (
+       | SELECT event_type,
+       |  max(CASE WHEN rn = cast(ceil(0.5 * n) AS bigint) THEN value END) AS p50d,
+       |  max(CASE WHEN rn = cast(ceil(0.95 * n) AS bigint) THEN value END) AS p95d,
+       |  count(*) AS n_events
+       | FROM (
+       |  SELECT event_type, value,
+       |   row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+       |   count(*) OVER (PARTITION BY event_type) AS n
+       |  FROM src)
+       | GROUP BY event_type)
+       |SELECT e.event_type, e.n_events,
+       | cast(CASE WHEN p50b.bin = 0 THEN 0
+       |      ELSE (CAST(1 AS BIGINT) << (p50b.bin - 1)) END AS bigint) AS p50_lo,
+       | cast(floor(e.p50d * 100) AS bigint) AS p50_exact,
+       | cast(1 AS bigint) AS p50_ok,
+       | cast(CASE WHEN p95b.bin = 0 THEN 0
+       |      ELSE (CAST(1 AS BIGINT) << (p95b.bin - 1)) END AS bigint) AS p95_lo,
+       | cast(floor(e.p95d * 100) AS bigint) AS p95_exact,
+       | cast(1 AS bigint) AS p95_ok
+       |FROM ex e JOIN p50b ON p50b.event_type = e.event_type
+       |JOIN p95b ON p95b.event_type = e.event_type
+       |ORDER BY e.event_type""".stripMargin
+  }
 }
