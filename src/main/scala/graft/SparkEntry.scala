@@ -159,6 +159,9 @@ object SparkEntry {
     "t30_bpe_encode"    -> (TextAnalysis.t30BpeEncode _),
     "p5_training_shards" -> (Corpus.p5TrainingShards _),
     "a5_hist_union"     -> ((s, d) => Approx.a5HistUnion(s, d)),
+    // engine-defined dHash => spec-validated class (d4/d6/t6/m4): no
+    // oracle row by design, the driver records a rows-only check
+    "m5_incremental_phash" -> (Multimodal.m5IncrementalPhash _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —

@@ -7,7 +7,8 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
   test("every queries key has either an oracle or a spec-validated marker") {
-    val specOnly = Set("d4_simhash", "d6_winnowing", "t6_recursive_chunk", "m4_phash_neardup")
+    val specOnly = Set("d4_simhash", "d6_winnowing", "t6_recursive_chunk",
+      "m4_phash_neardup", "m5_incremental_phash")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- specOnly
     assert(missing.isEmpty, s"queries without oracle or spec: $missing")
   }

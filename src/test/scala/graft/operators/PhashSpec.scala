@@ -65,4 +65,43 @@ class PhashSpec extends SparkSpec {
     val r2 = Multimodal.m4PhashNearDup(spark, sfDir).collect().toSeq
     assert(r1 == r2)
   }
+
+  test("m5 incremental screen: re-uploads match, every match re-verifies driver-side") {
+    val rows = Multimodal.m5IncrementalPhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))
+    val byId = rows.map(t => t._1 -> t).toMap
+    assert(rows.length == rows.map(_._1).distinct.length)
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    def newPayload(id: Long): Array[Byte] =
+      if (id >= 300000) docs(id - 300000).getBytes("UTF-8")
+      else if (id >= 100000) docs(id - 100000).flatMap(c => s"$c$c").getBytes("UTF-8")
+      else docs(id).getBytes("UTF-8")
+    val baseHash = docs.filter(_._1 < 400)
+      .map { case (id, t) => id -> DHashUtil.dhash64(t.getBytes("UTF-8")) }
+    // exact re-uploads: identical bytes => identical hash => every band
+    // collides and hamming is 0 — MUST be flagged
+    (0L until 400L).filter(_ % 15 == 0).foreach { id =>
+      assert(byId(id + 300000)._5 == 0L, s"exact re-upload of $id came out novel")
+    }
+    // re-encodes (byte-doubled): banding recall, m4's envelope
+    val near = (0L until 400L).filter(_ % 10 == 0)
+    val hits = near.count(id => byId(id + 100000)._5 == 0L)
+    assert(hits >= near.size * 8 / 10, s"only $hits of ${near.size} re-encodes caught")
+    // NO false matches: every reported match re-verifies at tau against
+    // independently recomputed hashes
+    rows.filter(_._4 >= 0L).foreach { t =>
+      val d = hamming(DHashUtil.dhash64(newPayload(t._1)), baseHash(t._4))
+      assert(d <= Multimodal.PhashTau, s"asset ${t._1} matched ${t._4} at hamming $d")
+    }
+  }
+
+  test("m5 screen from the persisted index equals the one-shot screen") {
+    val path = java.nio.file.Files.createTempDirectory("graft-m5").toString + "/idx"
+    Multimodal.m5IndexWrite(spark, sfDir, path)
+    val a = Multimodal.m5IncrementalPhash(spark, sfDir).collect().map(_.toString).toSeq
+    val b = Multimodal.m5ScreenFrom(spark, sfDir, path).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
 }
