@@ -162,6 +162,7 @@ object SparkEntry {
     // engine-defined dHash => spec-validated class (d4/d6/t6/m4): no
     // oracle row by design, the driver records a rows-only check
     "m5_incremental_phash" -> (Multimodal.m5IncrementalPhash _),
+    "q42_cascade_delete" -> (Mutations.q42CascadeDelete _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -378,5 +379,6 @@ object SparkEntry {
     "t30_bpe_encode"    -> TextAnalysis.t30Sql,
     "p5_training_shards" -> Corpus.p5Sql,
     "a5_hist_union"     -> Approx.a5Sql,
+    "q42_cascade_delete" -> Mutations.q42Sql,
   )
 }

@@ -289,4 +289,87 @@ object Mutations {
       | lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL AS is_current
       |FROM events WHERE user_id % 50 = 0
       |ORDER BY user_id, valid_from_us, event_id""".stripMargin
+
+  // ---- q42: cascading forget-user delete with an audit ledger ----
+
+  /** Deterministic forget set: every 97th customer. */
+  val ForgetMod = 97L
+
+  /** q42: CASCADING user deletion with the audit LEDGER — the
+    * right-to-be-forgotten pass a data platform runs (the reference
+    * mass-deletes users by predicate, userController.js:399, and
+    * soft-marks deleted emails; at warehouse scale the deletion must
+    * CASCADE through the foreign-key chain and leave an auditable
+    * receipt): forget customers → their orders → those orders'
+    * lineitems → their events. Output per table: rows deleted, rows
+    * remaining, and an order-independent checksum of the REMAINING
+    * primary keys — the receipt two replicas can compare without
+    * sorting either side.
+    *
+    * Scale: the forget set is a key sliver (|customers|/97) —
+    * broadcast; deleted-order keys are another sliver joined into
+    * lineitem (at 100 TB a shuffle join AQE right-sizes); every count/
+    * checksum is one map-combined aggregate per table. No table is
+    * rewritten here — the ledger is the query; the rewrite itself is
+    * [[rewriteInPlace]]'s copy-on-write path (q24's machinery). */
+  def q42CascadeDelete(s: SparkSession, dir: String): DataFrame = {
+    val forget = Tables.customer(s, dir)
+      .filter(col("c_custkey") % ForgetMod === 0)
+      .select(col("c_custkey").as("fk")).localCheckpoint()
+    def ledger(name: String, df: DataFrame, member: Column,
+        checksum: Column): DataFrame =
+      df.withColumn("del", member).agg(
+        sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
+        sum(when(!col("del"), 1L).otherwise(0L)).as("n_remaining"),
+        sum(when(!col("del"), checksum).otherwise(0L)).as("remaining_checksum"))
+        .select(lit(name).as("tbl"), col("n_deleted"), col("n_remaining"),
+          col("remaining_checksum"))
+    val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      .join(broadcast(forget), col("o_custkey") === col("fk"), "left")
+      .withColumn("odel", col("fk").isNotNull)
+      .localCheckpoint()
+    val delOrders = orders.filter(col("odel")).select(col("o_orderkey").as("dok"))
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber")
+      .join(broadcast(delOrders), col("l_orderkey") === col("dok"), "left")
+    val ev = Tables.events(s, dir).select("event_id", "user_id")
+      .join(broadcast(forget), col("user_id") === col("fk"), "left")
+    ledger("customer", Tables.customer(s, dir).select("c_custkey"),
+        col("c_custkey") % ForgetMod === 0, col("c_custkey"))
+      .unionByName(ledger("events", ev, col("fk").isNotNull, col("event_id")))
+      .unionByName(ledger("lineitem", li, col("dok").isNotNull,
+        col("l_orderkey") * 8L + col("l_linenumber")))
+      .unionByName(ledger("orders", orders, col("odel"), col("o_orderkey")))
+      .orderBy("tbl")
+  }
+
+  val q42Sql: String =
+    """WITH forget AS (SELECT c_custkey AS fk FROM customer WHERE c_custkey % 97 = 0),
+      |o AS (
+      | SELECT o_orderkey, (o_custkey IN (SELECT fk FROM forget)) AS del FROM orders),
+      |dok AS (SELECT o_orderkey FROM o WHERE del)
+      |SELECT 'customer' AS tbl,
+      | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_deleted,
+      | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END) AS bigint) AS n_remaining,
+      | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE c_custkey END) AS bigint) AS remaining_checksum
+      |FROM customer
+      |UNION ALL
+      |SELECT 'events',
+      | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 1 ELSE 0 END) AS bigint),
+      | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 0 ELSE event_id END) AS bigint)
+      |FROM events
+      |UNION ALL
+      |SELECT 'lineitem',
+      | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 1 ELSE 0 END) AS bigint),
+      | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 0
+      |          ELSE l_orderkey * 8 + l_linenumber END) AS bigint)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders',
+      | cast(sum(CASE WHEN del THEN 1 ELSE 0 END) AS bigint),
+      | cast(sum(CASE WHEN del THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN del THEN 0 ELSE o_orderkey END) AS bigint)
+      |FROM o
+      |ORDER BY tbl""".stripMargin
 }

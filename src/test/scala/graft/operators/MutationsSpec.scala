@@ -116,4 +116,38 @@ class MutationsSpec extends SparkSpec {
       assert(!tags.exists(_.startsWith("legacy_")), s"upserted user $uid has base state")
     }
   }
+
+  test("q42 cascade delete: ledger conserves each table and the cascade is exact") {
+    val rows = Mutations.q42CascadeDelete(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem", "events"))
+    // conservation: deleted + remaining = table row count
+    val counts = Map(
+      "customer" -> graft.Tables.customer(spark, sfDir).count(),
+      "orders" -> graft.Tables.orders(spark, sfDir).count(),
+      "lineitem" -> graft.Tables.lineitem(spark, sfDir).count(),
+      "events" -> graft.Tables.events(spark, sfDir).count())
+    counts.foreach { case (t, n) =>
+      assert(rows(t)._1 + rows(t)._2 == n, s"$t ledger does not conserve")
+    }
+    // the cascade is exact: driver-side recompute of each deletion front
+    val forget = graft.Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % Mutations.ForgetMod === 0)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(rows("customer")._1 == forget.size)
+    val delOrders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .filter(r => forget.contains(r.getLong(1))).map(_.getLong(0)).toSet
+    assert(rows("orders")._1 == delOrders.size)
+    val delLi = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey").collect().count(r => delOrders.contains(r.getLong(0)))
+    assert(rows("lineitem")._1 == delLi)
+    val delEv = graft.Tables.events(spark, sfDir)
+      .select("user_id").collect().count(r => forget.contains(r.getLong(0)))
+    assert(rows("events")._1 == delEv)
+    // the forget-set and deleted-order joins broadcast (key slivers)
+    val plan = Mutations.q42CascadeDelete(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"slivers must broadcast:\n$plan")
+  }
 }
