@@ -80,6 +80,16 @@ object Bench {
   /** Name of the machine-epoch calibration row in BASELINE.md. */
   private[graft] val CalibrationKey = "_calibration"
 
+  /** Name of the SWEEP-protocol calibration row in BASELINE.md. The gate
+    * epoch's numerator is the median of calibration samples taken INSIDE
+    * the interleaved sweep; dividing that by the quiet min-of-5 pin mixes
+    * two systematically-offset estimators (sweep samples ran 1.17-2.0x
+    * the quiet pin even on an undisturbed box), persistently deflating
+    * every calibrated ratio. When this row is present it is the epoch
+    * denominator, so numerator and denominator share the estimator; the
+    * quiet pin stays for the quiet-run ratchet protocol. */
+  private[graft] val SweepCalibrationKey = "_calibration_sweep"
+
   /** Fixed calibration workload: a small multi-stage range→shuffle→agg
     * job, independent of the query set and the test data. It measures
     * the per-stage fixed overhead + core throughput of THIS machine
@@ -225,7 +235,7 @@ object Bench {
       val f = new java.io.File("BASELINE.md")
       if (!f.exists()) Map.empty
       else try baselineTimes(new String(java.nio.file.Files.readAllBytes(f.toPath)),
-        SparkEntry.queries.keySet + CalibrationKey)
+        SparkEntry.queries.keySet + CalibrationKey + SweepCalibrationKey)
       catch { case _: Throwable => Map.empty[String, Double] }
     }
     // machine-epoch normalization: the fixed calibration workload's ratio
@@ -240,7 +250,15 @@ object Bench {
     val calib =
       if (sweepCalib.nonEmpty) sweepCalib.sorted.apply(sweepCalib.size / 2)
       else calibQuiet
-    val epoch = baseline.get(CalibrationKey).filter(_ > 0).map(calib / _)
+    // Same-estimator epoch: the sweep-median numerator divides by the
+    // sweep-protocol pin when BASELINE.md carries one (`_calibration_sweep`);
+    // the quiet pin is only a fallback for baselines predating that row.
+    // Mixing estimators (sweep numerator / quiet denominator) made
+    // epoch_factor persistently >1, uniformly deflating every calibrated
+    // ratio — loose in exactly the direction that hides real regressions.
+    val epochPin = baseline.get(SweepCalibrationKey).filter(_ > 0)
+      .orElse(baseline.get(CalibrationKey).filter(_ > 0))
+    val epoch = epochPin.map(calib / _)
     val vsBaseline = mins.collect {
       case (n, t) if t > 0 && baseline.get(n).exists(_ > 0) =>
         n -> BigDecimal(t / baseline(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -248,8 +266,9 @@ object Bench {
     val vsCalibrated = vsBaseline.map { case (n, r) =>
       n -> BigDecimal(r / epoch.getOrElse(1.0)).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
+    val rawByName = vsBaseline.toMap
     vsCalibrated.filter(_._2 > 2.0).sortBy(-_._2).foreach { case (n, r) =>
-      System.err.println(f"[bench] $n is $r%.1fx its baseline min (epoch-normalized) — regression to explain")
+      System.err.println(f"[bench] $n is $r%.1fx its baseline min (epoch-normalized; raw ${rawByName.getOrElse(n, -1.0)}%.2fx) — regression to explain")
     }
 
     def obj(kvs: Seq[(String, String)]): String =
@@ -292,6 +311,9 @@ object Bench {
       "calibration_quiet" -> f"$calibQuiet%.4f",
       "calibration_sweep" -> sweepCalib.map(c => f"$c%.4f").mkString("[", ",", "]"),
       "epoch_factor" -> epoch.map(e => f"$e%.3f").getOrElse("null"),
+      "epoch_pin" -> epochPin.map(p => f"$p%.4f").getOrElse("null"),
+      "epoch_pin_kind" -> (if (baseline.get(SweepCalibrationKey).exists(_ > 0)) "\"sweep\""
+        else if (baseline.get(CalibrationKey).exists(_ > 0)) "\"quiet\"" else "null"),
       "failed" -> failed.map("\"" + _ + "\"").mkString("[", ",", "]"),
       "sf" -> ("\"" + sfDir + "\"")))
     try java.nio.file.Files.write(

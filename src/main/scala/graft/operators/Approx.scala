@@ -243,6 +243,15 @@ object Approx {
   private def histBin(m: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until HistBits).map(i => when(m >= (1L << i), 1).otherwise(0)).reduce(_ + _)
 
+  /** Micro-unit mapping, clamped at 0: bin 0 is [0,1), so an unclamped
+    * negative value would bin at 0 yet carry a negative exact micro —
+    * failing the containment verdict on the engine side while the oracle
+    * pins it 1. Clamping (identically in [[a5Sql]]) keeps the contract
+    * true for ANY input sign; today's events.value is nonnegative, so
+    * current outputs are unchanged. */
+  private def microClamped(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(floor(v * 100).cast("long"), lit(0L))
+
   private val BinLoSql =
     "CASE WHEN bin = 0 THEN CAST(0 AS BIGINT) ELSE CAST(shiftleft(1L, bin - 1) AS BIGINT) END"
   private def binHiSql(top: String) =
@@ -272,7 +281,7 @@ object Approx {
     import org.apache.spark.sql.expressions.Window
     val e = Tables.events(s, dir).select("event_type", "value")
     val binned = e.select(col("event_type"),
-      histBin(floor(col("value") * 100).cast("long")).as("bin"))
+      histBin(microClamped(col("value"))).as("bin"))
     val perType = binned.groupBy("event_type", "bin")
       .agg(count(lit(1)).as("cnt")).localCheckpoint()
     // __all__ = vector sum of the per-type sketches (the union step)
@@ -302,11 +311,11 @@ object Approx {
     ex.join(bracket(0.5, "p50"), Seq("event_type"))
       .join(bracket(0.95, "p95"), Seq("event_type"))
       .select(col("event_type"), col("n_events"),
-        col("p50_lo"), floor(col("p50d") * 100).cast("long").as("p50_exact"),
-        when(floor(col("p50d") * 100).cast("long").between(
+        col("p50_lo"), microClamped(col("p50d")).as("p50_exact"),
+        when(microClamped(col("p50d")).between(
           col("p50_lo"), col("p50_hi") - 1), 1L).otherwise(0L).as("p50_ok"),
-        col("p95_lo"), floor(col("p95d") * 100).cast("long").as("p95_exact"),
-        when(floor(col("p95d") * 100).cast("long").between(
+        col("p95_lo"), microClamped(col("p95d")).as("p95_exact"),
+        when(microClamped(col("p95d")).between(
           col("p95_lo"), col("p95_hi") - 1), 1L).otherwise(0L).as("p95_ok"))
       .orderBy("event_type")
   }
@@ -316,7 +325,7 @@ object Approx {
   def a5SketchWrite(s: SparkSession, dir: String, path: String): Unit =
     Tables.events(s, dir).select("event_type", "value")
       .select(col("event_type"),
-        histBin(floor(col("value") * 100).cast("long")).as("bin"))
+        histBin(microClamped(col("value"))).as("bin"))
       .groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
       .coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -345,7 +354,7 @@ object Approx {
        | UNION ALL
        | SELECT '__all__' AS event_type, value, event_id FROM events),
        |m AS (SELECT event_type, value, event_id,
-       |  cast(floor(value * 100) AS bigint) AS mv FROM src),
+       |  greatest(cast(floor(value * 100) AS bigint), 0) AS mv FROM src),
        |b AS (SELECT event_type, ($binCase) AS bin FROM m),
        |hist AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
        |cum AS (
@@ -373,11 +382,11 @@ object Approx {
        |SELECT e.event_type, e.n_events,
        | cast(CASE WHEN p50b.bin = 0 THEN 0
        |      ELSE (CAST(1 AS BIGINT) << (p50b.bin - 1)) END AS bigint) AS p50_lo,
-       | cast(floor(e.p50d * 100) AS bigint) AS p50_exact,
+       | greatest(cast(floor(e.p50d * 100) AS bigint), 0) AS p50_exact,
        | cast(1 AS bigint) AS p50_ok,
        | cast(CASE WHEN p95b.bin = 0 THEN 0
        |      ELSE (CAST(1 AS BIGINT) << (p95b.bin - 1)) END AS bigint) AS p95_lo,
-       | cast(floor(e.p95d * 100) AS bigint) AS p95_exact,
+       | greatest(cast(floor(e.p95d * 100) AS bigint), 0) AS p95_exact,
        | cast(1 AS bigint) AS p95_ok
        |FROM ex e JOIN p50b ON p50b.event_type = e.event_type
        |JOIN p95b ON p95b.event_type = e.event_type

@@ -295,6 +295,14 @@ object Mutations {
   /** Deterministic forget set: every 97th customer. */
   val ForgetMod = 97L
 
+  /** Checksum modulus (Dedup.P's discipline): the receipt is
+    * sum(key % P) % P with the running sum held in DECIMAL(38,0), so it
+    * is overflow-free at ANY table size — a raw sum(key) wraps silently
+    * in Spark (int64) while DuckDB promotes to HUGEINT and then errors
+    * on the bigint cast, i.e. the two replicas comparing receipts would
+    * diverge exactly when the keyspace grows past ~sf1000. */
+  val ChecksumP = 1000000007L
+
   /** q42: CASCADING user deletion with the audit LEDGER — the
     * right-to-be-forgotten pass a data platform runs (the reference
     * mass-deletes users by predicate, userController.js:399, and
@@ -321,7 +329,9 @@ object Mutations {
       df.withColumn("del", member).agg(
         sum(when(col("del"), 1L).otherwise(0L)).as("n_deleted"),
         sum(when(!col("del"), 1L).otherwise(0L)).as("n_remaining"),
-        sum(when(!col("del"), checksum).otherwise(0L)).as("remaining_checksum"))
+        (sum(when(!col("del"), checksum % ChecksumP).otherwise(0L)
+            .cast("decimal(38,0)")) % ChecksumP)
+          .cast("long").as("remaining_checksum"))
         .select(lit(name).as("tbl"), col("n_deleted"), col("n_remaining"),
           col("remaining_checksum"))
     val orders = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
@@ -337,7 +347,9 @@ object Mutations {
         col("c_custkey") % ForgetMod === 0, col("c_custkey"))
       .unionByName(ledger("events", ev, col("fk").isNotNull, col("event_id")))
       .unionByName(ledger("lineitem", li, col("dok").isNotNull,
-        col("l_orderkey") * 8L + col("l_linenumber")))
+        // mod-reduce BEFORE the widen: (key%P)*8+line < 8e9+7 fits int64
+        // for any orderkey, where orderkey*8 alone wraps past 2^60 keys
+        (col("l_orderkey") % ChecksumP) * 8L + col("l_linenumber")))
       .unionByName(ledger("orders", orders, col("odel"), col("o_orderkey")))
       .orderBy("tbl")
   }
@@ -350,26 +362,30 @@ object Mutations {
       |SELECT 'customer' AS tbl,
       | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS bigint) AS n_deleted,
       | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE 1 END) AS bigint) AS n_remaining,
-      | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE c_custkey END) AS bigint) AS remaining_checksum
+      | cast(sum(CASE WHEN c_custkey % 97 = 0 THEN 0 ELSE c_custkey % 1000000007 END)
+      |      % 1000000007 AS bigint) AS remaining_checksum
       |FROM customer
       |UNION ALL
       |SELECT 'events',
       | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 1 ELSE 0 END) AS bigint),
       | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 0 ELSE 1 END) AS bigint),
-      | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 0 ELSE event_id END) AS bigint)
+      | cast(sum(CASE WHEN user_id IN (SELECT fk FROM forget) THEN 0
+      |          ELSE event_id % 1000000007 END) % 1000000007 AS bigint)
       |FROM events
       |UNION ALL
       |SELECT 'lineitem',
       | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 1 ELSE 0 END) AS bigint),
       | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 0 ELSE 1 END) AS bigint),
       | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM dok) THEN 0
-      |          ELSE l_orderkey * 8 + l_linenumber END) AS bigint)
+      |          ELSE ((l_orderkey % 1000000007) * 8 + l_linenumber) % 1000000007 END)
+      |      % 1000000007 AS bigint)
       |FROM lineitem
       |UNION ALL
       |SELECT 'orders',
       | cast(sum(CASE WHEN del THEN 1 ELSE 0 END) AS bigint),
       | cast(sum(CASE WHEN del THEN 0 ELSE 1 END) AS bigint),
-      | cast(sum(CASE WHEN del THEN 0 ELSE o_orderkey END) AS bigint)
+      | cast(sum(CASE WHEN del THEN 0 ELSE o_orderkey % 1000000007 END)
+      |      % 1000000007 AS bigint)
       |FROM o
       |ORDER BY tbl""".stripMargin
 }

@@ -37,11 +37,18 @@ object VectorStoreMaintenance {
   private def genPath(root: String, g: Int) = s"$root/gen_$g"
   private def codebookPath(root: String, g: Int) = s"$root/codebook_$g"
 
-  /** The live generation (max present; -1 for an empty root). */
+  /** The live generation (max present; -1 for an empty/absent root).
+    * Listed through Hadoop's FileSystem against the session's
+    * configuration — the same path I/O the index reads/writes use — so
+    * a non-local root (HDFS/S3) resolves instead of silently returning
+    * -1 the way a driver-local java.io listing would; the pattern is
+    * anchored so a sibling merely CONTAINING "gen_<n>" never counts. */
   def currentGen(s: SparkSession, root: String): Int = {
-    val dir = new java.io.File(root)
-    Option(dir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "gen_(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toInt))
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) -1
+    else fs.listStatus(path)
+      .flatMap(st => "^gen_(\\d+)$".r.findFirstMatchIn(st.getPath.getName).map(_.group(1).toInt))
       .foldLeft(-1)(math.max)
   }
 

@@ -145,6 +145,26 @@ class MutationsSpec extends SparkSpec {
     val delEv = graft.Tables.events(spark, sfDir)
       .select("user_id").collect().count(r => forget.contains(r.getLong(0)))
     assert(rows("events")._1 == delEv)
+    // the modular receipt is exact: driver-side recompute of
+    // sum(key % P) % P over the surviving keys (order-independent and
+    // overflow-free at any table size — the reason it replaced raw sums)
+    val P = Mutations.ChecksumP
+    val custSum = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0))
+      .filterNot(forget.contains)
+      .foldLeft(0L)((acc, k) => (acc + k % P) % P)
+    assert(rows("customer")._3 == custSum, "customer receipt mismatch")
+    val ordSum = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey").collect()
+      .filterNot(r => forget.contains(r.getLong(1))).map(_.getLong(0))
+      .foldLeft(0L)((acc, k) => (acc + k % P) % P)
+    assert(rows("orders")._3 == ordSum, "orders receipt mismatch")
+    val liSum = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber").collect()
+      .filterNot(r => delOrders.contains(r.getLong(0)))
+      .map(r => ((r.getLong(0) % P) * 8 + r.getInt(1)) % P)
+      .foldLeft(0L)((acc, k) => (acc + k) % P)
+    assert(rows("lineitem")._3 == liSum, "lineitem receipt mismatch")
     // the forget-set and deleted-order joins broadcast (key slivers)
     val plan = Mutations.q42CascadeDelete(spark, sfDir)
       .queryExecution.executedPlan.toString
