@@ -163,6 +163,9 @@ object SparkEntry {
     // oracle row by design, the driver records a rows-only check
     "m5_incremental_phash" -> (Multimodal.m5IncrementalPhash _),
     "q42_cascade_delete" -> (Mutations.q42CascadeDelete _),
+    "t31_pii_scan"      -> (TextAnalysis.t31PiiScan _),
+    "t32_tokenizer_fertility" -> (TextAnalysis.t32TokenizerFertility _),
+    "d25_proto_prune"   -> (Dedup.d25ProtoPrune _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -380,5 +383,8 @@ object SparkEntry {
     "p5_training_shards" -> Corpus.p5Sql,
     "a5_hist_union"     -> Approx.a5Sql,
     "q42_cascade_delete" -> Mutations.q42Sql,
+    "t31_pii_scan"      -> TextAnalysis.t31Sql,
+    "t32_tokenizer_fertility" -> TextAnalysis.t32Sql,
+    "d25_proto_prune"   -> Dedup.d25Sql,
   )
 }

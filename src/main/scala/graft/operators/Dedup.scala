@@ -1203,6 +1203,104 @@ object Dedup {
       |                               CAST(b.embedding AS DOUBLE[])) > 0.99)
       |ORDER BY vec_id""".stripMargin
 
+  // ---- d25: prototypicality pruning (the D4 second stage) ----
+
+  /** Keep fraction for [[d25ProtoPrune]] — the ε=25% most-prototypical
+    * members of every cluster are dropped. Kept rational (3/4) so the
+    * rank ceil(0.75·n) is integer-exact in both engines. */
+  val ProtoPruneQ = 0.75
+
+  /** Map-only assignment that carries the prototypicality SCORE: cid
+    * from the NearestIndex argmax (the d11 primitive) and the cosine to
+    * the chosen centroid, both inside one projection against the one-row
+    * broadcast codebook — zero corpus shuffle. */
+  private def d25AssignScored(corpus: DataFrame, codebook: DataFrame): DataFrame = {
+    import graft.functions.{VectorExpressions => V}
+    corpus.crossJoin(broadcast(codebook))
+      .withColumn("ni", V.nearest(col("embedding"), col("cembs")))
+      .select(col("vec_id"),
+        element_at(col("cids"), col("ni") + 1).as("cid"),
+        V.cosine(col("embedding"), element_at(col("cembs"), col("ni") + 1)).as("proto"))
+  }
+
+  /** d25: PROTOTYPICALITY PRUNING — the D4 second stage (Tirumala et
+    * al. arXiv:2308.12284 = SemDeDup + SSL-prototypes, Sorscher et al.
+    * arXiv:2206.14486): where d11 removes near-DUPLICATES, this removes
+    * the most PROTOTYPICAL ε of every cluster — the near-centroid mass
+    * that is semantically redundant with the rest of its cluster even
+    * though no single pair crosses a duplicate threshold (the published
+    * result: dropping it beats random pruning at equal token budget).
+    * Reference analogue: pruning the Pinecone namespace before re-train
+    * (embeddingController.js:10-57 is the store this selects from).
+    *
+    * Mechanics: d11's medoid codebook → map-only assignment + cosine
+    * score against the chosen centroid (one projection, codebook is a
+    * one-row broadcast) → per-cluster DISC cutoff at rank ceil(0.75·n)
+    * from the bounded [[Quantiles]] machinery (the t20 rule: NEVER a
+    * row_number window partitioned by the low-cardinality cid — that
+    * sorts the corpus in |clusters| reducer partitions) → survivors =
+    * score ≤ cutoff, value-based so ties keep identically in both
+    * engines. The scored frame is localCheckpoint'd once (quantile stack
+    * + final filter both read it). Cosines are bit-identical across
+    * engines (float inputs, double accumulation — the d5/d11 contract),
+    * so the cutoff VALUE and the survivor set hash-match exactly.
+    *
+    * Scale: centroid agg is (labels × dim)-bound; assignment+score is
+    * map-only; the quantile stack shuffles ≤ clusters × B histogram
+    * partials per partition; cutoffs broadcast back (≤ |clusters| rows)
+    * so the keep-filter is map-side. Nothing corpus-sized joins or
+    * sorts at 100 TB. */
+  def d25ProtoPrune(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val scored = d25AssignScored(corpus, d11MedoidCodebook(s, dir)).localCheckpoint()
+    val cuts = Quantiles.exactGroupedQuantiles(scored, "cid", "proto",
+        Seq("q" -> ProtoPruneQ))
+      .select(col("cid"), col("v").as("cut"))
+    scored.join(broadcast(cuts), Seq("cid"))
+      .filter(col("proto") <= col("cut"))
+      .select("vec_id", "cid")
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the d11 cent/medoid CTEs verbatim, assignment carrying the
+    * score, cutoff = the value at rank ceil(0.75·n) per cid (the DISC
+    * quantile the Quantiles machinery computes), survivors by the same
+    * value-based compare. */
+  val d25Sql: String =
+    """WITH cent AS (
+      |  SELECT label, list(cast(micro AS double) ORDER BY dim) AS cemb
+      |  FROM (
+      |    SELECT label, dim,
+      |      cast(floor(cast(sum(cast(floor(cast(v AS double) * 1e6) AS bigint)) AS double)
+      |                 / count(*)) AS bigint) AS micro
+      |    FROM (SELECT label, unnest(embedding) AS v,
+      |                 unnest(range(len(embedding))) AS dim FROM embeddings)
+      |    GROUP BY label, dim)
+      |  GROUP BY label),
+      |medoid AS (
+      |  SELECT e.label AS cid, e.embedding AS cemb
+      |  FROM embeddings e JOIN cent c ON e.label = c.label
+      |  QUALIFY row_number() OVER (PARTITION BY e.label
+      |    ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cemb) DESC,
+      |             e.vec_id ASC) = 1),
+      |assigned AS (
+      | SELECT c.vec_id, m.cid,
+      |  list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                         CAST(m.cemb AS DOUBLE[])) AS proto
+      | FROM embeddings c CROSS JOIN medoid m
+      | QUALIFY row_number() OVER (PARTITION BY c.vec_id
+      |   ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+      |                                   CAST(m.cemb AS DOUBLE[])) DESC, m.cid ASC) = 1),
+      |cut AS (
+      | SELECT cid, max(v) AS cut FROM (
+      |  SELECT cid, proto AS v,
+      |   row_number() OVER (PARTITION BY cid ORDER BY proto) AS rn,
+      |   cast(ceil(0.75 * count(*) OVER (PARTITION BY cid)) AS bigint) AS r
+      |  FROM assigned) WHERE rn = r GROUP BY cid)
+      |SELECT a.vec_id, a.cid FROM assigned a JOIN cut ON a.cid = cut.cid
+      |WHERE a.proto <= cut.cut
+      |ORDER BY vec_id""".stripMargin
+
   /** The dedup family's SHARED ARTIFACT: the d3 LSH collision sliver
     * (candidate pairs) and its connected-component labels, computed once
     * per (session, corpus dir) and reused by every consumer — d12

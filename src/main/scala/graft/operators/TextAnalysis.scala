@@ -323,6 +323,162 @@ object TextAnalysis {
        |  ON lang = plang
        |ORDER BY lang""".stripMargin
 
+  // ---- t32: tokenizer fertility / compression report ----
+
+  /** t32: per-language TOKENIZER FERTILITY report — the evaluation table
+    * every multilingual tokenizer paper publishes (fertility = subword
+    * tokens per word, e.g. mBERT/XLM-R analyses in Ács 2019 / Rust et
+    * al. arXiv:2012.15613; compression = characters per token): for each
+    * language, documents, words, EXACT BPE tokens (the t21 codegen'd
+    * merge loop — same tokenizer the count/cost/encode family runs),
+    * word characters, fertility and chars-per-token in exact integer
+    * ppm. This is the artifact that decides whether a vocabulary is
+    * re-trained before a pretraining run (a high-fertility language is
+    * paying more sequence length per word of content — the t24 mixture
+    * and t22 cost both shift with it).
+    *
+    * Determinism: counts are exact integers; the two ratios are integer
+    * floor-divisions (`div`) of decimal(38,0) products — no float path,
+    * overflow-free at any corpus size (the q42 receipt rule). DuckDB
+    * mirrors with hugeint `//`.
+    *
+    * Shape: ONE map stage (BPE count + two regexp counts per doc) into a
+    * lang-bound aggregate — scan-bandwidth-bound at 100 TB, zero joins;
+    * the ratio arithmetic runs on the |langs|-row output. */
+  def t32TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("lang", "text")
+      .select(col("lang"),
+        graft.functions.BpeCountF.count(words(col("text"))).as("bpe"),
+        regexp_count(lower(col("text")), lit(WordRe)).cast("long").as("nw"),
+        length(regexp_replace(lower(col("text")), "[^a-z0-9]", "")).cast("long").as("wc"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+           sum("nw").as("n_words"),
+           sum("bpe").cast("long").as("bpe_tokens"),
+           sum("wc").as("word_chars"))
+      .select(col("lang"), col("docs"), col("n_words"), col("bpe_tokens"),
+        col("word_chars"),
+        expr("cast((cast(bpe_tokens as decimal(38,0)) * 1000000) div nullif(n_words, 0) as bigint)")
+          .as("fertility_ppm"),
+        expr("cast((cast(word_chars as decimal(38,0)) * 1000000) div nullif(bpe_tokens, 0) as bigint)")
+          .as("chars_per_token_ppm"))
+      .orderBy("lang")
+
+  lazy val t32Sql: String =
+    s"""WITH RECURSIVE ${bpeEncCte("SELECT doc_id, lang, text FROM documents")},
+       |base AS (
+       | SELECT d.lang,
+       |  len(regexp_extract_all(lower(d.text), '$WordRe')) AS nw,
+       |  length(regexp_replace(lower(d.text), '[^a-z0-9]', '', 'g')) AS wc,
+       |  coalesce(p.bpe_tokens, 0) AS bpe
+       | FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+       |agg AS (
+       | SELECT lang, count(*) AS docs, cast(sum(nw) AS bigint) AS n_words,
+       |  cast(sum(bpe) AS bigint) AS bpe_tokens, cast(sum(wc) AS bigint) AS word_chars
+       | FROM base GROUP BY lang)
+       |SELECT lang, docs, n_words, bpe_tokens, word_chars,
+       | cast(cast(bpe_tokens AS hugeint) * 1000000 // nullif(n_words, 0) AS bigint) AS fertility_ppm,
+       | cast(cast(word_chars AS hugeint) * 1000000 // nullif(bpe_tokens, 0) AS bigint) AS chars_per_token_ppm
+       |FROM agg ORDER BY lang""".stripMargin
+
+  // ---- t31: structured PII scan (t7's audit-grade extension) ----
+
+  /** Planted PII fixture classes, keyed by doc_id (the t7/t29 planting
+    * discipline — the synthetic corpus contains no organic PII, so each
+    * detector class is planted deterministically and mirrored verbatim
+    * in the oracle): %5 → email + two dashed phone numbers; %7 → one
+    * valid IPv4 and one with an out-of-range octet (exercising octet
+    * validation, not just the regex); %11 → a Luhn-VALID card number;
+    * %13 → the same digits +1 (Luhn-invalid — exercising the checksum,
+    * not just the digit-run regex). */
+  private val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val CardRe = "[0-9]{13,19}"
+
+  /** t31: STRUCTURED PII SCAN — the audit t7's redaction pass is driven
+    * by (BigScience ROOTS / FineWeb-class pipelines run exactly this
+    * before release; the reference stores emails and card-bearing users
+    * in Mongo, userController.js): per document, counts of emails,
+    * dashed phone numbers, VALID IPv4 addresses (every octet ≤ 255 — an
+    * out-of-range dotted quad is a version string, not PII), candidate
+    * card-number digit runs, and LUHN-VALIDATED card numbers (the
+    * checksum that separates a real PAN from a random digit run), plus
+    * the has_pii verdict bit.
+    *
+    * Everything is one codegen'd map stage: regexp_count for the
+    * count-only detectors, regexp_extract_all → higher-order
+    * filter/forall with an `aggregate` fold for the Luhn checksum — no
+    * UDFs, no joins, no shuffles before the presentation sort; at
+    * 100 TB the scan streams at parquet-read speed (the t29 class).
+    * Validation arithmetic is pure integers, so both engines agree
+    * exactly. */
+  def t31PiiScan(s: SparkSession, dir: String): DataFrame = {
+    val ptext = concat(col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" reach user"), col("doc_id"),
+          lit("@example.com or 555-867-5309 or 555-000-1234"))).otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        lit(" node 10.0.0.42 peer 192.168.300.7")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit(" card 4539578763621486")).otherwise(lit("")),
+      when(col("doc_id") % 13 === 0, lit(" card 4539578763621487")).otherwise(lit("")))
+    val luhnValid = // reversed-index Luhn fold: odd positions as-is, even doubled (−9 past 9)
+      """c -> aggregate(sequence(1, length(c)), 0, (a, i) ->
+        | a + CASE WHEN i % 2 = 1 THEN ascii(substring(reverse(c), i, 1)) - 48
+        |          ELSE CASE WHEN 2 * (ascii(substring(reverse(c), i, 1)) - 48) > 9
+        |                    THEN 2 * (ascii(substring(reverse(c), i, 1)) - 48) - 9
+        |                    ELSE 2 * (ascii(substring(reverse(c), i, 1)) - 48) END END) % 10 = 0"""
+        .stripMargin
+    Tables.documents(s, dir).select("doc_id", "text")
+      .withColumn("ptext", ptext)
+      .select(col("doc_id"),
+        regexp_count(col("ptext"), lit(EmailRe)).cast("long").as("n_email"),
+        regexp_count(col("ptext"), lit(PhoneRe)).cast("long").as("n_phone"),
+        // Spark's SQL string parser consumes backslash escapes, so the
+        // regex backslashes double here; DuckDB's literal parser does
+        // not, so t31Sql interpolates the raw pattern.
+        expr(s"""size(filter(regexp_extract_all(ptext, '${Ipv4Re.replace("\\", "\\\\")}', 0),
+                   p -> forall(split(p, '\\\\.'), o -> cast(o as int) <= 255)))""")
+          .cast("long").as("n_ipv4_valid"),
+        regexp_count(col("ptext"), lit(CardRe)).cast("long").as("n_card_seen"),
+        expr(s"size(filter(regexp_extract_all(ptext, '$CardRe', 0), $luhnValid))")
+          .cast("long").as("n_card_valid"))
+      .withColumn("has_pii",
+        (col("n_email") + col("n_phone") + col("n_ipv4_valid") + col("n_card_valid") > 0)
+          .cast("int"))
+      .orderBy("doc_id")
+  }
+
+  lazy val t31Sql: String = {
+    val luhn =
+      """list_sum(list_transform(range(1, length(c) + 1), i ->
+        | CASE WHEN i % 2 = 1 THEN ascii(substr(reverse(c), i, 1)) - 48
+        |      ELSE CASE WHEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) > 9
+        |                THEN 2 * (ascii(substr(reverse(c), i, 1)) - 48) - 9
+        |                ELSE 2 * (ascii(substr(reverse(c), i, 1)) - 48) END END)) % 10 = 0"""
+        .stripMargin
+    s"""WITH corpus AS (
+       | SELECT doc_id, text
+       |  || CASE WHEN doc_id % 5 = 0
+       |     THEN ' reach user' || doc_id || '@example.com or 555-867-5309 or 555-000-1234'
+       |     ELSE '' END
+       |  || CASE WHEN doc_id % 7 = 0 THEN ' node 10.0.0.42 peer 192.168.300.7' ELSE '' END
+       |  || CASE WHEN doc_id % 11 = 0 THEN ' card 4539578763621486' ELSE '' END
+       |  || CASE WHEN doc_id % 13 = 0 THEN ' card 4539578763621487' ELSE '' END AS ptext
+       | FROM documents),
+       |scan AS (
+       | SELECT doc_id,
+       |  len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       |  len(regexp_extract_all(ptext, '$PhoneRe')) AS n_phone,
+       |  len(list_filter(regexp_extract_all(ptext, '$Ipv4Re'),
+       |      p -> len(list_filter(string_split(p, '.'), o -> cast(o AS int) > 255)) = 0)) AS n_ipv4_valid,
+       |  len(regexp_extract_all(ptext, '$CardRe')) AS n_card_seen,
+       |  len(list_filter(regexp_extract_all(ptext, '$CardRe'), c -> $luhn)) AS n_card_valid
+       | FROM corpus)
+       |SELECT doc_id, n_email, n_phone, n_ipv4_valid, n_card_seen, n_card_valid,
+       | cast(n_email + n_phone + n_ipv4_valid + n_card_valid > 0 AS int) AS has_pii
+       |FROM scan ORDER BY doc_id""".stripMargin
+  }
+
   // ---- t23: distributed BPE merge TRAINING ----
 
   /** Merge rounds learned by t23. Kept small enough that every round is

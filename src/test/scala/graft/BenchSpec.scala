@@ -109,6 +109,23 @@ class BenchSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"unexpected baseline gaps: $missing")
   }
 
+  test("the committed BASELINE.md pins the sweep-protocol calibration row") {
+    // the epoch gate's numerator is the sweep-median calibration (sampled
+    // inside the interleaved round-robin); its denominator must share the
+    // estimator — the round-11 ADVICE item: dividing a sweep median by the
+    // quiet min-of-5 pin deflated every calibrated ratio 1.2-2.6x
+    val f = new java.io.File("BASELINE.md")
+    assume(f.exists())
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath))
+    val pins = Bench.baselineTimes(text,
+      Set(Bench.CalibrationKey, Bench.SweepCalibrationKey))
+    assert(pins.get(Bench.SweepCalibrationKey).exists(_ > 0),
+      "missing _calibration_sweep row")
+    // the sweep protocol is systematically costlier than the quiet one;
+    // a sweep pin at or below the quiet pin would recreate the deflation
+    assert(pins(Bench.SweepCalibrationKey) > pins(Bench.CalibrationKey))
+  }
+
   test("the committed BASELINE.md pins a calibration row; history rows never parse") {
     val f = new java.io.File("BASELINE.md")
     assume(f.exists())

@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** t31: structured PII scan — planted-class recall, checksum behavior,
+  * and the pure-map plan contract (the t29 class). */
+class PiiScanSpec extends SparkSpec {
+
+  private def luhn(s: String): Boolean = {
+    val tot = s.reverse.zipWithIndex.map { case (ch, idx) =>
+      val d = ch - '0'
+      if (idx % 2 == 0) d else if (2 * d > 9) 2 * d - 9 else 2 * d
+    }.sum
+    tot % 10 == 0
+  }
+
+  test("t31 fixture card numbers are Luhn-valid / Luhn-invalid as planted") {
+    assert(luhn("4539578763621486"), "the %11 plant must be Luhn-valid")
+    assert(!luhn("4539578763621487"), "the %13 plant must be Luhn-invalid")
+  }
+
+  test("t31 detects every planted class and nothing organic") {
+    val rows = TextAnalysis.t31PiiScan(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6)))).toMap
+    rows.foreach { case (id, (email, phone, ipv4, seen, valid, has)) =>
+      if (id % 5 == 0) {
+        assert(email >= 1, s"doc $id: planted email missed")
+        assert(phone == 2, s"doc $id: expected 2 planted phones, got $phone")
+      }
+      if (id % 7 == 0)
+        // 10.0.0.42 is valid; 192.168.300.7 has an out-of-range octet
+        assert(ipv4 == 1, s"doc $id: octet validation failed ($ipv4)")
+      if (id % 11 == 0)
+        assert(valid >= 1, s"doc $id: Luhn-valid card missed")
+      if (id % 13 == 0 && id % 11 != 0)
+        assert(seen >= 1 && valid == 0,
+          s"doc $id: Luhn must reject the %13 plant (seen=$seen valid=$valid)")
+      if (id % 5 != 0 && id % 7 != 0 && id % 11 != 0 && id % 13 != 0)
+        assert(has == 0, s"doc $id: organic corpus text flagged as PII")
+      else if (id % 5 == 0 || id % 7 == 0 || id % 11 == 0)
+        assert(has == 1, s"doc $id: planted PII not reflected in has_pii")
+    }
+  }
+
+  test("t31 is a pure map stage: no join, no explode, no hash shuffle") {
+    val plan = TextAnalysis.t31PiiScan(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"t31 must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"t31 must not explode:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty,
+      s"t31 must not hash-shuffle:\n$plan")
+  }
+}
+
+/** t32: tokenizer fertility report — invariants, cross-check against the
+  * per-doc t21 counts, and the single-aggregate plan. */
+class TokenizerFertilitySpec extends SparkSpec {
+
+  test("t32 conserves docs and agrees with t21's per-doc BPE counts") {
+    val rows = TextAnalysis.t32TokenizerFertility(spark, sfDir).collect()
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total, "docs must conserve")
+    // per-lang BPE mass must equal the independently-computed t21 rollup
+    val t21ByLang = TextAnalysis.t21BpeCount(spark, sfDir)
+      .join(graft.Tables.documents(spark, sfDir).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum("bpe_tokens").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == t21ByLang(r.getString(0)),
+        s"lang ${r.getString(0)}: t32 bpe mass diverges from t21")
+    }
+  }
+
+  test("t32 ratio invariants: fertility and chars-per-token are >= 1 token/word") {
+    val rows = TextAnalysis.t32TokenizerFertility(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (words, bpe, chars) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(bpe >= words, "BPE never emits fewer tokens than words")
+      assert(chars >= bpe, "every BPE token covers at least one character")
+      assert(r.getLong(5) >= 1000000L, "fertility_ppm must be >= 1e6")
+      assert(r.getLong(6) >= 1000000L, "chars_per_token_ppm must be >= 1e6")
+      // exact integer floor-division recompute
+      assert(r.getLong(5) == bpe * 1000000L / words)
+      assert(r.getLong(6) == chars * 1000000L / bpe)
+    }
+  }
+
+  test("t32 is one map stage into a lang-bound aggregate: no joins") {
+    val plan = TextAnalysis.t32TokenizerFertility(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"t32 must not join:\n$plan")
+    assert(!plan.contains("Generate"), s"t32 must not explode:\n$plan")
+  }
+}
+
+/** d25: prototypicality pruning — full driver-side recompute of the
+  * assignment, cutoffs, and survivor set, plus the no-corpus-window plan
+  * contract. */
+class ProtoPruneSpec extends SparkSpec {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  test("d25 survivors equal the from-definition recompute; each cluster drops ~25%") {
+    val got = Dedup.d25ProtoPrune(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // driver recompute: codebook -> first-max assignment -> per-cluster
+    // cutoff at rank ceil(0.75 n) -> value-based keep
+    val cbRow = Dedup.d11MedoidCodebook(spark, sfDir).collect()(0)
+    val cids = cbRow.getSeq[Int](0)
+    val cembs = cbRow.getSeq[scala.collection.Seq[Float]](1).map(_.toArray)
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val scored = vecs.map { case (id, emb) =>
+      var best = -1; var bs = Double.NegativeInfinity
+      cembs.zipWithIndex.foreach { case (c, j) =>
+        val s = cos(emb, c)
+        if (s > bs) { bs = s; best = j } // first max wins, the NearestIndex rule
+      }
+      (id, cids(best), bs)
+    }
+    val expect = scored.groupBy(_._2).toSeq.flatMap { case (cid, members) =>
+      val sortedScores = members.map(_._3).sorted
+      val cut = sortedScores(math.ceil(0.75 * members.length).toInt - 1)
+      members.filter(_._3 <= cut).map(m => (m._1, cid))
+    }.toSet
+    assert(got == expect, "survivor set diverges from the from-definition recompute")
+    // the drop is real and bounded: 0 < dropped <= 25% + ties per cluster
+    val byCluster = scored.groupBy(_._2)
+    byCluster.foreach { case (cid, members) =>
+      val kept = got.count(_._2 == cid)
+      assert(kept < members.length, s"cluster $cid dropped nothing")
+      assert(kept >= math.ceil(0.75 * members.length).toInt,
+        s"cluster $cid dropped more than the 25% contract")
+    }
+  }
+
+  test("d25 plans without a corpus-sorting window: no row_number, cutoffs broadcast") {
+    val plan = Dedup.d25ProtoPrune(spark, sfDir).queryExecution.executedPlan.toString
+    // the t20 rule: the cutoff must come from the bounded quantile stack,
+    // never a row_number window partitioned by the low-cardinality cid
+    assert(!plan.contains("row_number"), s"d25 must not rank via row_number:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the cutoff sliver must broadcast back:\n$plan")
+  }
+}
