@@ -166,6 +166,7 @@ object SparkEntry {
     "t31_pii_scan"      -> (TextAnalysis.t31PiiScan _),
     "t32_tokenizer_fertility" -> (TextAnalysis.t32TokenizerFertility _),
     "d25_proto_prune"   -> (Dedup.d25ProtoPrune _),
+    "t33_bigram_lm"     -> (Quality.t33BigramLm _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -386,5 +387,6 @@ object SparkEntry {
     "t31_pii_scan"      -> TextAnalysis.t31Sql,
     "t32_tokenizer_fertility" -> TextAnalysis.t32Sql,
     "d25_proto_prune"   -> Dedup.d25Sql,
+    "t33_bigram_lm"     -> Quality.t33Sql,
   )
 }

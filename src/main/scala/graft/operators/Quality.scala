@@ -501,6 +501,88 @@ object Quality {
       .select("doc_id", "n_tokens", "surprisal_micro", "mean_micro")
   }
 
+  // ---- t33: self-trained BIGRAM-LM surprisal (t17's order-aware twin) ----
+
+  /** t33: per-document BIGRAM-LM surprisal — the order-aware extension
+    * of t17 (CCNet's production signal is a 5-gram KenLM, Wenzek et al.
+    * 2020 §4.2; the unigram t17 scores WHICH words a document uses,
+    * this scores whether they appear in FLUENT ORDER — scrambled or
+    * concatenated-fragment text has ordinary unigrams but rare
+    * transitions, exactly the failure class t17 cannot see). Model:
+    * add-1-smoothed conditional p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+|Vc|)
+    * with |Vc| = the CONTINUATION vocabulary (distinct w2) — the choice
+    * that makes add-1 EXACTLY normalized (Σ_w2 p = 1) while letting
+    * every model statistic derive from the one bigram frame: history
+    * mass c(w1·) is its w1-rollup and |Vc| its distinct-w2 count, so no
+    * second corpus pass exists at all (one better than t17's skeleton).
+    *
+    * Determinism: the t17 contract — ONE ln → multiply → floor per
+    * DISTINCT bigram over exact-BIGINT operands; per-doc sums are
+    * integer and order-independent; mean is integer `div`.
+    *
+    * Scale: bigrams are built ROW-LOCALLY (a codegen'd transform over
+    * the word array — never a positional self-join); the ONLY
+    * corpus-sized shuffle is the (doc, bigram) map-combined count; the
+    * cost frame is bigram-vocabulary-bound (AQE broadcasts when it
+    * fits, hash-joins when not — the t12/t17 class); history/vocab
+    * rollups are vocab-bound. */
+  def t33BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val bf = Tables.documents(s, dir).select("doc_id", "text")
+      .select(col("doc_id"), words(col("text")).as("w"))
+      // sequence(1, n-1) would run DESCENDING for n <= 1 — guard to an
+      // empty array (docs with one word have no transitions to score)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+    val bgc = bf.groupBy("bg").agg(sum(col("bf")).as("c12"))
+    val hist = bgc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1h"))
+    val vcont = bgc.agg(
+      countDistinct(substring_index(col("bg"), " ", -1)).as("v"))
+    val costed = bgc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(hist, Seq("w1"))
+      .crossJoin(broadcast(vcont))
+      .select(col("bg"),
+        floor(log((col("c1h") + col("v")).cast("double") / (col("c12") + 1)) * 1e6)
+          .as("cost_micro"))
+    bf.join(costed, Seq("bg"))
+      .groupBy("doc_id")
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf") * col("cost_micro")).as("surprisal_micro"))
+      .withColumn("mean_micro", expr("surprisal_micro div n_bigrams"))
+      .select("doc_id", "n_bigrams", "surprisal_micro", "mean_micro")
+      .orderBy("doc_id")
+  }
+
+  val t33Sql: String =
+    s"""WITH ws AS (
+       | SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS w
+       | FROM documents),
+       |bg AS (
+       | SELECT doc_id,
+       |  unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bg
+       | FROM ws),
+       |bfc AS (SELECT doc_id, bg, count(*) AS bf FROM bg GROUP BY doc_id, bg),
+       |bgc AS (SELECT bg, sum(bf) AS c12 FROM bfc GROUP BY bg),
+       |hist AS (
+       | SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1h FROM bgc GROUP BY 1),
+       |vc AS (SELECT count(DISTINCT split_part(bg, ' ', 2)) AS v FROM bgc),
+       |costed AS (
+       | SELECT bg,
+       |  cast(floor(ln(cast(c1h + v AS double) / (c12 + 1)) * 1e6) AS bigint) AS cost_micro
+       | FROM bgc JOIN hist ON split_part(bgc.bg, ' ', 1) = hist.w1 CROSS JOIN vc)
+       |SELECT f.doc_id,
+       | cast(sum(f.bf) AS bigint) AS n_bigrams,
+       | cast(sum(f.bf * c.cost_micro) AS bigint) AS surprisal_micro,
+       | cast(sum(f.bf * c.cost_micro) // sum(f.bf) AS bigint) AS mean_micro
+       |FROM bfc f JOIN costed c ON f.bg = c.bg
+       |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin
+
   // ---- t18: fuzzy benchmark decontamination ----
 
   /** Benchmark set for t18: every 7th corpus doc, PERTURBED (appended

@@ -94,6 +94,61 @@ class TokenizerFertilitySpec extends SparkSpec {
   }
 }
 
+/** t33: self-trained bigram-LM surprisal — full from-definition driver
+  * recompute of the model and every per-doc score, plus the order
+  * sensitivity t17 cannot have. */
+class BigramLmSpec extends SparkSpec {
+
+  test("t33 scores equal the from-definition recompute on every document") {
+    val got = Quality.t33BigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector))
+    val bigramsByDoc = docs.map { case (id, w) =>
+      (id, if (w.length >= 2) w.sliding(2).map(p => p(0) + " " + p(1)).toVector
+           else Vector.empty[String])
+    }
+    val c12 = bigramsByDoc.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1h = c12.toSeq.groupBy(_._1.split(' ')(0)).map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val v = c12.keySet.map(_.split(' ')(1)).size.toLong
+    def cost(bg: String): Long =
+      math.floor(math.log((c1h(bg.split(' ')(0)) + v).toDouble / (c12(bg) + 1)) * 1e6).toLong
+    bigramsByDoc.foreach { case (id, bgs) =>
+      if (bgs.nonEmpty) {
+        val sur = bgs.map(cost).sum
+        val expect = (bgs.size.toLong, sur, sur / bgs.size)
+        assert(got(id) == expect, s"doc $id: got ${got(id)}, expected $expect")
+      } else assert(!got.contains(id), s"doc $id has no transitions but was scored")
+    }
+  }
+
+  test("t33 is order-aware: a scrambled corpus shifts surprisal where t17 is blind") {
+    // reversing every document's word order preserves all unigram
+    // statistics exactly (t17 scores are invariant) but replaces every
+    // transition with its reverse — the self-trained model re-fits, yet
+    // the per-doc score VECTOR moves because transition mass re-buckets
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val rev = docs.map { case (id, t) =>
+      (id, "[a-z0-9]+".r.findAllIn(t.toLowerCase).toVector.reverse.mkString(" "))
+    }.toSeq.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("t33rev").toString
+    rev.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // the reversed corpus still scores (the operator is total), and the
+    // distribution is not just a permutation artifact: totals differ
+    val a = Quality.t33BigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Quality.t33BigramLm(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(b.nonEmpty && b.keySet == a.keySet)
+    assert(a.count { case (k, s) => b(k) != s } > 0,
+      "word-order reversal must move at least one bigram score")
+  }
+}
+
 /** d25: prototypicality pruning — full driver-side recompute of the
   * assignment, cutoffs, and survivor set, plus the no-corpus-window plan
   * contract. */
