@@ -167,6 +167,7 @@ object SparkEntry {
     "t32_tokenizer_fertility" -> (TextAnalysis.t32TokenizerFertility _),
     "d25_proto_prune"   -> (Dedup.d25ProtoPrune _),
     "t33_bigram_lm"     -> (Quality.t33BigramLm _),
+    "s18_range_search"  -> (Similarity.s18RangeSearch _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -388,5 +389,6 @@ object SparkEntry {
     "t32_tokenizer_fertility" -> TextAnalysis.t32Sql,
     "d25_proto_prune"   -> Dedup.d25Sql,
     "t33_bigram_lm"     -> Quality.t33Sql,
+    "s18_range_search"  -> Similarity.s18Sql,
   )
 }

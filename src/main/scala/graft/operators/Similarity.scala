@@ -251,6 +251,69 @@ object Similarity {
        | cast(hits * 1000000 // total AS bigint) AS recall_ppm
        |FROM h CROSS JOIN tot ORDER BY method""".stripMargin
 
+  // ---- s18: range search — the vector-level ingest near-dup check ----
+
+  /** τ for [[s18RangeSearch]] — d5's validated near-dup margin: an exact
+    * re-upload scores 1.0, an external blend's dominant parent ≈ 0.95,
+    * and organic cross-vector cosines on this store sit far below. */
+  val RangeTau = 0.9
+
+  /** s18: RANGE SEARCH over the store (FAISS `range_search` — the other
+    * read primitive next to top-k: not "the best k" but "EVERYTHING
+    * within τ"), framed as the vector-level INGEST CHECK — d24's (text)
+    * and m5's (media) recurring-crawl screen at the embedding tier, and
+    * the guard a serving tier runs before v1-upserting a new vector
+    * (the reference upserts unconditionally, embeddingController.js:
+    * 10-57; at 100 TB an unchecked re-upload is how stores silt up).
+    * The query batch = the external blends ∪ exact RE-UPLOADS of five
+    * stored vectors; per query: every stored neighbor with cosine ≥ τ,
+    * reported as the ingest verdict (matches in range, lowest matching
+    * id, novelty bit — -1 sentinel instead of NULL, the d24 shape).
+    *
+    * Plan: ONE corpus scan × the broadcast query batch with the cosine
+    * threshold INSIDE the codegen'd filter — no top-k state at all, and
+    * the post-filter frame is (in-range hits)-bound, not corpus-bound;
+    * the verdict join is queries-sized. Scale: range search is the one
+    * ANN read where output size is data-dependent — the τ filter is the
+    * bound, and the IVF-pruned variant (probe then filter) composes
+    * from s4's machinery exactly as top-k does. */
+  def s18RangeSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val reups = e.filter(col("vec_id") >= 100 && col("vec_id") < 105)
+      .select((col("vec_id") + 900).as("qid"), col("embedding").as("qemb"))
+    val qs = externalQueries(s, dir).unionByName(reups)
+    val hits = e.crossJoin(broadcast(qs))
+      .filter(V.cosine(col("qemb"), col("embedding")) >= RangeTau)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_in_range"), min(col("vec_id")).as("match_min_id"))
+    qs.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+        coalesce(col("match_min_id"), lit(-1L)).as("match_min_id"),
+        col("n_in_range").isNull.cast("int").as("novel"))
+      .orderBy("qid")
+  }
+
+  lazy val s18Sql: String =
+    s"""WITH $ExtqSql,
+       |qs AS (
+       | SELECT qid, qemb FROM extq
+       | UNION ALL
+       | SELECT vec_id + 900 AS qid, embedding AS qemb
+       | FROM embeddings WHERE vec_id >= 100 AND vec_id < 105),
+       |hits AS (
+       | SELECT q.qid, count(*) AS n_in_range, min(v.vec_id) AS match_min_id
+       | FROM qs q JOIN embeddings v
+       |   ON list_cosine_similarity(CAST(q.qemb AS DOUBLE[]),
+       |                             CAST(v.embedding AS DOUBLE[])) >= $RangeTau
+       | GROUP BY q.qid)
+       |SELECT q.qid,
+       | cast(coalesce(h.n_in_range, 0) AS bigint) AS n_in_range,
+       | cast(coalesce(h.match_min_id, -1) AS bigint) AS match_min_id,
+       | cast(h.n_in_range IS NULL AS int) AS novel
+       |FROM qs q LEFT JOIN hits h ON q.qid = h.qid
+       |ORDER BY q.qid""".stripMargin
+
   /** s17: EXTERNAL-query serving at the COMPRESSED tier — the full
     * production read path as one query, s10's machinery pointed at the
     * reference's actual input (an embedded user question that is not in

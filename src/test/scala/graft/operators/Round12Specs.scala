@@ -94,6 +94,54 @@ class TokenizerFertilitySpec extends SparkSpec {
   }
 }
 
+/** s18: range search / vector-level ingest check — driver recompute of
+  * every verdict, the exact-re-upload guarantee, and the broadcast plan. */
+class RangeSearchSpec extends SparkSpec {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  test("s18 verdicts equal the from-definition recompute; re-uploads always match") {
+    val got = Similarity.s18RangeSearch(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // rebuild the query batch: 3:1 blends (float32-rounded) + re-uploads
+    val byId = vecs.toMap
+    val blends = (0 until Similarity.NumExternalQueries).map { i =>
+      val a = byId(2L * i); val b = byId(2L * i + 1)
+      (i.toLong, a.indices.map(j => ((3.0 * a(j) + b(j)) / 4.0).toFloat).toArray)
+    }
+    val reups = (100L until 105L).map(id => (id + 900, byId(id)))
+    (blends ++ reups).foreach { case (qid, q) =>
+      val inRange = vecs.filter { case (_, v) => cos(q, v) >= Similarity.RangeTau }
+      val expect =
+        if (inRange.isEmpty) (0L, -1L, 1)
+        else (inRange.length.toLong, inRange.map(_._1).min, 0)
+      assert(got(qid) == expect, s"qid $qid: got ${got(qid)}, expected $expect")
+    }
+    // every exact re-upload MUST match its original (cosine 1.0 >= tau)
+    reups.foreach { case (qid, _) =>
+      assert(got(qid)._3 == 0 && got(qid)._2 >= 0, s"re-upload $qid reported novel")
+    }
+  }
+
+  test("s18 plans as one scan with a broadcast query batch, no top-k state") {
+    val plan = Similarity.s18RangeSearch(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"query batch must broadcast:\n$plan")
+    assert(!plan.contains("topkbyscore"), s"range search carries no top-k state:\n$plan")
+  }
+}
+
 /** t33: self-trained bigram-LM surprisal — full from-definition driver
   * recompute of the model and every per-doc score, plus the order
   * sensitivity t17 cannot have. */
