@@ -559,6 +559,78 @@ object Quality {
       .orderBy("doc_id")
   }
 
+  /** Row-local bigram frame shared by the t33 paths: (doc_id, bg, bf). */
+  private def t33BigramCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(w) >= 2
+          |  THEN transform(sequence(1, size(w) - 1),
+          |         i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))
+          |  ELSE array() END""".stripMargin)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("bf"))
+
+  /** t33 deployment twin, write side (the stored-model family: t17 LM,
+    * t19 DSIR, t26 BM25 stats): persist the trained bigram model as the
+    * bigram-vocabulary-bound (bg, cost_micro) table plus per-HISTORY
+    * unseen-continuation sentinel rows (`w1  `, cost at c12 = 0 —
+    * what add-1 assigns any transition out of a KNOWN history) and one
+    * global NULL-bg default (cost at c1h = 0, c12 = 0 — a transition out
+    * of an UNSEEN history, the most surprising the model can be).
+    * Training pays the corpus shuffle once; later batches score against
+    * the artifact without re-reading the training corpus. */
+  def t33LmWrite(s: SparkSession, dir: String, path: String): Unit = {
+    val bf = t33BigramCounts(Tables.documents(s, dir).select("doc_id", "text"))
+    val bgc = bf.groupBy("bg").agg(sum(col("bf")).as("c12"))
+    val hist = bgc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1h"))
+    val vcont = bgc.agg(
+      countDistinct(substring_index(col("bg"), " ", -1)).as("v")).localCheckpoint()
+    val costs = bgc
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(hist, Seq("w1"))
+      .crossJoin(broadcast(vcont))
+      .select(col("bg"),
+        floor(log((col("c1h") + col("v")).cast("double") / (col("c12") + 1)) * 1e6)
+          .as("cost_micro"))
+    val histDflt = hist.crossJoin(broadcast(vcont))
+      .select(concat(col("w1"), lit("  ")).as("bg"),
+        floor(log((col("c1h") + col("v")).cast("double")) * 1e6).as("cost_micro"))
+    val dflt = vcont
+      .select(lit(null).cast("string").as("bg"),
+        floor(log(col("v").cast("double")) * 1e6).as("cost_micro"))
+    costs.unionByName(histDflt).unionByName(dflt)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Score a (doc_id, text) batch against the STORED bigram LM —
+    * identical arithmetic to [[t33BigramLm]] on the training corpus
+    * itself (spec-pinned). Unseen transitions fall back per add-1: a
+    * known history takes its `w1  ` sentinel cost, an unknown
+    * history the global default. The batch's only shuffle is its own
+    * (doc, bigram) count; every model join is vocabulary-bound. */
+  def t33ScoreFrom(s: SparkSession, path: String, batch: DataFrame): DataFrame = {
+    val stored = s.read.parquet(path)
+    val costs = stored.filter(col("bg").isNotNull && !col("bg").endsWith(" "))
+    val histDflt = stored.filter(col("bg").isNotNull && col("bg").endsWith(" "))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        col("cost_micro").as("hist_micro"))
+    val dflt = stored.filter(col("bg").isNull)
+      .select(col("cost_micro").as("dflt_micro"))
+    t33BigramCounts(batch)
+      .join(costs, Seq("bg"), "left")
+      .join(histDflt, substring_index(col("bg"), " ", 1) === col("w1"), "left")
+      .crossJoin(broadcast(dflt))
+      .select(col("doc_id"), col("bf"),
+        coalesce(col("cost_micro"), col("hist_micro"), col("dflt_micro")).as("cost_micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf") * col("cost_micro")).as("surprisal_micro"))
+      .withColumn("mean_micro", expr("surprisal_micro div n_bigrams"))
+      .select("doc_id", "n_bigrams", "surprisal_micro", "mean_micro")
+  }
+
   val t33Sql: String =
     s"""WITH ws AS (
        | SELECT doc_id, regexp_extract_all(lower(text), '$WordRe') AS w

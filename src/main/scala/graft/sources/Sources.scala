@@ -59,6 +59,22 @@ object Sources {
   def readEventsPartitioned(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
+  /** ORC twin of the parquet sink — the other columnar format a data
+    * platform exchanges with Hive/Trino estates (Spark's reader/writer
+    * is built in; same partition-pruned layout, same predicate/column
+    * pushdown surface — the spec pins PushedFilters on the read back).
+    * Interchange matters at 100 TB: re-encoding a corpus because a
+    * consumer reads only ORC is a full extra pass. */
+  def writeEventsPartitionedOrc(df: DataFrame, path: String): Unit =
+    df.withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .orc(path)
+
+  /** Read the ORC sink back (partition pruning + pushdown intact). */
+  def readEventsPartitionedOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
   /** Raw media-file ingest via Spark's `binaryFile` source — the
     * Spark-native shape of the reference's S3 uploads (lib/s3.js +
     * multer: opaque blobs addressed by path). Each file becomes one row

@@ -171,6 +171,40 @@ class BigramLmSpec extends SparkSpec {
     }
   }
 
+  test("t33 stored model scores the training corpus identically; unseen transitions take add-1 fallbacks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t33lm").toString
+    Quality.t33LmWrite(spark, sfDir, s"$tmp/model")
+    // stored ≡ in-session on the training corpus, bit for bit
+    val stored = Quality.t33ScoreFrom(spark, s"$tmp/model",
+        graft.Tables.documents(spark, sfDir).select("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val insession = Quality.t33BigramLm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(stored == insession, "stored-model scores diverge from in-session t33")
+    // fallback arithmetic: rebuild the model driver-side
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toVector)
+    val c12 = docs.flatMap(w => if (w.length >= 2) w.sliding(2).map(p => p(0) + " " + p(1)) else Nil)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1h = c12.toSeq.groupBy(_._1.split(' ')(0)).map { case (w1, xs) => w1 -> xs.map(_._2).sum }
+    val v = c12.keySet.map(_.split(' ')(1)).size.toLong
+    val w1known = c1h.keysIterator.next() // any known history
+    // a doc with one transition out of a KNOWN history to an unseen word,
+    // and one transition out of an UNSEEN history
+    val batch = Seq((7777L, s"$w1known zzzunseen qqqnovel zzzother"))
+      .toDF("doc_id", "text")
+    val got = Quality.t33ScoreFrom(spark, s"$tmp/model", batch).collect()(0)
+    val costKnown = math.floor(math.log((c1h(w1known) + v).toDouble) * 1e6).toLong
+    val costUnknown = math.floor(math.log(v.toDouble) * 1e6).toLong
+    // transitions: (w1known zzzunseen) -> known-history sentinel;
+    // (zzzunseen qqqnovel), (qqqnovel zzzother) -> global default
+    val expectSur = costKnown + 2 * costUnknown
+    assert(got.getLong(1) == 3L && got.getLong(2) == expectSur,
+      s"fallback costs diverge: got (${got.getLong(1)}, ${got.getLong(2)}), expected (3, $expectSur)")
+  }
+
   test("t33 is order-aware: a scrambled corpus shifts surprisal where t17 is blind") {
     // reversing every document's word order preserves all unigram
     // statistics exactly (t17 scores are invariant) but replaces every

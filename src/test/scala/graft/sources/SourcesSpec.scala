@@ -94,4 +94,25 @@ class SourcesSpec extends SparkSpec {
     val plan = oneDay.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(day"), s"no partition filter in:\n$plan")
   }
+
+  test("ORC sink round-trips with partition pruning and predicate pushdown") {
+    val out = Files.createTempDirectory("graft-orc").toFile.getAbsolutePath + "/events"
+    val events = graft.Tables.events(spark, sfDir)
+    Sources.writeEventsPartitionedOrc(events, out)
+    val back = Sources.readEventsPartitionedOrc(spark, out)
+    assert(back.count() == events.count())
+    // row-level equality with the parquet source (ORC is an exact
+    // interchange, not a lossy re-encode): compare checksums
+    val sumA = events.agg(sum(col("event_id")), sum(col("user_id"))).collect()(0)
+    val sumB = back.agg(sum(col("event_id")), sum(col("user_id"))).collect()(0)
+    assert(sumA == sumB)
+    val oneDay = back.filter(col("day") === "2024-01-05" && col("user_id") > 10)
+    val expected = events.filter(
+      date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05" && col("user_id") > 10).count()
+    assert(oneDay.count() == expected && expected > 0)
+    val plan = oneDay.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"), s"no partition filter in:\n$plan")
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(user_id"),
+      s"no pushed predicate on the ORC scan:\n$plan")
+  }
 }
