@@ -168,6 +168,7 @@ object SparkEntry {
     "d25_proto_prune"   -> (Dedup.d25ProtoPrune _),
     "t33_bigram_lm"     -> (Quality.t33BigramLm _),
     "s18_range_search"  -> (Similarity.s18RangeSearch _),
+    "p6_rag_index_build" -> (Retrieval.p6RagIndexBuild _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -390,5 +391,6 @@ object SparkEntry {
     "d25_proto_prune"   -> Dedup.d25Sql,
     "t33_bigram_lm"     -> Quality.t33Sql,
     "s18_range_search"  -> Similarity.s18Sql,
+    "p6_rag_index_build" -> Retrieval.p6Sql,
   )
 }

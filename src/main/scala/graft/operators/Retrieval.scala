@@ -560,4 +560,87 @@ object Retrieval {
        |FROM allsel s JOIN ledger l ON l.doc_id = s.doc_id
        |ORDER BY s.rank""".stripMargin
   }
+
+  // ---- p6: the composed RAG INDEX BUILD (the reference's ingest side) ----
+
+  /** p6: the RAG ingest flow composed end-to-end as ONE query — the
+    * reference's custom-train-data path (customTrainDataController.js:
+    * 28-86: uploaded file → RecursiveCharacterTextSplitter → embed each
+    * chunk → HNSWLib index → save), re-expressed for the inverted-file
+    * store this library serves from (the HNSW decision record, SURVEY
+    * §4): documents → t5's fixed-stride chunking (pure generated
+    * explode) → per-chunk STUB embedding (8 dims, each the md5-derived
+    * dyadic k/1024 — m3's documented decode-surrogate contract: a real
+    * deployment swaps in a model via mapInPandas, every shape
+    * downstream identical) → map-only coarse assignment against the
+    * 8-entry codebook (each doc<8's first chunk — the s16 fixture rule)
+    * → the INDEX LEDGER a build job is judged by: per inverted list,
+    * vectors, distinct source docs, and share of the store in exact
+    * integer ppm (the balance report that decides whether nlist/codebook
+    * need retraining before the index ships).
+    *
+    * Plan: chunk + embed + assign are ONE fused map stage over the scan
+    * (codebook is a one-row broadcast); the only aggregation is the
+    * cid-bound ledger + a one-row broadcast total. At 100 TB the build
+    * writes cid-partitioned lists off this exact frame (IvfIndex.build);
+    * the ledger rides the same pass. */
+  def p6RagIndexBuild(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{TextAnalysis => TA}
+    val chunks = Tables.documents(s, dir).select("doc_id", "text")
+      .filter(length(col("text")) > 0)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0),
+          ceil(length(col("text")).cast("double") / TA.ChunkStep).cast("int") - 1)))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"substring(text, chunk_idx * ${TA.ChunkStep} + 1, ${TA.ChunkSize})").as("chunk"))
+    // 8-dim stub embedding: dim k = ((md5('k' || chunk)[1..15hex] % 1024) - 512)/1024,
+    // dyadic so the engine's float32 equals the oracle's float64 bit-for-bit
+    val embedded = chunks.withColumn("emb", expr(
+      """transform(sequence(0, 7), k ->
+        | cast(cast(cast(conv(substring(md5(cast(concat(cast(k as string), chunk) as binary)), 1, 15), 16, 10)
+        |   as bigint) % 1024 - 512 as double) / 1024.0 as float))""".stripMargin))
+      .select("doc_id", "chunk_idx", "emb")
+    val cent = embedded.filter(col("chunk_idx") === 0 && col("doc_id") < 8)
+      .select(col("doc_id").as("cid"), col("emb").as("cemb"))
+    val cb = cent.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
+      .select(expr("transform(cb, c -> c.cid)").as("cids"),
+              expr("transform(cb, c -> c.cemb)").as("cembs"))
+    val assigned = embedded.crossJoin(broadcast(cb))
+      .select(col("doc_id"),
+        element_at(col("cids"), V.nearest(col("emb"), col("cembs")) + 1).as("cid"))
+    val total = assigned.agg(count(lit(1)).as("total"))
+    assigned.groupBy("cid")
+      .agg(count(lit(1)).as("n_vectors"), countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("cid"), col("n_vectors"), col("n_docs"),
+        expr("n_vectors * 1000000 div total").as("share_ppm"))
+      .orderBy("cid")
+  }
+
+  lazy val p6Sql: String = {
+    val step = graft.operators.TextAnalysis.ChunkStep
+    val size = graft.operators.TextAnalysis.ChunkSize
+    s"""WITH chunks AS (
+       | SELECT doc_id, i AS chunk_idx, substr(text, i * $step + 1, $size) AS chunk
+       | FROM (SELECT doc_id, text,
+       |    unnest(range(0, cast(ceil(length(text) / $step.0) AS int))) AS i
+       |   FROM documents WHERE length(text) > 0)),
+       |emb AS (
+       | SELECT doc_id, chunk_idx,
+       |  [cast((('0x' || substr(md5(k::varchar || chunk), 1, 15))::bigint % 1024) - 512 AS double) / 1024
+       |   for k in generate_series(0, 7)] AS embedding
+       | FROM chunks),
+       |cent AS (SELECT doc_id AS cid, embedding AS cemb FROM emb
+       |         WHERE chunk_idx = 0 AND doc_id < 8),
+       |assigned AS (
+       | SELECT e.doc_id, c.cid FROM emb e CROSS JOIN cent c
+       | QUALIFY row_number() OVER (PARTITION BY e.doc_id, e.chunk_idx
+       |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
+       |tot AS (SELECT count(*) AS total FROM assigned)
+       |SELECT cid, cast(count(*) AS bigint) AS n_vectors,
+       | cast(count(DISTINCT doc_id) AS bigint) AS n_docs,
+       | cast(count(*) * 1000000 // total AS bigint) AS share_ppm
+       |FROM assigned CROSS JOIN tot GROUP BY cid, total ORDER BY cid""".stripMargin
+  }
 }

@@ -231,6 +231,69 @@ class BigramLmSpec extends SparkSpec {
   }
 }
 
+/** p6: the composed RAG index build — conservation, a full driver-side
+  * recompute of chunk/embed/assign, and the fused-map plan contract. */
+class RagIndexBuildSpec extends SparkSpec {
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  private def embed(chunk: String): Array[Float] = (0 until 8).map { k =>
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest((k.toString + chunk).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 1024 - 512).toDouble / 1024.0).toFloat
+  }.toArray
+
+  test("p6 ledger equals the from-definition chunk/embed/assign recompute") {
+    val got = Retrieval.p6RagIndexBuild(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    val step = TextAnalysis.ChunkStep; val size = TextAnalysis.ChunkSize
+    val chunks = docs.flatMap { case (id, t) =>
+      (0 until math.ceil(t.length / step.toDouble).toInt).map { i =>
+        val start = i * step
+        (id, i, t.substring(start, math.min(start + size, t.length)))
+      }
+    }
+    val cents = chunks.filter(c => c._2 == 0 && c._1 < 8).sortBy(_._1)
+      .map(c => (c._1, embed(c._3)))
+    val assigned = chunks.map { case (id, _, chunk) =>
+      val e = embed(chunk)
+      // first-max wins — the NearestIndex tie rule (cents sorted by cid)
+      var best = -1L; var bs = Double.NegativeInfinity
+      cents.foreach { case (cid, c) =>
+        val s = cos(e, c); if (s > bs) { bs = s; best = cid }
+      }
+      (id, best)
+    }
+    val total = assigned.length.toLong
+    val expect = assigned.groupBy(_._2).map { case (cid, xs) =>
+      cid -> ((xs.length.toLong, xs.map(_._1).distinct.length.toLong,
+        xs.length.toLong * 1000000L / total))
+    }
+    assert(got == expect, s"ledger diverges:\ngot   $got\nwant $expect")
+    // conservation: every chunk lands in exactly one list
+    assert(got.values.map(_._1).sum == total)
+  }
+
+  test("p6 plans as a fused map stage: no sort-merge join, no window, broadcast codebook") {
+    val plan = Retrieval.p6RagIndexBuild(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"p6 must not SMJ:\n$plan")
+    assert(!plan.contains("Window"), s"p6 must not window:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"codebook must broadcast:\n$plan")
+  }
+}
+
 /** d25: prototypicality pruning — full driver-side recompute of the
   * assignment, cutoffs, and survivor set, plus the no-corpus-window plan
   * contract. */
