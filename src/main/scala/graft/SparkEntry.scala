@@ -169,6 +169,7 @@ object SparkEntry {
     "t33_bigram_lm"     -> (Quality.t33BigramLm _),
     "s18_range_search"  -> (Similarity.s18RangeSearch _),
     "p6_rag_index_build" -> (Retrieval.p6RagIndexBuild _),
+    "e12_markov_transitions" -> (Events.e12MarkovTransitions _),
   )
 
   /** DuckDB-equivalent SQL per query key (same column names + ORDER BY —
@@ -392,5 +393,6 @@ object SparkEntry {
     "t33_bigram_lm"     -> Quality.t33Sql,
     "s18_range_search"  -> Similarity.s18Sql,
     "p6_rag_index_build" -> Retrieval.p6Sql,
+    "e12_markov_transitions" -> Events.e12Sql,
   )
 }

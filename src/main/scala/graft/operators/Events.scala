@@ -511,4 +511,52 @@ object Events {
        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, c, z_milli,
        | coalesce(abs(z_milli) >= $ZThreshMilli, false) AS anomaly
        |FROM scored ORDER BY event_type, day""".stripMargin
+
+  // ---- e12: first-order event-transition model ----
+
+  /** e12: the EVENT-TYPE TRANSITION MATRIX — the first-order Markov
+    * model of user journeys (e5 mines the top-k 3-step paths; this is
+    * the full P(next | current) table the paths are drawn from — what a
+    * product-analytics tier renders as the flow/sankey diagram, and the
+    * model behind next-action prediction baselines). For every pair of
+    * CONSECUTIVE events of one user: (from_type, to_type) count and the
+    * conditional probability in exact integer ppm.
+    *
+    * Shape (the e8/e11 family rule): ONE lead() window over the
+    * HIGH-cardinality user_id — slices are per-user histories, never a
+    * low-cardinality sort — then a (types²)-bound pair aggregate; the
+    * per-from totals are a ≤|types|-row broadcast back onto the pair
+    * frame. At 100 TB everything after the one user-keyed exchange is
+    * KB-scale. */
+  def e12MarkovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val pairs = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = pairs.groupBy("from_type").agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(fromTot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div tot").as("p_ppm"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val e12Sql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+      |nxt AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      | FROM e),
+      |pairs AS (
+      | SELECT from_type, to_type, count(*) AS n
+      | FROM nxt WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+      |tot AS (SELECT from_type, sum(n) AS tot FROM pairs GROUP BY from_type)
+      |SELECT p.from_type, p.to_type, cast(p.n AS bigint) AS n,
+      | cast(p.n * 1000000 // t.tot AS bigint) AS p_ppm
+      |FROM pairs p JOIN tot t ON p.from_type = t.from_type
+      |ORDER BY p.from_type, p.to_type""".stripMargin
 }

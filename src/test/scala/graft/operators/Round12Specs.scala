@@ -231,6 +231,42 @@ class BigramLmSpec extends SparkSpec {
   }
 }
 
+/** e12: the event-transition matrix — driver recompute from raw events
+  * and the distribution contract. */
+class MarkovTransitionsSpec extends SparkSpec {
+
+  test("e12 equals the from-definition recompute; rows are conditional distributions") {
+    val got = Events.e12MarkovTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      es.sortBy(e => (e._3, e._4)).sliding(2).collect {
+        case Array(a, b) => (a._2, b._2)
+      }
+    }
+    val n = pairs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tot = n.toSeq.groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val expect = n.map { case (k, c) => k -> ((c, c * 1000000L / tot(k._1))) }
+    assert(got == expect, "transition matrix diverges from the recompute")
+    // each from_type's ppm column is a (floored) probability distribution
+    got.keys.map(_._1).toSet.foreach { (f: String) =>
+      val ppm = got.collect { case ((`f`, _), (_, p)) => p }.sum
+      assert(ppm <= 1000000L && ppm > 1000000L - got.size,
+        s"$f: ppm column does not sum to ~1e6 ($ppm)")
+    }
+  }
+
+  test("e12 windows only over the high-cardinality user key") {
+    val plan = Events.e12MarkovTransitions(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "the lead() window must exist")
+    assert(!plan.contains("partitionBy=[event_type]"),
+      s"never a low-cardinality window key:\n$plan")
+  }
+}
+
 /** p6: the composed RAG index build — conservation, a full driver-side
   * recompute of chunk/embed/assign, and the fused-map plan contract. */
 class RagIndexBuildSpec extends SparkSpec {
