@@ -691,6 +691,40 @@ object Similarity {
        |WHERE NOT (label = $DeleteNamespace AND vec_id IN (${DeleteIds.mkString(", ")}))
        |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Id batch fetched by [[v6FetchByIds]]; 999999 is deliberately absent
+    * (Pinecone's fetch returns only the found ids — an absent id is a
+    * silent omission, not an error row). */
+  val FetchIds: Seq[Long] = Seq(3L, 17L, 42L, 999999L)
+
+  /** v6: FETCH by ids — the one Pinecone verb the registered surface
+    * had not yet exposed (the reference's SDK set: upsert v1, query s*,
+    * update v1's latest-wins, deleteByIds v5, deleteNamespace v2,
+    * describeIndexStats v3; fetch is how a serving tier re-reads
+    * specific vectors, e.g. for the re-rank tier or debugging a
+    * retrieval). Point reads on a columnar store must NOT scan the
+    * store: the id batch is a literal `isin` predicate pushed into the
+    * parquet scan (plan-asserted PushedFilters), so only row groups
+    * whose stats overlap the ids are read — and on the vec_id-sorted /
+    * bucketed layout a real deployment uses, that is a handful of
+    * pages at any store size. Output carries the namespace, dimension
+    * and an exact integer micro-checksum of the vector payload (the
+    * cross-engine receipt for "the same bytes came back"). */
+  def v6FetchByIds(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id").isin(FetchIds: _*))
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("aggregate(embedding, 0L, (a, x) -> a + cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("emb_checksum"))
+      .orderBy("vec_id")
+
+  val v6Sql: String =
+    s"""SELECT vec_id, label, cast(len(embedding) AS bigint) AS dim,
+       | cast(list_sum(list_transform(embedding,
+       |        x -> cast(floor(cast(x AS double) * 1e6) AS bigint))) AS bigint) AS emb_checksum
+       |FROM embeddings WHERE vec_id IN (${FetchIds.mkString(", ")})
+       |ORDER BY vec_id""".stripMargin
+
   /** s11: SCALAR-QUANTIZED (SQ8) top-k — the third compression point on
     * the serving curve after full-float (s1) and PQ (s8/s9): every
     * dimension is affinely mapped to one byte against the corpus-global

@@ -231,6 +231,34 @@ class BigramLmSpec extends SparkSpec {
   }
 }
 
+/** v6: fetch-by-ids — point-read semantics (absent ids omitted), exact
+  * payload receipts, and the pushed-filter plan contract. */
+class FetchByIdsSpec extends SparkSpec {
+
+  test("v6 returns exactly the present ids with exact payload receipts") {
+    val got = Similarity.v6FetchByIds(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3)))).toMap
+    val store = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getSeq[Float](2).toArray))).toMap
+    val present = Similarity.FetchIds.filter(store.contains)
+    assert(got.keySet == present.toSet, "fetch must return exactly the found ids")
+    assert(!got.contains(999999L), "an absent id must be silently omitted")
+    present.foreach { id =>
+      val (label, emb) = store(id)
+      val checksum = emb.map(x => math.floor(x.toDouble * 1e6).toLong).sum
+      assert(got(id) == ((label, emb.length.toLong, checksum)),
+        s"vec $id: receipt diverges")
+    }
+  }
+
+  test("v6 pushes the id batch into the parquet scan") {
+    val plan = Similarity.v6FetchByIds(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(vec_id"),
+      s"fetch must not scan the store — ids must push down:\n$plan")
+  }
+}
+
 /** e12: the event-transition matrix — driver recompute from raw events
   * and the distribution contract. */
 class MarkovTransitionsSpec extends SparkSpec {
