@@ -251,4 +251,78 @@ object Warehouse {
       | count(*) AS n_lines
       |FROM pl JOIN a USING (l_partkey)
       |WHERE cast(l_quantity AS decimal(18,2)) * 5 * cnt < sum_qty""".stripMargin
+
+  // ---- q43: referential-integrity audit (FK orphan report) ----
+
+  /** One FK edge's audit row: child rows, orphans (children whose key
+    * matches no parent), and the ok verdict. The anti-join is keyed on
+    * the parent's primary key — a parent-key sliver that broadcasts for
+    * dimension parents and shuffles under AQE for fact parents; the
+    * child side is one scan either way. Distinct parent keys are
+    * projected first so the join build side is key-bound, never
+    * row-bound. */
+  private[graft] def fkEdge(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val pk = parent.select(col(parentKey).as("__pk")).distinct()
+    val orphans = child.select(col(childKey).as("__ck"))
+      .join(pk, col("__ck") === col("__pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    child.agg(count(lit(1)).as("n_children"))
+      .crossJoin(orphans)
+      .select(lit(name).as("edge"), col("n_children"), col("n_orphans"),
+        (col("n_orphans") === 0).cast("int").as("ok"))
+  }
+
+  /** q43: the REFERENTIAL-INTEGRITY AUDIT — the FK orphan report a
+    * warehouse runs before promoting a load (the dbt `relationships`
+    * test / Mongo's cross-collection consistency check the reference
+    * implicitly assumes when it $lookups users from trackUsage rows):
+    * for every FK edge of the star (lineitem→orders, orders→customer,
+    * customer→nation, events→customer), child count, orphan count, and
+    * the ok verdict. A load that q42's cascade half-applied, a partial
+    * ingest, or an out-of-order snapshot promotion shows up here as
+    * n_orphans > 0 — this is the audit that DECIDES promotion, the
+    * read-side twin of q42's deletion receipt.
+    *
+    * Scale: each edge is one child scan + an anti-join against the
+    * DISTINCT parent-key projection (dimension parents broadcast; the
+    * orders parent is a key-bound column, AQE picks the join); counts
+    * are map-combined one-row aggregates. Nothing wider than a key
+    * column ever moves. */
+  def q43FkOrphans(s: SparkSession, dir: String): DataFrame =
+    fkEdge("customer->nation",
+        Tables.customer(s, dir).select("c_nationkey"), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey")
+      .unionByName(fkEdge("events->customer",
+        Tables.events(s, dir).select("user_id"), "user_id",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(fkEdge("lineitem->orders",
+        Tables.lineitem(s, dir).select("l_orderkey"), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"))
+      .unionByName(fkEdge("orders->customer",
+        Tables.orders(s, dir).select("o_custkey"), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .orderBy("edge")
+
+  val q43Sql: String =
+    """SELECT 'customer->nation' AS edge, count(*) AS n_children,
+      | cast(sum(CASE WHEN c_nationkey IN (SELECT n_nationkey FROM nation) THEN 0 ELSE 1 END) AS bigint) AS n_orphans,
+      | cast(sum(CASE WHEN c_nationkey IN (SELECT n_nationkey FROM nation) THEN 0 ELSE 1 END) = 0 AS int) AS ok
+      |FROM customer
+      |UNION ALL
+      |SELECT 'events->customer', count(*),
+      | cast(sum(CASE WHEN user_id IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN user_id IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) = 0 AS int)
+      |FROM events
+      |UNION ALL
+      |SELECT 'lineitem->orders', count(*),
+      | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders) THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM orders) THEN 0 ELSE 1 END) = 0 AS int)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'orders->customer', count(*),
+      | cast(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) AS bigint),
+      | cast(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) = 0 AS int)
+      |FROM orders
+      |ORDER BY edge""".stripMargin
 }

@@ -84,4 +84,33 @@ class WarehouseSpec extends SparkSpec {
     val got = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("q43 audits every edge of the star and verdicts a clean load ok") {
+    val rows = Warehouse.q43FkOrphans(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "customer->nation", "events->customer", "lineitem->orders", "orders->customer"))
+    // driver-side recompute of one fact edge and one dimension edge
+    val lo = graft.Tables.lineitem(spark, sfDir).select("l_orderkey").collect().map(_.getLong(0))
+    val ok = graft.Tables.orders(spark, sfDir).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val li = rows.find(_.getString(0) == "lineitem->orders").get
+    assert(li.getLong(1) == lo.length && li.getLong(2) == lo.count(!ok.contains(_)))
+    val cn = rows.find(_.getString(0) == "customer->nation").get
+    val nk = graft.Tables.nation(spark, sfDir).select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val ck = graft.Tables.customer(spark, sfDir).select("c_nationkey").collect()
+      .map(_.getAs[Number](0).longValue)
+    assert(cn.getLong(1) == ck.length && cn.getLong(2) == ck.count(!nk.contains(_)))
+    rows.foreach(r => assert(r.getInt(3) == (if (r.getLong(2) == 0) 1 else 0)))
+  }
+
+  test("q43 fkEdge counts planted orphans and flips the verdict") {
+    import spark.implicits._
+    val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
+    val parent = Seq(1L, 2L, 3L).toDF("p")
+    val r = Warehouse.fkEdge("child->parent", child, "k", parent, "p").head()
+    assert(r.getString(0) == "child->parent")
+    assert(r.getLong(1) == 6L)   // all child rows counted, duplicates included
+    assert(r.getLong(2) == 3L)   // 7, 8, 9 are orphans
+    assert(r.getInt(3) == 0)     // verdict flips on any orphan
+  }
 }
