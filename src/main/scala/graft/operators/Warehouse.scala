@@ -325,4 +325,116 @@ object Warehouse {
       | cast(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM customer) THEN 0 ELSE 1 END) = 0 AS int)
       |FROM orders
       |ORDER BY edge""".stripMargin
+
+  // ---- q44: RFM customer segmentation ----
+
+  /** q44: RFM SEGMENTATION — the classic warehouse customer scoring
+    * (recency / frequency / monetary, each cut at exact quartiles into a
+    * 1-4 score and composed into the 111-444 cell) that a marketing
+    * deployment of the reference would run over its usage ledger.
+    * Recency = days from the customer's last order to the corpus's last
+    * order; frequency = order count; monetary = exact lifetime cents.
+    * Scores: f/m get 1 + (# cutoffs strictly below the value); recency
+    * inverts (most recent = 4). Quartile cutoffs are the exact DISC
+    * quantiles (value at rank ceil(p·n)) so every score is
+    * bit-reproducible across engines.
+    *
+    * Scale: ONE map-combined shuffle keyed by o_custkey (high
+    * cardinality, no skew) reduces the fact table; the three cutoff sets
+    * come from [[Quantiles.exactGroupedQuantiles]] over the per-customer
+    * frame in long format — the bounded histogram machinery, explicitly
+    * NOT a row_number window over a 3-row partition key (the q15
+    * anti-shape); the 9 cutoffs collapse to one row and broadcast back,
+    * so scoring is map-only. At 100 TB the fact→customer rollup is the
+    * only corpus-sized exchange. */
+  def q44RfmSegments(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      to_date(col("o_orderdate")).as("d"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val dmax = o.agg(max(col("d")).as("dmax"))
+    val per = o.groupBy("o_custkey")
+      .agg(max(col("d")).as("dlast"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .crossJoin(broadcast(dmax))
+      .select(col("o_custkey").as("c_custkey"),
+        datediff(col("dmax"), col("dlast")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+    val dims = per.select(explode(array(
+        struct(lit("r").as("dim"), col("recency_days").as("v")),
+        struct(lit("f").as("dim"), col("frequency").as("v")),
+        struct(lit("m").as("dim"), col("monetary_cents").as("v")))).as("t"))
+      .select(col("t.dim").as("dim"), col("t.v").as("v"))
+    val cuts = Quantiles.exactGroupedQuantiles(dims, key = "dim", value = "v",
+      probs = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+    def cut(d: String, w: String) =
+      max(when(col("dim") === d && col("which") === w, col("v"))).as(d + w.drop(1))
+    val cutRow = cuts.groupBy().agg(
+      cut("r", "p25"), cut("r", "p50"), cut("r", "p75"),
+      cut("f", "p25"), cut("f", "p50"), cut("f", "p75"),
+      cut("m", "p25"), cut("m", "p50"), cut("m", "p75"))
+    def above(v: org.apache.spark.sql.Column, d: String) =
+      (v > col(d + "25")).cast("int") + (v > col(d + "50")).cast("int") +
+        (v > col(d + "75")).cast("int")
+    per.crossJoin(broadcast(cutRow))
+      .withColumn("r_score", lit(4) - above(col("recency_days"), "r"))
+      .withColumn("f_score", lit(1) + above(col("frequency"), "f"))
+      .withColumn("m_score", lit(1) + above(col("monetary_cents"), "m"))
+      .withColumn("rfm_cell",
+        col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .select("c_custkey", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "rfm_cell")
+      .orderBy("c_custkey")
+  }
+
+  val q44Sql: String =
+    """WITH o AS (
+      | SELECT o_custkey, cast(o_orderdate AS date) AS d,
+      |  cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS cents
+      | FROM orders),
+      |per AS (
+      | SELECT o_custkey AS c_custkey,
+      |  date_diff('day', max(d), (SELECT max(d) FROM o)) AS recency_days,
+      |  count(*) AS frequency, cast(sum(cents) AS bigint) AS monetary_cents
+      | FROM o GROUP BY o_custkey),
+      |dims AS (
+      | SELECT 'r' AS dim, cast(recency_days AS bigint) AS v FROM per
+      | UNION ALL SELECT 'f', frequency FROM per
+      | UNION ALL SELECT 'm', monetary_cents FROM per),
+      |rk AS (
+      | SELECT dim, v, row_number() OVER (PARTITION BY dim ORDER BY v) AS rn,
+      |  count(*) OVER (PARTITION BY dim) AS n FROM dims),
+      |cuts AS (
+      | SELECT
+      |  max(CASE WHEN dim='r' AND rn = cast(ceil(0.25*n) AS bigint) THEN v END) AS r25,
+      |  max(CASE WHEN dim='r' AND rn = cast(ceil(0.50*n) AS bigint) THEN v END) AS r50,
+      |  max(CASE WHEN dim='r' AND rn = cast(ceil(0.75*n) AS bigint) THEN v END) AS r75,
+      |  max(CASE WHEN dim='f' AND rn = cast(ceil(0.25*n) AS bigint) THEN v END) AS f25,
+      |  max(CASE WHEN dim='f' AND rn = cast(ceil(0.50*n) AS bigint) THEN v END) AS f50,
+      |  max(CASE WHEN dim='f' AND rn = cast(ceil(0.75*n) AS bigint) THEN v END) AS f75,
+      |  max(CASE WHEN dim='m' AND rn = cast(ceil(0.25*n) AS bigint) THEN v END) AS m25,
+      |  max(CASE WHEN dim='m' AND rn = cast(ceil(0.50*n) AS bigint) THEN v END) AS m50,
+      |  max(CASE WHEN dim='m' AND rn = cast(ceil(0.75*n) AS bigint) THEN v END) AS m75
+      | FROM rk)
+      |SELECT p.c_custkey, cast(p.recency_days AS bigint) AS recency_days,
+      | p.frequency, p.monetary_cents,
+      | 4 - (CASE WHEN p.recency_days > c.r25 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.recency_days > c.r50 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.recency_days > c.r75 THEN 1 ELSE 0 END) AS r_score,
+      | 1 + (CASE WHEN p.frequency > c.f25 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.frequency > c.f50 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.frequency > c.f75 THEN 1 ELSE 0 END) AS f_score,
+      | 1 + (CASE WHEN p.monetary_cents > c.m25 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.monetary_cents > c.m50 THEN 1 ELSE 0 END
+      |    + CASE WHEN p.monetary_cents > c.m75 THEN 1 ELSE 0 END) AS m_score,
+      | (4 - (CASE WHEN p.recency_days > c.r25 THEN 1 ELSE 0 END
+      |     + CASE WHEN p.recency_days > c.r50 THEN 1 ELSE 0 END
+      |     + CASE WHEN p.recency_days > c.r75 THEN 1 ELSE 0 END)) * 100
+      | + (1 + CASE WHEN p.frequency > c.f25 THEN 1 ELSE 0 END
+      |      + CASE WHEN p.frequency > c.f50 THEN 1 ELSE 0 END
+      |      + CASE WHEN p.frequency > c.f75 THEN 1 ELSE 0 END) * 10
+      | + (1 + CASE WHEN p.monetary_cents > c.m25 THEN 1 ELSE 0 END
+      |      + CASE WHEN p.monetary_cents > c.m50 THEN 1 ELSE 0 END
+      |      + CASE WHEN p.monetary_cents > c.m75 THEN 1 ELSE 0 END) AS rfm_cell
+      |FROM per p CROSS JOIN cuts c
+      |ORDER BY c_custkey""".stripMargin
 }

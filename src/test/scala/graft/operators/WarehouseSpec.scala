@@ -103,6 +103,32 @@ class WarehouseSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(3) == (if (r.getLong(2) == 0) 1 else 0)))
   }
 
+  test("q44 scores match a driver-side exact-quartile recompute") {
+    val rows = Warehouse.q44RfmSegments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // recompute the DISC cutoffs (value at rank ceil(p*n)) per dimension
+    def cuts(vs: Array[Long]): (Long, Long, Long) = {
+      val s = vs.sorted
+      def at(p: Double) = s(math.ceil(p * s.length).toInt - 1)
+      (at(0.25), at(0.5), at(0.75))
+    }
+    val (r25, r50, r75) = cuts(rows.map(_.getLong(1)))
+    val (f25, f50, f75) = cuts(rows.map(_.getLong(2)))
+    val (m25, m50, m75) = cuts(rows.map(_.getLong(3)))
+    def above(v: Long, c: (Long, Long, Long)) =
+      (if (v > c._1) 1 else 0) + (if (v > c._2) 1 else 0) + (if (v > c._3) 1 else 0)
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getInt(4), r.getInt(5), r.getInt(6))
+      assert(rs == 4 - above(r.getLong(1), (r25, r50, r75)), s"r ${r.getLong(0)}")
+      assert(fs == 1 + above(r.getLong(2), (f25, f50, f75)), s"f ${r.getLong(0)}")
+      assert(ms == 1 + above(r.getLong(3), (m25, m50, m75)), s"m ${r.getLong(0)}")
+      assert(r.getInt(7) == rs * 100 + fs * 10 + ms)
+      assert(rs >= 1 && rs <= 4 && fs >= 1 && fs <= 4 && ms >= 1 && ms <= 4)
+    }
+    // the quartile cut is real: every monetary score class is inhabited
+    assert(rows.map(_.getInt(6)).toSet == Set(1, 2, 3, 4))
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
