@@ -437,4 +437,120 @@ object Warehouse {
       |      + CASE WHEN p.monetary_cents > c.m75 THEN 1 ELSE 0 END) AS rfm_cell
       |FROM per p CROSS JOIN cuts c
       |ORDER BY c_custkey""".stripMargin
+
+  // ---- q45: column profile (data-quality audit) ----
+
+  /** q45: the COLUMN PROFILE — the per-column data-quality report
+    * (Deequ/Great Expectations' profiler; the read-side of what q43
+    * verdicts relationally): for every column of the events stream,
+    * row count, null count, EXACT distinct count, typed min/max, and
+    * the most frequent value with its count (ties broken by value).
+    * The ingest review a pipeline reads before trusting a new feed —
+    * a feed that silently nulled a column, collapsed a cardinality, or
+    * froze a clock shows up on exactly one of these rows.
+    *
+    * Scale: two passes, both bounded. (1) Typed stats are ONE
+    * map-combined one-row aggregate (nulls + min/max per column in a
+    * single scan, exploded to per-column rows driver-free). (2) The
+    * value histogram melts the table to (column, canonical value)
+    * WITH map-side combine, so the exchange is distinct-bound, not
+    * cell-bound; the second agg is column-bound. Values canonicalize
+    * injectively to strings (decimals in cents-precision, timestamps in
+    * fixed micro format) so one frame serves every type. Exact distinct
+    * on an all-distinct key column costs its cardinality by definition —
+    * a1/a4's HLL sketches are the documented 100 TB escape when ±2% is
+    * acceptable; the profile is the exact twin. */
+  def q45ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val e = Tables.events(s, dir)
+    // (name, typed value, canonicalizer) — min/max aggregate in the
+    // COLUMN'S type (a lexicographic "max" of a numeric is wrong) and
+    // canonicalize after; the melt canonicalizes per row (injective).
+    val fmtTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    val asStr = (c: Column) => c.cast("string")
+    val canon: Seq[(String, Column, Column => Column)] = Seq(
+      ("event_id", col("event_id"), asStr),
+      ("event_type", col("event_type"), identity[Column] _),
+      ("props", col("props"), identity[Column] _),
+      ("ts", col("ts"), fmtTs),
+      ("user_id", col("user_id"), asStr),
+      ("value", dec(col("value")), asStr))
+    // pass 1: typed stats, one map-combined row, exploded per column
+    val statsRow = e.agg(count(lit(1)).as("n_rows"),
+      canon.zipWithIndex.flatMap { case ((name, typed, _), i) =>
+        Seq(sum(col(name).isNull.cast("long")).as(s"nn_$i"),
+          min(typed).as(s"mn_$i"), max(typed).as(s"mx_$i"))
+      }: _*)
+    val stats = statsRow.select(col("n_rows"), explode(array(
+        canon.zipWithIndex.map { case ((name, _, toS), i) =>
+          struct(lit(name).as("colname"), col(s"nn_$i").as("n_nulls"),
+            toS(col(s"mn_$i")).as("min_s"), toS(col(s"mx_$i")).as("max_s"))
+        }: _*)).as("t"))
+      .select(col("t.colname").as("colname"), col("n_rows"),
+        col("t.n_nulls").as("n_nulls"), col("t.min_s").as("min_s"),
+        col("t.max_s").as("max_s"))
+    // pass 2: melted value histogram -> distinct count + top value
+    val long = e.select(explode(array(canon.map { case (name, typed, toS) =>
+        struct(lit(name).as("colname"), toS(typed).as("v"))
+      }: _*)).as("t"))
+      .select(col("t.colname").as("colname"), col("t.v").as("v"))
+      .filter(col("v").isNotNull)
+    val byVal = long.groupBy("colname", "v").agg(count(lit(1)).as("c"))
+    val dist = byVal.groupBy("colname").agg(
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("negc"), col("v").as("v"))).as("tp"))
+      .select(col("colname"), col("n_distinct"),
+        col("tp.v").as("top_value"), (-col("tp.negc")).as("top_count"))
+    stats.join(dist, Seq("colname"), "left")
+      .select("colname", "n_rows", "n_nulls", "n_distinct", "min_s",
+        "max_s", "top_value", "top_count")
+      .orderBy("colname")
+  }
+
+  val q45Sql: String =
+    """WITH e AS (
+      | SELECT cast(event_id AS varchar) AS event_id, event_type, props,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+      |  cast(user_id AS varchar) AS user_id,
+      |  cast(cast(value AS decimal(18,2)) AS varchar) AS value
+      | FROM events),
+      |stats AS (
+      | SELECT 'event_id' AS colname, count(*) AS n_rows,
+      |   count(*) - count(event_id) AS n_nulls,
+      |   cast(min(event_id) AS varchar) AS min_s,
+      |   cast(max(event_id) AS varchar) AS max_s FROM events
+      | UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),
+      |   min(event_type), max(event_type) FROM events
+      | UNION ALL SELECT 'props', count(*), count(*) - count(props),
+      |   min(props), max(props) FROM events
+      | UNION ALL SELECT 'ts', count(*), count(*) - count(ts),
+      |   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f'),
+      |   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') FROM events
+      | UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),
+      |   cast(min(user_id) AS varchar), cast(max(user_id) AS varchar) FROM events
+      | UNION ALL SELECT 'value', count(*), count(*) - count(value),
+      |   cast(min(cast(value AS decimal(18,2))) AS varchar),
+      |   cast(max(cast(value AS decimal(18,2))) AS varchar) FROM events),
+      |long AS (
+      | SELECT 'event_id' AS colname, event_id AS v FROM e
+      | UNION ALL SELECT 'event_type', event_type FROM e
+      | UNION ALL SELECT 'props', props FROM e
+      | UNION ALL SELECT 'ts', ts FROM e
+      | UNION ALL SELECT 'user_id', user_id FROM e
+      | UNION ALL SELECT 'value', value FROM e),
+      |byval AS (
+      | SELECT colname, v, count(*) AS c FROM long
+      | WHERE v IS NOT NULL GROUP BY colname, v),
+      |dist AS (
+      | SELECT colname, cast(count(*) AS bigint) AS n_distinct
+      | FROM byval GROUP BY colname),
+      |top AS (
+      | SELECT colname, v AS top_value, cast(c AS bigint) AS top_count,
+      |  row_number() OVER (PARTITION BY colname ORDER BY c DESC, v) AS rn
+      | FROM byval)
+      |SELECT s.colname, s.n_rows, cast(s.n_nulls AS bigint) AS n_nulls,
+      | d.n_distinct, s.min_s, s.max_s, t.top_value, t.top_count
+      |FROM stats s LEFT JOIN dist d USING (colname)
+      | LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (colname)
+      |ORDER BY colname""".stripMargin
 }

@@ -129,6 +129,30 @@ class WarehouseSpec extends SparkSpec {
     assert(rows.map(_.getInt(6)).toSet == Set(1, 2, 3, 4))
   }
 
+  test("q45 profile rows match a driver-side recompute of the events table") {
+    val prof = Warehouse.q45ColumnProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(prof.keySet == Set("event_id", "event_type", "props", "ts", "user_id", "value"))
+    val n = prof("event_id").getLong(1)
+    prof.values.foreach(r => assert(r.getLong(1) == n)) // one n_rows
+    // event_id is a unique key: distinct == rows, top_count == 1
+    assert(prof("event_id").getLong(3) == n && prof("event_id").getLong(7) == 1L)
+    // event_type: recompute distinct + top (ties by value) driver-side
+    val types = graft.Tables.events(spark, sfDir)
+      .select("event_type").collect().map(_.getString(0))
+    val byT = types.groupBy(identity).map { case (v, xs) => v -> xs.length.toLong }
+    val top = byT.toSeq.sortBy { case (v, c) => (-c, v) }.head
+    val et = prof("event_type")
+    assert(et.getLong(3) == byT.size && et.getString(6) == top._1 && et.getLong(7) == top._2)
+    assert(et.getString(4) == types.min && et.getString(5) == types.max)
+    // user_id: typed (numeric) min/max, not lexicographic
+    val uids = graft.Tables.events(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0))
+    val u = prof("user_id")
+    assert(u.getString(4) == uids.min.toString && u.getString(5) == uids.max.toString)
+    assert(u.getLong(3) == uids.distinct.length)
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
