@@ -559,4 +559,77 @@ object Events {
       | cast(p.n * 1000000 // t.tot AS bigint) AS p_ppm
       |FROM pairs p JOIN tot t ON p.from_type = t.from_type
       |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  // ---- e13: purchase attribution (first-touch vs last-touch) ----
+
+  /** e13: ATTRIBUTION — each purchase's exact cents credited to the
+    * touch CHANNEL (the event_type of a non-purchase event by the same
+    * user strictly before it) under the two classic models side by
+    * side: FIRST-touch (the channel that acquired the user) and
+    * LAST-touch (the channel that converted them); a purchase with no
+    * prior touch credits 'direct'. The marketing-spend report every
+    * usage ledger grows into — and the journey twin of e12's
+    * transition matrix (e12 says where users GO, e13 says what their
+    * purchases were WORTH by where they came from).
+    *
+    * Determinism: event order is (ts, event_id) — the e11 tiebreak;
+    * money is exact integer cents (decimal cast before scaling).
+    *
+    * Scale: ONE user-keyed window pass computes both models (two
+    * IGNORE-NULLS frames over the same sort — Spark plans them in one
+    * exchange+sort, plan-asserted); everything after is channel-bound
+    * map-combined aggregation. The window partition key is
+    * high-cardinality user_id — the e1/q41 shape, never a 5-row key. */
+  def e13Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      // both models in ONE select => one Window node, one sort
+      .select(col("event_type"), col("cents"),
+        first(touch, ignoreNulls = true).over(w).as("ft"),
+        last(touch, ignoreNulls = true).over(w).as("lt"))
+      .filter(col("event_type") === "purchase")
+      .select(col("cents"),
+        coalesce(col("ft"), lit("direct")).as("ft"),
+        coalesce(col("lt"), lit("direct")).as("lt"))
+    val models = e.select(explode(array(
+        struct(lit("first_touch").as("model"), col("ft").as("channel"), col("cents")),
+        struct(lit("last_touch").as("model"), col("lt").as("channel"), col("cents"))))
+        .as("t"))
+      .select("t.model", "t.channel", "t.cents")
+    models.groupBy("model", "channel")
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("attributed_cents"))
+      .orderBy("model", "channel")
+  }
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  val e13Sql: String =
+    """WITH e AS (
+      | SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+      |  cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS cents
+      | FROM events),
+      |tch AS (
+      | SELECT event_type, cents,
+      |  first_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+      |  last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |   OVER (PARTITION BY user_id ORDER BY us, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+      | FROM e),
+      |p AS (
+      | SELECT coalesce(ft, 'direct') AS ft, coalesce(lt, 'direct') AS lt, cents
+      | FROM tch WHERE event_type = 'purchase'),
+      |m AS (
+      | SELECT 'first_touch' AS model, ft AS channel, cents FROM p
+      | UNION ALL SELECT 'last_touch', lt, cents FROM p)
+      |SELECT model, channel, count(*) AS n_purchases,
+      | cast(sum(cents) AS bigint) AS attributed_cents
+      |FROM m GROUP BY model, channel
+      |ORDER BY model, channel""".stripMargin
 }

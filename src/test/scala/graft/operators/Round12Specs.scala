@@ -417,3 +417,47 @@ class ProtoPruneSpec extends SparkSpec {
       s"the cutoff sliver must broadcast back:\n$plan")
   }
 }
+
+/** e13: first/last-touch purchase attribution — full driver-side
+  * recompute, conservation across channels, and the one-window plan. */
+class AttributionSpec extends SparkSpec {
+
+  test("e13 equals the from-definition walk of each user's journey") {
+    val got = Events.e13Attribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val events = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val credited = events.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      var ft: String = null; var lt: String = null
+      es.sortBy(e => (e._3, e._4)).flatMap { e =>
+        if (e._2 == "purchase") {
+          Seq(("first_touch", Option(ft).getOrElse("direct"), e._5),
+              ("last_touch", Option(lt).getOrElse("direct"), e._5))
+        } else { if (ft == null) ft = e._2; lt = e._2; Nil }
+      }
+    }
+    val expect = credited.groupBy(c => (c._1, c._2)).map { case (k, xs) =>
+      k -> ((xs.length.toLong, xs.map(_._3).sum))
+    }
+    assert(got == expect, "attribution diverges from the journey walk")
+    // conservation: each model credits every purchase dollar exactly once
+    val totalCents = events.filter(_._2 == "purchase").map(_._5).sum
+    val nPurch = events.count(_._2 == "purchase").toLong
+    Seq("first_touch", "last_touch").foreach { m =>
+      val rows = got.toSeq.collect { case ((`m`, _), v) => v }
+      assert(rows.map(_._1).sum == nPurch, s"$m loses purchases")
+      assert(rows.map(_._2).sum == totalCents, s"$m loses cents")
+    }
+  }
+
+  test("e13 computes both models in one user-keyed window pass") {
+    val plan = Events.e13Attribution(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.split("Window \\[").length == 2,
+      s"both IGNORE-NULLS frames must share one Window node:\n$plan")
+    assert(!plan.contains("partitionBy=[event_type]"),
+      s"never a low-cardinality window key:\n$plan")
+  }
+}
