@@ -735,4 +735,140 @@ object Corpus {
        | cast(min(pack_id) AS bigint) AS first_pack,
        | cast(max(pack_id) AS bigint) AS last_pack
        |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---- p7: the snapshot PROMOTION GATE ----
+
+  /** Promotion-gate thresholds: max removed docs as integer percent of
+    * the live snapshot, max token-mass shrink in ppm, max exact-dup rate
+    * of the candidate in ppm. */
+  val P7RemovedPctMax = 15L
+  val P7TokenShrinkPpmMax = 50000L
+  val P7DupPpmMax = 200000L
+
+  /** p7: the SNAPSHOT PROMOTION GATE — the composed go/no-go a
+    * recurring-crawl pipeline runs before swapping the serving corpus to
+    * a new snapshot (q43 is the relational promotion gate; this is the
+    * corpus one, consuming d22's diff): four checks, each a row with the
+    * observed value, its threshold, and a verdict, plus the composed
+    * `promote` row (the AND). Checks: (1) removal rate — a candidate
+    * that dropped more than [[P7RemovedPctMax]]% of live docs is a
+    * partial crawl, not an update; (2) token-mass shrink in ppm — the
+    * corpus must not silently lose more than [[P7TokenShrinkPpmMax]]
+    * ppm of its token mass; (3) exact-dup rate of the candidate — an
+    * ingest that re-concatenated shards shows up as fingerprint dups;
+    * (4) language retention — no language present live may vanish.
+    *
+    * All money-grade integers: percents/ppm in integral division with
+    * the q42 overflow discipline (token products route through
+    * decimal(38,0) — bigint·1e6 wraps near 9.2e12 tokens, i.e. ~10 TB
+    * of text, exactly the scale this gate exists for).
+    *
+    * Scale: the diff rollup is [[snapshotDiffFrames]] (one fingerprint-
+    * bound full-outer join); the dup check is one exact distinct over
+    * the candidate's 16-byte fingerprints; everything downstream is
+    * lang-bound or one-row. Nothing wider than (doc_id, fp, nt) moves. */
+  def p7PromotionGate(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val snapA = d.filter(col("doc_id") % 10 =!= 7)
+    val snapB = d.filter(col("doc_id") % 9 =!= 4)
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(ChangedSuffix))).otherwise(col("text")))
+    promotionGateFrames(snapA, snapB)
+  }
+
+  /** The gate over ANY two (doc_id, text, lang) snapshots — the public
+    * API; [[p7PromotionGate]] binds the oracle's derived pair. */
+  def promotionGateFrames(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val perLang = snapshotDiffFrames(snapA, snapB) // lang-bound rollup
+    val na = col("n_removed") + col("n_changed") + col("n_unchanged")
+    val nb = col("n_added") + col("n_changed") + col("n_unchanged")
+    val tots = perLang.agg(
+      sum(na).as("n_a"), sum("n_removed").as("n_rm"),
+      sum("tokens_a").as("tok_a"), sum("tokens_b").as("tok_b"),
+      sum(when(na > 0 && nb === 0, 1L).otherwise(0L)).as("langs_dropped"))
+    val dupB = snapB.agg(count(lit(1)).as("n_b"),
+      countDistinct(md5(col("text").cast("binary"))).as("uq_b"))
+    val g = tots.crossJoin(dupB).select(
+      expr("n_rm * 100 div n_a").as("removed_pct"),
+      expr("cast((cast(greatest(tok_a - tok_b, 0L) as decimal(38,0)) * 1000000)" +
+        " div tok_a as bigint)").as("shrink_ppm"),
+      expr("(n_b - uq_b) * 1000000 div n_b").as("dup_ppm"),
+      col("langs_dropped"))
+    def ok(c: org.apache.spark.sql.Column) = c.cast("int").cast("long")
+    val checked = g.select(
+      col("removed_pct"), col("shrink_ppm"), col("dup_ppm"), col("langs_dropped"),
+      ok(col("removed_pct") <= P7RemovedPctMax).as("ok1"),
+      ok(col("shrink_ppm") <= P7TokenShrinkPpmMax).as("ok2"),
+      ok(col("dup_ppm") <= P7DupPpmMax).as("ok3"),
+      ok(col("langs_dropped") === 0).as("ok4"))
+    def chk(name: String, obs: org.apache.spark.sql.Column, lim: Long,
+        okc: org.apache.spark.sql.Column) =
+      struct(lit(name).as("check"), obs.as("observed"),
+        lit(lim).as("threshold"), okc.as("ok"))
+    val promote = col("ok1") * col("ok2") * col("ok3") * col("ok4")
+    checked.select(explode(array(
+        chk("a_removed_pct", col("removed_pct"), P7RemovedPctMax, col("ok1")),
+        chk("b_token_shrink_ppm", col("shrink_ppm"), P7TokenShrinkPpmMax, col("ok2")),
+        chk("c_dup_rate_ppm", col("dup_ppm"), P7DupPpmMax, col("ok3")),
+        chk("d_langs_dropped", col("langs_dropped"), 0L, col("ok4")),
+        chk("e_promote", promote, 1L, promote))).as("t"))
+      .select("t.check", "t.observed", "t.threshold", "t.ok")
+      .orderBy("check")
+  }
+
+  val p7Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+       |snap_a AS (
+       | SELECT doc_id, lang, md5(text) AS fp,
+       |  cast(len(regexp_extract_all(lower(text), '$WordRe')) AS bigint) AS nt
+       | FROM d WHERE doc_id % 10 <> 7),
+       |snap_b AS (
+       | SELECT doc_id, lang, md5(t2) AS fp,
+       |  cast(len(regexp_extract_all(lower(t2), '$WordRe')) AS bigint) AS nt
+       | FROM (
+       |  SELECT doc_id, lang,
+       |   CASE WHEN doc_id % 6 = 0 THEN text || '$ChangedSuffix' ELSE text END AS t2
+       |  FROM d WHERE doc_id % 9 <> 4)),
+       |j AS (
+       | SELECT coalesce(a.lang, b.lang) AS lang,
+       |  CASE WHEN a.fp IS NULL THEN 0 ELSE 1 END AS in_a,
+       |  CASE WHEN b.fp IS NULL THEN 0 ELSE 1 END AS in_b,
+       |  coalesce(a.nt, 0) AS nt_a, coalesce(b.nt, 0) AS nt_b
+       | FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id),
+       |lang_roll AS (
+       | SELECT lang, sum(in_a) AS n_a_l, sum(in_b) AS n_b_l FROM j GROUP BY lang),
+       |tot AS (
+       | SELECT cast(sum(in_a) AS bigint) AS n_a,
+       |  cast(sum(CASE WHEN in_a = 1 AND in_b = 0 THEN 1 ELSE 0 END) AS bigint) AS n_rm,
+       |  cast(sum(nt_a) AS bigint) AS tok_a, cast(sum(nt_b) AS bigint) AS tok_b
+       | FROM j),
+       |langs AS (
+       | SELECT cast(sum(CASE WHEN n_a_l > 0 AND n_b_l = 0 THEN 1 ELSE 0 END) AS bigint)
+       |  AS langs_dropped FROM lang_roll),
+       |dup AS (
+       | SELECT cast(count(*) AS bigint) AS n_b,
+       |  cast(count(DISTINCT fp) AS bigint) AS uq_b FROM snap_b),
+       |g AS (
+       | SELECT cast(n_rm * 100 // n_a AS bigint) AS removed_pct,
+       |  cast(cast(greatest(tok_a - tok_b, 0) AS hugeint) * 1000000 // tok_a AS bigint)
+       |   AS shrink_ppm,
+       |  cast((n_b - uq_b) * 1000000 // n_b AS bigint) AS dup_ppm,
+       |  langs_dropped
+       | FROM tot, langs, dup),
+       |c AS (
+       | SELECT removed_pct, shrink_ppm, dup_ppm, langs_dropped,
+       |  cast(removed_pct <= ${P7RemovedPctMax} AS bigint) AS ok1,
+       |  cast(shrink_ppm <= ${P7TokenShrinkPpmMax} AS bigint) AS ok2,
+       |  cast(dup_ppm <= ${P7DupPpmMax} AS bigint) AS ok3,
+       |  cast(langs_dropped = 0 AS bigint) AS ok4
+       | FROM g)
+       |SELECT 'a_removed_pct' AS "check", removed_pct AS observed,
+       | cast(${P7RemovedPctMax} AS bigint) AS threshold, ok1 AS ok FROM c
+       |UNION ALL SELECT 'b_token_shrink_ppm', shrink_ppm,
+       | ${P7TokenShrinkPpmMax}, ok2 FROM c
+       |UNION ALL SELECT 'c_dup_rate_ppm', dup_ppm, ${P7DupPpmMax}, ok3 FROM c
+       |UNION ALL SELECT 'd_langs_dropped', langs_dropped, 0, ok4 FROM c
+       |UNION ALL SELECT 'e_promote', ok1 * ok2 * ok3 * ok4, 1,
+       | ok1 * ok2 * ok3 * ok4 FROM c
+       |ORDER BY "check"""".stripMargin
 }

@@ -461,3 +461,60 @@ class AttributionSpec extends SparkSpec {
       s"never a low-cardinality window key:\n$plan")
   }
 }
+
+/** p7: the snapshot promotion gate — the oracle pair's verdict, and a
+  * planted candidate per failure mode (partial crawl, language drop,
+  * re-concatenated shards), each flagging exactly its own check. */
+class PromotionGateSpec extends SparkSpec {
+
+  private def gate(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+    Corpus.promotionGateFrames(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("p7 oracle pair promotes: churn under every threshold") {
+    val got = Corpus.p7PromotionGate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet.size == 5)
+    got.foreach { case (k, (obs, lim, ok)) =>
+      val pass = if (k == "d_langs_dropped") obs == 0 else obs <= lim
+      assert(ok == (if (pass) 1L else 0L), s"$k verdict inconsistent")
+    }
+    assert(got("e_promote")._3 == 1, "the oracle pair must promote")
+    assert(got("a_removed_pct")._1 == 11, "planted churn is 11%")
+  }
+
+  test("p7 rejects a partial crawl on the removal + token checks") {
+    val a = docs((1L to 10L).map(i => (i, s"alpha beta doc $i", "en")))
+    val b = docs((1L to 6L).map(i => (i, s"alpha beta doc $i", "en")))
+    val g = gate(a, b)
+    assert(g("a_removed_pct") == ((40L, 0L)), "40% removed must fail")
+    assert(g("b_token_shrink_ppm")._2 == 0L, "40% token shrink must fail")
+    assert(g("e_promote") == ((0L, 0L)))
+  }
+
+  test("p7 rejects a language drop even when mass churn is acceptable") {
+    val base = (1L to 9L).map(i => (i, s"gamma delta doc $i", "en")) :+
+      ((10L, "bonjour le monde", "fr"))
+    val a = docs(base)
+    val b = docs(base.filterNot(_._3 == "fr"))
+    val g = gate(a, b)
+    assert(g("a_removed_pct") == ((10L, 1L)), "10% removal passes")
+    assert(g("d_langs_dropped") == ((1L, 0L)), "the dropped language must fail")
+    assert(g("e_promote")._1 == 0L)
+  }
+
+  test("p7 rejects re-concatenated shards on the dup check alone") {
+    val a = docs((1L to 4L).map(i => (i, s"epsilon zeta doc $i", "en")))
+    val b = docs((1L to 4L).map(i => (i, s"epsilon zeta doc $i", "en")) ++
+      (11L to 14L).map(i => (i, s"epsilon zeta doc ${i - 10}", "en")))
+    val g = gate(a, b)
+    assert(g("c_dup_rate_ppm") == ((500000L, 0L)), "half the candidate is dup")
+    assert(g("a_removed_pct") == ((0L, 1L)) && g("d_langs_dropped") == ((0L, 1L)))
+    assert(g("e_promote")._1 == 0L)
+  }
+}
