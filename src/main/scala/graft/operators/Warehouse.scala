@@ -553,4 +553,70 @@ object Warehouse {
       |FROM stats s LEFT JOIN dist d USING (colname)
       | LEFT JOIN (SELECT * FROM top WHERE rn = 1) t USING (colname)
       |ORDER BY colname""".stripMargin
+
+  // ---- q46: cohort LTV triangle ----
+
+  /** q46: the COHORT LTV TRIANGLE — lifetime value by acquisition
+    * cohort, the (cohort month × account age) revenue matrix every
+    * subscription/usage business reads (e4 counts retained USERS; this
+    * accumulates their MONEY): customers cohort at their first order
+    * month; each cell reports active customers, exact revenue cents,
+    * the running cumulative, and cumulative LTV per cohort member in
+    * integer cents.
+    *
+    * Scale: the cohort frame is ONE map-combined min-aggregate keyed by
+    * o_custkey and joins back to orders ON THE SAME KEY (co-partitioned
+    * exchange, no broadcast of a customer-sized frame); the cell rollup
+    * is (months × ages)-bound; the cumulative window runs over that
+    * TINY triangle (the e10 rule — windowing the cell table, never the
+    * fact table). LTV is integral division, exact at any size. */
+  def q46CohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("ym"),
+      (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val coh = o.groupBy("o_custkey").agg(min(col("ym")).as("cym"))
+    val sizes = coh.groupBy("cym").agg(count(lit(1)).as("cohort_users"))
+    val cells = o.join(coh, Seq("o_custkey"))
+      .groupBy(col("cym"), (col("ym") - col("cym")).as("age"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"),
+        sum(col("cents")).as("revenue_cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cym").orderBy("age")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells.withColumn("cum_revenue_cents", sum(col("revenue_cents")).over(w))
+      .join(sizes, Seq("cym"))
+      .select(
+        format_string("%04d-%02d", expr("cym div 12"), expr("cym % 12 + 1"))
+          .as("cohort_month"),
+        col("age").cast("long").as("age_months"), col("n_active"),
+        col("revenue_cents"), col("cum_revenue_cents"), col("cohort_users"),
+        expr("cum_revenue_cents div cohort_users").as("ltv_cents_per_user"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  val q46Sql: String =
+    """WITH o AS (
+      | SELECT o_custkey,
+      |  (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS ym,
+      |  cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint) AS cents
+      | FROM orders),
+      |coh AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY o_custkey),
+      |sizes AS (SELECT cym, count(*) AS cohort_users FROM coh GROUP BY cym),
+      |cells AS (
+      | SELECT c.cym, o.ym - c.cym AS age,
+      |  count(DISTINCT o.o_custkey) AS n_active,
+      |  cast(sum(o.cents) AS bigint) AS revenue_cents
+      | FROM o JOIN coh c USING (o_custkey) GROUP BY c.cym, o.ym - c.cym),
+      |cum AS (
+      | SELECT cym, age, n_active, revenue_cents,
+      |  cast(sum(revenue_cents) OVER (PARTITION BY cym ORDER BY age) AS bigint)
+      |   AS cum_revenue_cents
+      | FROM cells)
+      |SELECT printf('%04d-%02d', cym // 12, cym % 12 + 1) AS cohort_month,
+      | cast(age AS bigint) AS age_months, cast(n_active AS bigint) AS n_active,
+      | revenue_cents, cum_revenue_cents,
+      | cast(s.cohort_users AS bigint) AS cohort_users,
+      | cast(cum_revenue_cents // s.cohort_users AS bigint) AS ltv_cents_per_user
+      |FROM cum JOIN sizes s USING (cym)
+      |ORDER BY cohort_month, age_months""".stripMargin
 }

@@ -153,6 +153,30 @@ class WarehouseSpec extends SparkSpec {
     assert(u.getLong(3) == uids.distinct.length)
   }
 
+  test("q46 triangle conserves revenue and recomputes LTV per cohort") {
+    val rows = Warehouse.q46CohortLtv(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val totalCents = graft.Tables.orders(spark, sfDir)
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalCents, "cells must conserve revenue")
+    rows.groupBy(_.getString(0)).foreach { case (cm, cohort) =>
+      val byAge = cohort.sortBy(_.getLong(1))
+      // age 0 exists and every cohort member is active in it
+      assert(byAge.head.getLong(1) == 0L, s"$cm: first cell must be age 0")
+      assert(byAge.head.getLong(2) == byAge.head.getLong(5),
+        s"$cm: all cohort members order in their cohort month")
+      // the cumulative is the running sum of the cells; LTV its div
+      var run = 0L
+      byAge.foreach { r =>
+        run += r.getLong(3)
+        assert(r.getLong(4) == run, s"$cm age ${r.getLong(1)}: cum mismatch")
+        assert(r.getLong(6) == run / r.getLong(5), s"$cm: ltv division")
+        assert(r.getLong(2) <= r.getLong(5), "active never exceeds cohort size")
+      }
+    }
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
