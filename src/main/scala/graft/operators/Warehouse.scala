@@ -619,4 +619,70 @@ object Warehouse {
       | cast(cum_revenue_cents // s.cohort_users AS bigint) AS ltv_cents_per_user
       |FROM cum JOIN sizes s USING (cym)
       |ORDER BY cohort_month, age_months""".stripMargin
+
+  /** q47 (TPC-H Q21 topology on this schema): the SOLE-STRAGGLER
+    * supplier report — for each finalized ('F') multi-supplier order,
+    * the one supplier whose latest shipment is strictly after every
+    * other supplier's (the vendor who alone held the order open), and
+    * per supplier how many orders they were that straggler for, top 20.
+    * Q21's "kept orders waiting" needs commit/receipt dates this schema
+    * lacks; the shape — a fact row judged against its own group with an
+    * exists (another supplier shipped) AND a not-exists (nobody else
+    * shipped as late) — is exactly Q21's, and the oracle keeps the
+    * correlated form readable as window + HAVING.
+    *
+    * Plan: lineitem reduces to one (orderkey, suppkey) max-shipdate row
+    * per supplier-order pair (map-side combined composite-key shuffle);
+    * the exists/not-exists pair collapses into ONE whole-partition
+    * Window node over HIGH-cardinality l_orderkey carrying both
+    * max(s_max) and count(*) — never a supplier-keyed partition; the
+    * per-order verdict aggregate reuses that same orderkey partitioning
+    * (no third fact exchange), the 'F' gate is a co-partitioned LEFT
+    * SEMI against the orders scan with the status filter PUSHED (orders
+    * is a fact — never broadcast), the supplier rollup is |suppliers|-
+    * bound, names arrive by broadcast (this data's supplier names are
+    * NOT unique, so the report key is the name: a second |names|-bound
+    * re-agg after the join, matching the SQL's GROUP BY s_name), and
+    * the top-20 is TakeOrderedAndProject (numwait desc, s_name asc). */
+  def q47SoleStraggler(s: SparkSession, dir: String): DataFrame = {
+    val perSupp = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .groupBy("l_orderkey", "l_suppkey").agg(max("l_shipdate").as("s_max"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+    val straggler = perSupp
+      .withColumn("o_max", max(col("s_max")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("s_max") === col("o_max") && col("n_supp") > 1)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_at_max"), min("l_suppkey").as("suppkey"))
+      .filter(col("n_at_max") === 1)
+    val ordersF = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey")
+    straggler.join(ordersF, straggler("l_orderkey") === ordersF("o_orderkey"), "left_semi")
+      .groupBy("suppkey").agg(count(lit(1)).as("per_supp"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("suppkey") === col("s_suppkey"))
+      .groupBy("s_name").agg(sum("per_supp").as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+  }
+
+  val q47Sql: String =
+    """WITH a1 AS (
+      | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+      | FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      | SELECT l_orderkey, l_suppkey, s_max,
+      |  max(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+      |  count(*) OVER (PARTITION BY l_orderkey) AS n_supp
+      | FROM a1),
+      |str AS (
+      | SELECT l_orderkey, min(l_suppkey) AS suppkey
+      | FROM w WHERE s_max = o_max AND n_supp > 1
+      | GROUP BY l_orderkey HAVING count(*) = 1),
+      |f AS (
+      | SELECT suppkey FROM str
+      | WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'))
+      |SELECT s_name, count(*) AS numwait
+      |FROM f JOIN supplier ON suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 }

@@ -177,6 +177,34 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q47 sole stragglers match a driver-side recompute") {
+    val got = Warehouse.q47SoleStraggler(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty)
+    // recompute: per (order, supp) max shipdate; orders with >1 supplier
+    // and a UNIQUE latest supplier; gate on status 'F'; count per NAME.
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toString))
+    val fOrders = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val names = graft.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perSupp = li.groupBy(t => (t._1, t._2))
+      .map { case ((o, s), xs) => (o, s, xs.map(_._3).max) }
+    val stragglers = perSupp.groupBy(_._1).toSeq.collect {
+      case (o, g) if g.size > 1 && fOrders.contains(o) &&
+        g.count(_._3 == g.map(_._3).max) == 1 =>
+        g.maxBy(_._3)._2
+    }
+    val want = stragglers.groupBy(names).map { case (n, xs) => n -> xs.size.toLong }
+      .toSeq.sortBy { case (n, c) => (-c, n) }.take(20)
+    assert(got.toSeq == want, "top-20 straggler report mismatch")
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
