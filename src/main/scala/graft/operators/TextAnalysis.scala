@@ -86,6 +86,45 @@ object TextAnalysis {
       .orderBy("lang", "predicted")
   }
 
+  /** t34: the language-ID SCORECARD — per-language precision / recall /
+    * F1 in exact integer ppm, derived from t3's confusion grid (the
+    * evaluation a pipeline runs before trusting t3's labels to route a
+    * 100 TB corpus into per-language buckets). One corpus pass builds
+    * the (true, predicted) grid — the same map-combined langs²-bound
+    * aggregate as t3 — and every metric is arithmetic on that TINY
+    * frame: support per true lang, prediction mass per label, the
+    * diagonal, then precision = tp/pred, recall = tp/support and
+    * F1 = 2·tp/(support+pred) as exact integer ppm (F1's harmonic mean
+    * reduces to that single division — no float in any engine). The
+    * joins after the grid are label-bound; AQE broadcasts them. */
+  def t34LangidScorecard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("lang"),
+      lower(col("text")).as("lc"))
+    val counted = langProfiles.foldLeft(d) { case (df, (l, re)) =>
+      df.withColumn(s"c_$l", matchCount(col("lc"), re))
+    }
+    val pred = langProfiles.map(_._1).foldRight(lit("und")) { case (l, el) =>
+      val isMax = langProfiles.map(o => col(s"c_$l") >= col(s"c_${o._1}")).reduce(_ && _)
+      when(isMax, lit(l)).otherwise(el)
+    }
+    val grid = counted.withColumn("predicted", pred)
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("docs"))
+    val byTrue = grid.groupBy("lang").agg(sum("docs").as("support"))
+    val byPred = grid.groupBy("predicted").agg(sum("docs").as("pred_total"))
+    val diag = grid.filter(col("lang") === col("predicted"))
+      .select(col("lang"), col("docs").as("tp"))
+    byTrue
+      .join(diag, Seq("lang"), "left")
+      .join(byPred.withColumnRenamed("predicted", "lang"), Seq("lang"), "left")
+      .na.fill(0L, Seq("tp", "pred_total"))
+      .select(col("lang"), col("support"), col("pred_total"), col("tp"),
+        when(col("pred_total") > 0, expr("tp * 1000000L DIV pred_total"))
+          .otherwise(lit(0L)).as("precision_ppm"),
+        expr("tp * 1000000L DIV support").as("recall_ppm"),
+        expr("2L * tp * 1000000L DIV (support + pred_total)").as("f1_ppm"))
+      .orderBy("lang")
+  }
+
   /** t4: document fingerprint — md5 of whitespace-normalized lowercase
     * text (the exact-dedup canonical key). */
   def t4Fingerprint(s: SparkSession, dir: String): DataFrame =
@@ -210,6 +249,38 @@ object TextAnalysis {
        | FROM documents)
        |SELECT lang, CASE$caseChain END AS predicted, count(*) AS docs
        |FROM c GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
+  val t34Sql: String = {
+    val counts = langProfiles.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '$re')) AS c_$l"
+    }.mkString(",\n  ")
+    val langs = langProfiles.map(_._1)
+    val caseChain = langs.map { l =>
+      val cond = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString("\n   ", "\n   ", "\n   ELSE 'und'")
+    s"""WITH c AS (
+       | SELECT doc_id, lang,
+       |  $counts
+       | FROM documents),
+       |grid AS (
+       | SELECT lang, CASE$caseChain END AS predicted, count(*) AS docs
+       | FROM c GROUP BY 1, 2),
+       |t AS (SELECT lang, sum(docs) AS support FROM grid GROUP BY 1),
+       |p AS (SELECT predicted, sum(docs) AS pred_total FROM grid GROUP BY 1),
+       |d AS (SELECT lang, docs AS tp FROM grid WHERE lang = predicted)
+       |SELECT t.lang, cast(support AS bigint) AS support,
+       | cast(coalesce(pred_total, 0) AS bigint) AS pred_total,
+       | cast(coalesce(tp, 0) AS bigint) AS tp,
+       | CASE WHEN coalesce(pred_total, 0) > 0
+       |  THEN cast(coalesce(tp, 0) * 1000000 // pred_total AS bigint)
+       |  ELSE 0 END AS precision_ppm,
+       | cast(coalesce(tp, 0) * 1000000 // support AS bigint) AS recall_ppm,
+       | cast(2 * coalesce(tp, 0) * 1000000 // (support + coalesce(pred_total, 0)) AS bigint) AS f1_ppm
+       |FROM t LEFT JOIN p ON t.lang = p.predicted
+       | LEFT JOIN d ON t.lang = d.lang
+       |ORDER BY t.lang""".stripMargin
   }
 
   val t4Sql: String =

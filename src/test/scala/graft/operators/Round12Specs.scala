@@ -518,3 +518,29 @@ class PromotionGateSpec extends SparkSpec {
     assert(g("e_promote")._1 == 0L)
   }
 }
+
+/** t34: the language-ID scorecard — every ppm metric recomputed
+  * driver-side from t3's independently-oracled confusion grid. */
+class LangidScorecardSpec extends SparkSpec {
+
+  test("t34 precision/recall/F1 match a driver-side recompute of t3's grid") {
+    val grid = TextAnalysis.t3LangId(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val got = TextAnalysis.t34LangidScorecard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val trueLangs = grid.map(_._1).distinct.sorted
+    assert(got.keySet == trueLangs.toSet, "one scorecard row per TRUE lang")
+    trueLangs.foreach { l =>
+      val support = grid.filter(_._1 == l).map(_._3).sum
+      val predTot = grid.filter(_._2 == l).map(_._3).sum
+      val tp = grid.filter(g => g._1 == l && g._2 == l).map(_._3).sum
+      val (s0, p0, t0, prec, rec, f1) = got(l)
+      assert((s0, p0, t0) == ((support, predTot, tp)), s"$l: grid masses")
+      assert(prec == (if (predTot > 0) tp * 1000000L / predTot else 0L), s"$l: precision")
+      assert(rec == tp * 1000000L / support, s"$l: recall")
+      assert(f1 == 2 * tp * 1000000L / (support + predTot), s"$l: F1")
+      assert(prec <= 1000000L && rec <= 1000000L && f1 <= 1000000L)
+    }
+  }
+}
