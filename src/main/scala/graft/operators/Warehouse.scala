@@ -666,6 +666,68 @@ object Warehouse {
       .orderBy(col("numwait").desc, col("s_name")).limit(20)
   }
 
+  /** q48 (TPC-H Q20's supply-side concern on this schema): the
+    * SINGLE-SOURCE RISK report — per part, the supplier who dominates
+    * its shipped volume, top 25 by dominance (share of total quantity
+    * in exact ppm, volume and partkey tiebreaks). Q20 asks which
+    * suppliers hold excess stock of a part; without a partsupp table
+    * the auditable twin is concentration: a part whose volume one
+    * vendor alone carries is the procurement risk a warehouse reviews.
+    *
+    * Plan: lineitem reduces to (partkey, suppkey, qty) — quantity in
+    * exact centi-units (integral doubles × 100 → long), one map-
+    * combined composite-key shuffle; ONE high-cardinality p_partkey
+    * window partition carries total volume, supplier count, and the
+    * dominance rank (three frames, one exchange); the share is a
+    * decimal(38,0) cross-multiplied integer division (overflow-free at
+    * any volume — the q42 receipt discipline); part and supplier are
+    * dimensions riding broadcasts; the top-25 is
+    * TakeOrderedAndProject. */
+  def q48SingleSourceRisk(s: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity") * 100).cast("long").as("q"))
+      .groupBy("l_partkey", "l_suppkey").agg(sum("q").as("qty_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("l_partkey")
+    pair
+      .withColumn("total_qty_c", sum(col("qty_c")).over(w))
+      .withColumn("n_suppliers", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("qty_c").desc, col("l_suppkey"))))
+      .filter(col("rn") === 1)
+      .join(broadcast(Tables.part(s, dir).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"),
+        col("n_suppliers"), col("total_qty_c"), col("qty_c").as("top_qty_c"),
+        expr("CAST(CAST(qty_c AS DECIMAL(38,0)) * 1000000 DIV total_qty_c AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy(col("share_ppm").desc, col("total_qty_c").desc, col("p_partkey"))
+      .limit(25)
+  }
+
+  val q48Sql: String =
+    """WITH pair AS (
+      | SELECT l_partkey, l_suppkey,
+      |  cast(sum(cast(l_quantity * 100 AS bigint)) AS bigint) AS qty_c
+      | FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      | SELECT l_partkey, l_suppkey, qty_c,
+      |  sum(qty_c) OVER (PARTITION BY l_partkey) AS total_qty_c,
+      |  count(*) OVER (PARTITION BY l_partkey) AS n_suppliers,
+      |  row_number() OVER (PARTITION BY l_partkey
+      |                     ORDER BY qty_c DESC, l_suppkey) AS rn
+      | FROM pair)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, n_suppliers,
+      | cast(total_qty_c AS bigint) AS total_qty_c, qty_c AS top_qty_c,
+      | cast(cast(qty_c AS hugeint) * 1000000 // total_qty_c AS bigint) AS share_ppm
+      |FROM w
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rn = 1
+      |ORDER BY share_ppm DESC, total_qty_c DESC, p_partkey LIMIT 25""".stripMargin
+
   val q47Sql: String =
     """WITH a1 AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max

@@ -205,6 +205,28 @@ class WarehouseSpec extends SparkSpec {
     assert(got.toSeq == want, "top-20 straggler report mismatch")
   }
 
+  test("q48 single-source risk matches a driver-side recompute") {
+    val got = Warehouse.q48SingleSourceRisk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    assert(got.nonEmpty && got.size <= 25)
+    val pairs = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2) * 100).toLong))
+      .groupBy(_._1).map { case ((p, su), xs) => (p, su, xs.map(_._2).sum) }
+    val want = pairs.groupBy(_._1).map { case (p, g) =>
+      val total = g.map(_._3).sum
+      val top = g.toSeq.sortBy(t => (-t._3, t._2)).head
+      (p, top._2, g.size.toLong, total, top._3,
+        (BigInt(top._3) * 1000000 / total).toLong)
+    }.toSeq.sortBy { case (p, _, _, tot, _, share) => (-share, -tot, p) }.take(25)
+    assert(got.toSeq == want, "top-25 dominance report mismatch")
+    got.foreach { case (_, _, n, tot, top, share) =>
+      assert(top <= tot && share <= 1000000L)
+      if (n == 1) assert(share == 1000000L, "sole supplier = full share")
+    }
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
