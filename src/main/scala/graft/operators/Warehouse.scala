@@ -707,6 +707,66 @@ object Warehouse {
       .limit(25)
   }
 
+  /** q49 (TPC-H Q22 topology on this schema): the IDLE-AFFLUENT
+    * customer report — per nation, the customers whose balance beats
+    * the corpus's average POSITIVE balance yet who are DORMANT (no
+    * order in the final year of the corpus calendar, or never ordered
+    * at all — Q22's "likely to purchase" cohort: money parked, the
+    * relationship gone cold), with exact-cent totals.
+    *
+    * Plan: balances move as exact cents (double → decimal(18,2) → ×100
+    * → long, the repo money discipline); the average-positive threshold
+    * and the corpus max order date are each ONE one-row aggregate
+    * broadcast back (crossJoin vs one-row frames), and the threshold
+    * comparison is the cross-multiplied integer form bal·n_pos > sum
+    * (the q38 discipline — no float, no division); per-customer last
+    * order date is a map-combined o_custkey aggregate LEFT-joined to
+    * the rich sliver only (the balance filter runs first — the fact-
+    * keyed frame never joins against full customers); nation is the
+    * classic broadcast dim and the report is |nations|-bound. */
+  def q49IdleRich(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"),
+      (dec(col("c_acctbal")) * 100).cast("long").as("bal_c"))
+    val pos = cust.filter(col("bal_c") > 0)
+      .agg(sum("bal_c").as("sum_c"), count(lit(1)).as("n_pos"))
+    val last = Tables.orders(s, dir)
+      .groupBy("o_custkey").agg(max("o_orderdate").as("lastd"))
+    val mx = Tables.orders(s, dir).agg(max("o_orderdate").as("maxd"))
+    cust.crossJoin(broadcast(pos)).crossJoin(broadcast(mx))
+      .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+      .join(last, col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("lastd").isNull ||
+        col("lastd") < col("maxd") - expr("INTERVAL 365 DAYS"))
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_c").as("total_bal_cents"))
+      .orderBy("n_name")
+  }
+
+  val q49Sql: String =
+    """WITH c AS (
+      | SELECT c_custkey, c_nationkey,
+      |  cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint) AS bal_c
+      | FROM customer),
+      |pos AS (
+      | SELECT cast(sum(bal_c) AS bigint) AS sum_c, count(*) AS n_pos
+      | FROM c WHERE bal_c > 0),
+      |last AS (
+      | SELECT o_custkey, max(o_orderdate) AS lastd FROM orders GROUP BY 1),
+      |mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+      |j AS (
+      | SELECT c.c_custkey, c.c_nationkey, c.bal_c, last.lastd
+      | FROM c LEFT JOIN last ON c.c_custkey = last.o_custkey),
+      |idle AS (
+      | SELECT j.* FROM j, pos, mx
+      | WHERE bal_c * n_pos > sum_c
+      |  AND (lastd IS NULL OR lastd < maxd - INTERVAL 365 DAY))
+      |SELECT n_name, count(*) AS n_cust,
+      | cast(sum(bal_c) AS bigint) AS total_bal_cents
+      |FROM idle JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY n_name""".stripMargin
+
   val q48Sql: String =
     """WITH pair AS (
       | SELECT l_partkey, l_suppkey,

@@ -227,6 +227,33 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q49 idle-affluent report matches a driver-side recompute") {
+    val got = Warehouse.q49IdleRich(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("b"))
+      .collect().map(r => (r.getLong(0),
+        r.getAs[Number](1).longValue, r.getLong(2)))
+    val lastByCust = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_.toString) }
+    val nations = graft.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (sumC, nPos) = (pos.sum, pos.length.toLong)
+    val cutoff = lastByCust.values.maxBy(_.toString).minusDays(365)
+    val idle = cust.filter(c => c._3 * nPos > sumC &&
+      lastByCust.get(c._1).forall(_.isBefore(cutoff)))
+    val want = idle.groupBy(c => nations(c._2))
+      .map { case (n, xs) => n -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    assert(got == want, "per-nation idle-affluent masses mismatch")
+    assert(idle.forall(c => c._3 * nPos > sumC), "threshold strict")
+    assert(got.values.map(_._1).sum == idle.length.toLong)
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
