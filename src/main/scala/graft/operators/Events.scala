@@ -632,4 +632,59 @@ object Events {
       | cast(sum(cents) AS bigint) AS attributed_cents
       |FROM m GROUP BY model, channel
       |ORDER BY model, channel""".stripMargin
+
+  /** e14: calendar GAP-FILL + trailing window — the resample step every
+    * time-series dashboard and anomaly detector needs before trusting a
+    * daily curve (a day with zero events must appear as 0, not vanish:
+    * e6's day-over-day and e10's z-scores silently skip missing days;
+    * this operator manufactures the dense calendar they'd need at
+    * serving time). Per event_type and calendar day over the corpus's
+    * [min, max] span: the observed count (0 on gap days) and the
+    * trailing-7-day sum.
+    *
+    * Plan: the corpus reduces ONCE to the (day, type)-bound daily
+    * frame (map-combined); the calendar is generated from a one-row
+    * min/max aggregate via sequence+explode and cross-joined with the
+    * |types|-bound distinct — the dense grid is (days × types), a
+    * metadata-sized frame at any corpus size; the gap-fill LEFT join
+    * and the trailing window run on that TINY grid (the e10 rule:
+    * window the cell table, never the fact table — broadcast-joined
+    * under AQE). Nothing corpus-sized is windowed, exploded, or
+    * broadcast. */
+  def e14Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("event_type"))
+    val daily = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val calendar = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    calendar.crossJoin(types)
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("trail7", sum("n").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n"), col("trail7"))
+      .orderBy("event_type", "day")
+  }
+
+  val e14Sql: String =
+    """WITH daily AS (
+      | SELECT cast(ts AS date) AS day, event_type, count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |cal AS (
+      | SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+      | FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |filled AS (
+      | SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
+      | FROM (SELECT * FROM cal CROSS JOIN ty) g
+      |  LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, event_type,
+      | cast(n AS bigint) AS n,
+      | cast(sum(n) OVER (PARTITION BY event_type ORDER BY day
+      |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS bigint) AS trail7
+      |FROM filled ORDER BY event_type, day""".stripMargin
 }

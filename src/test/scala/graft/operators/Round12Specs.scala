@@ -544,3 +544,32 @@ class LangidScorecardSpec extends SparkSpec {
     }
   }
 }
+
+/** e14: the calendar gap-fill — dense-grid shape, conservation, and a
+  * full driver-side recompute of the trailing-7-day sums. */
+class GapfillSpec extends SparkSpec {
+
+  test("e14 grid is dense, conserves mass, and trail7 recomputes") {
+    val rows = Events.e14Gapfill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val types = rows.map(_._2).distinct.sorted
+    val days = rows.map(_._1).distinct.sorted
+    assert(rows.length == types.length * days.length, "grid must be dense")
+    // the calendar is contiguous: every day between min and max appears
+    val d0 = java.time.LocalDate.parse(days.head)
+    val d1 = java.time.LocalDate.parse(days.last)
+    assert(days.length == java.time.temporal.ChronoUnit.DAYS.between(d0, d1) + 1,
+      "calendar span must have no holes")
+    // conservation: grid counts sum to the corpus row count
+    val total = graft.Tables.events(spark, sfDir).count()
+    assert(rows.map(_._3).sum == total, "gap-fill must conserve events")
+    // trail7 = sum of this and the previous 6 calendar cells, per type
+    types.foreach { t =>
+      val series = rows.filter(_._2 == t).sortBy(_._1)
+      series.zipWithIndex.foreach { case ((_, _, _, tr), i) =>
+        val want = series.slice(math.max(0, i - 6), i + 1).map(_._3).sum
+        assert(tr == want, s"$t @ ${series(i)._1}: trail7 $tr != $want")
+      }
+    }
+  }
+}
