@@ -392,4 +392,77 @@ object Approx {
        |JOIN p95b ON p95b.event_type = e.event_type
        |ORDER BY e.event_type""".stripMargin
   }
+
+  // ---- a6: sketch-only INTERSECTION estimates (inclusion-exclusion) ----
+
+  /** a6 verdict envelope: the inclusion-exclusion estimate compounds
+    * three HLL estimates (A, B, A∪B), each within ~1.6% standard error
+    * at lgConfigK=12; 3σ on each against the sum of the three exact
+    * masses ⇒ 5% of (|A| + |B| + |A∪B|) is a safe pinned bound. */
+  val HllIntersectBound = 0.05
+
+  /** a6: CROSS-AUDIENCE OVERLAP from sketches alone — for every pair of
+    * event types, the estimated |A∩B| by inclusion-exclusion
+    * est(A) + est(B) − est(A∪B), gated against the exact intersection.
+    * Why it matters at 100 TB: pairwise audience overlap is the segment
+    * report every growth dashboard wants, and the exact computation
+    * needs a user-keyed self-join per refresh; once each segment ships
+    * its kilobyte HLL (the a4 ledger), EVERY pairwise (and k-way)
+    * overlap refresh is sketch arithmetic on the driver-side pair
+    * frame — no event data touched. The estimates are deterministic
+    * (Datasketches HLL has no RNG), so the verdict column is stable and
+    * the oracle pins it to 1.
+    *
+    * Plan: ONE corpus pass builds per-type sketch + exact distinct
+    * (two-phase agg, |types|-bound, checkpointed); the pair frame is
+    * the types²-bound self-cross of that tiny frame; the exact
+    * intersection truth is ONE user-keyed self-join of the distinct
+    * (user, type) projection (co-partitioned, pair-bound output). */
+  def a6HllIntersect(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select("event_type", "user_id")
+    val perType = e.groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           countDistinct(col("user_id")).as("nd"))
+      .localCheckpoint()
+    val pa = perType.select(col("event_type").as("type_a"),
+      col("sk").as("sk_a"), col("nd").as("exact_a"))
+    val pb = perType.select(col("event_type").as("type_b"),
+      col("sk").as("sk_b"), col("nd").as("exact_b"))
+    val ut = e.distinct()
+    val ix = ut.as("x").join(ut.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("type_a"),
+               col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).as("exact_ix"))
+    val estIx = hll_sketch_estimate(col("sk_a")) +
+      hll_sketch_estimate(col("sk_b")) -
+      hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b")))
+    pa.crossJoin(pb).filter(col("type_a") < col("type_b"))
+      .join(ix, Seq("type_a", "type_b"), "left")
+      .na.fill(0L, Seq("exact_ix"))
+      .select(col("type_a"), col("type_b"), col("exact_a"), col("exact_b"),
+        col("exact_ix"),
+        (abs(estIx - col("exact_ix")) <= lit(HllIntersectBound) *
+          (col("exact_a") + col("exact_b") +
+           (col("exact_a") + col("exact_b") - col("exact_ix"))))
+          .cast("int").as("within_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val a6Sql: String =
+    """WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+      |nd AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |ix AS (
+      | SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS exact_ix
+      | FROM ut x JOIN ut y
+      |  ON x.user_id = y.user_id AND x.event_type < y.event_type
+      | GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      | cast(a.n AS bigint) AS exact_a, cast(b.n AS bigint) AS exact_b,
+      | cast(coalesce(exact_ix, 0) AS bigint) AS exact_ix,
+      | cast(1 AS int) AS within_bound
+      |FROM nd a JOIN nd b ON a.event_type < b.event_type
+      | LEFT JOIN ix ON ix.ta = a.event_type AND ix.tb = b.event_type
+      |ORDER BY type_a, type_b""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, hll_sketch_agg, hll_sketch_estimate, hll_union}
 
 class ApproxSpec extends SparkSpec {
 
@@ -57,6 +57,40 @@ class ApproxSpec extends SparkSpec {
       s"store p50_lo ${fromStore.getLong(0)} != ${allRow.getLong(2)}")
     assert(fromStore.getLong(1) == allRow.getLong(5),
       s"store p95_lo ${fromStore.getLong(1)} != ${allRow.getLong(5)}")
+  }
+
+  test("a6 inclusion-exclusion recovers a planted overlap within bound") {
+    import spark.implicits._
+    // |A| = 1000 (users 1..1000), |B| = 1001 (users 500..1500) ⇒ |A∩B| = 501
+    val rows = (1L to 1000L).map(u => ("a", u)) ++ (500L to 1500L).map(u => ("b", u))
+    val df = rows.toDF("seg", "uid")
+    val sk = df.groupBy("seg").agg(hll_sketch_agg(col("uid")).as("sk")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val est = Seq((sk("a"), sk("b"))).toDF("ska", "skb")
+      .select((hll_sketch_estimate(col("ska")) + hll_sketch_estimate(col("skb")) -
+        hll_sketch_estimate(hll_union(col("ska"), col("skb")))).as("ix"))
+      .head().getLong(0).toDouble
+    val bound = Approx.HllIntersectBound * (1000 + 1001 + 1500)
+    assert(math.abs(est - 501.0) <= bound,
+      s"inclusion-exclusion estimate $est strayed past $bound of 501")
+  }
+
+  test("a6 pair frame carries the exact intersections and pinned verdicts") {
+    val rows = Approx.a6HllIntersect(spark, sfDir).collect()
+    val types = graft.Tables.events(spark, sfDir)
+      .select("event_type").distinct().count().toInt
+    assert(rows.length == types * (types - 1) / 2, "one row per unordered pair")
+    val ut = graft.Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val byType = ut.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are ordered")
+      assert(r.getLong(2) == byType(a).size && r.getLong(3) == byType(b).size)
+      assert(r.getLong(4) == (byType(a) & byType(b)).size, s"$a∩$b exact")
+      assert(r.getInt(5) == 1, s"$a∩$b verdict must hold")
+    }
   }
 
   test("approx plans carry no Expand and a single aggregate exchange") {
