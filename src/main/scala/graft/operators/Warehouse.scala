@@ -620,6 +620,64 @@ object Warehouse {
       |FROM cum JOIN sizes s USING (cym)
       |ORDER BY cohort_month, age_months""".stripMargin
 
+  /** q50: FULFILLMENT-LATENCY SLA report — per order priority, exact
+    * DISC percentiles (p50/p90/p99) and the max of days from order
+    * placement to the order's LAST shipment (the operational twin of
+    * q25's revenue view: whether the expedited classes actually ship
+    * faster, and what the tail looks like — SLA reporting needs exact
+    * tail ranks, not an approx sketch, when the p99 drives penalties).
+    *
+    * Plan: lineitem reduces to one last-shipment row per order
+    * (map-combined l_orderkey shuffle) and joins orders ON THE SAME KEY
+    * (co-partitioned under AQE — no second fact exchange shape);
+    * latencies go through the bounded two-pass [[Quantiles]] histogram
+    * stack (NEVER a per-priority row_number window over the fact — the
+    * q15 anti-shape); the wide report is a |priorities|-bound pivot
+    * agg. */
+  def q50FulfillmentLatency(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("last_ship"))
+    val lat = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("last_ship").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("lat_days"))
+      // the two-pass histogram stack re-reads this frame; checkpoint so
+      // the fact join is paid once (the t20 rule)
+      .localCheckpoint()
+    val q = Quantiles.exactGroupedQuantiles(lat, key = "o_orderpriority",
+      value = "lat_days",
+      probs = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99, "max" -> 1.0))
+    q.groupBy("o_orderpriority").agg(
+        max("n_events").as("n_orders"),
+        max(when(col("which") === "p50", col("v"))).as("p50_days"),
+        max(when(col("which") === "p90", col("v"))).as("p90_days"),
+        max(when(col("which") === "p99", col("v"))).as("p99_days"),
+        max(when(col("which") === "max", col("v"))).as("max_days"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q50Sql: String =
+    """WITH ls AS (
+      | SELECT l_orderkey, max(l_shipdate) AS last_ship
+      | FROM lineitem GROUP BY 1),
+      |lat AS (
+      | SELECT o_orderpriority,
+      |  date_diff('day', cast(o_orderdate AS date), cast(last_ship AS date)) AS lat
+      | FROM orders JOIN ls ON o_orderkey = l_orderkey),
+      |rk AS (
+      | SELECT o_orderpriority, lat,
+      |  row_number() OVER (PARTITION BY o_orderpriority ORDER BY lat) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      | FROM lat)
+      |SELECT o_orderpriority, cast(max(n) AS bigint) AS n_orders,
+      | max(CASE WHEN rn = cast(ceil(0.50 * n) AS bigint) THEN lat END) AS p50_days,
+      | max(CASE WHEN rn = cast(ceil(0.90 * n) AS bigint) THEN lat END) AS p90_days,
+      | max(CASE WHEN rn = cast(ceil(0.99 * n) AS bigint) THEN lat END) AS p99_days,
+      | max(lat) AS max_days
+      |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q47 (TPC-H Q21 topology on this schema): the SOLE-STRAGGLER
     * supplier report — for each finalized ('F') multi-supplier order,
     * the one supplier whose latest shipment is strictly after every

@@ -254,6 +254,33 @@ class WarehouseSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == idle.length.toLong)
   }
 
+  test("q50 latency percentiles match a driver-side rank recompute") {
+    val got = Warehouse.q50FulfillmentLatency(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val lastShip = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1))
+      .groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).maxBy(_.toString) }
+    val lats = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .flatMap { r =>
+        lastShip.get(r.getLong(0)).map { ship =>
+          r.getString(1) -> java.time.temporal.ChronoUnit.DAYS.between(
+            r.getAs[java.time.LocalDateTime](2).toLocalDate, ship.toLocalDate)
+        }
+      }
+    val want = lats.groupBy(_._1).map { case (p, xs) =>
+      val vs = xs.map(_._2).sorted
+      def at(q: Double) = vs(math.ceil(q * vs.length).toInt - 1)
+      p -> ((vs.length.toLong, at(0.5), at(0.9), at(0.99), vs.last))
+    }
+    assert(got == want, "per-priority latency ranks mismatch")
+    got.values.foreach { case (_, p50, p90, p99, mx) =>
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx, "ranks must be monotone")
+    }
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
