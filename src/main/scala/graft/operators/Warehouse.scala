@@ -678,6 +678,67 @@ object Warehouse {
       | max(lat) AS max_days
       |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q51 (TPC-H Q8's market-share shape generalized): national revenue
+    * share WITHIN its region, per order year — the full dimension
+    * hierarchy (customer → nation → region) exercised as a
+    * ratio-to-report over the cell table.
+    *
+    * Exactness: revenue moves as integer TEN-THOUSANDTHS of a unit —
+    * price_cents × (100 − discount_cents) — so the product of two
+    * 2-decimal quantities stays integer (no float until nothing is
+    * derived from it); the share is the decimal(38,0) cross-multiplied
+    * integer division (overflow-free at any revenue mass).
+    *
+    * Plan: the only fact-fact exchange joins lineitem to orders on
+    * orderkey; the customer join is key-bound under AQE (customer is
+    * fact-sized — never broadcast); nation and region are true
+    * broadcast dims; the rollup is (years × nations)-bound and the
+    * within-(year, region) share runs as ONE window over that TINY cell
+    * frame (the e10 rule). */
+  def q51MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val revE4 = ((dec(col("l_extendedprice")) * 100).cast("long") *
+      (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4")
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey"), revE4)
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+      year(col("o_orderdate")).as("yr"))
+    val cell = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)
+        .select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).select("r_regionkey", "r_name")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("yr", "r_name", "n_name").agg(sum("rev_e4").as("rev_e4"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("yr", "r_name")
+    cell.withColumn("region_e4", sum(col("rev_e4")).over(w))
+      .select(col("yr"), col("r_name"), col("n_name"),
+        expr("rev_e4 DIV 10000").as("revenue_cents"),
+        expr("CAST(CAST(rev_e4 AS DECIMAL(38,0)) * 1000000 DIV region_e4 AS BIGINT)")
+          .as("share_ppm"))
+      .orderBy("yr", "r_name", "n_name")
+  }
+
+  val q51Sql: String =
+    """WITH f AS (
+      | SELECT cast(year(o_orderdate) AS int) AS yr, c_nationkey,
+      |  cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |  (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)) AS rev_e4
+      | FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey),
+      |cell AS (
+      | SELECT yr, r_name, n_name, cast(sum(rev_e4) AS bigint) AS rev_e4
+      | FROM f
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      | GROUP BY 1, 2, 3)
+      |SELECT yr, r_name, n_name,
+      | cast(rev_e4 // 10000 AS bigint) AS revenue_cents,
+      | cast(cast(rev_e4 AS hugeint) * 1000000 //
+      |   sum(rev_e4) OVER (PARTITION BY yr, r_name) AS bigint) AS share_ppm
+      |FROM cell ORDER BY yr, r_name, n_name""".stripMargin
+
   /** q47 (TPC-H Q21 topology on this schema): the SOLE-STRAGGLER
     * supplier report — for each finalized ('F') multi-supplier order,
     * the one supplier whose latest shipment is strictly after every

@@ -281,6 +281,29 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("q51 shares sum to ~1e6 per (year, region) and conserve revenue") {
+    val rows = Warehouse.q51MarketShare(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // per (yr, region): integer-floored shares sum within |cells| of 1e6
+    rows.groupBy(t => (t._1, t._2)).foreach { case ((y, rg), cells) =>
+      val s = cells.map(_._5).sum
+      assert(s <= 1000000L && s > 1000000L - cells.length,
+        s"($y,$rg): share sum $s out of floor envelope")
+    }
+    // revenue conservation in e4 units against one independent aggregate
+    val totE4 = graft.Tables.lineitem(spark, sfDir)
+      .select(((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+        (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long")))
+        .as("e4"))
+      .agg(sum("e4")).head().getLong(0)
+    // cells carry floor(e4/10000); allow the truncation slack per cell
+    val cents = rows.map(_._4).sum
+    assert(cents <= totE4 / 10000 && cents > totE4 / 10000 - rows.length,
+      "cell revenue must conserve up to per-cell floor truncation")
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
