@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *    (group-scoped `read.parquet(files).coalesce(1)` — a narrow,
   *    shuffle-free rewrite; singleton groups are not rewritten at all,
   *    so an already-compacted table is a no-op).
+  *  - [[promote]] / [[vacuum]]: the commit-and-GC half of the loop —
+  *    rename the rewritten files into the table (returning the new
+  *    LIVE manifest) and report-or-delete the orphaned originals.
   *
   * Correctness contract (spec-enforced): the plan partitions the file
   * set exactly; compaction conserves row count and an order-independent
@@ -92,5 +95,49 @@ object CompactionPlanner {
           .write.mode("overwrite").parquet(s"$outDir/group=$g")
       (g, fs.length, rewrite)
     }
+  }
+
+  /** PROMOTE a compaction into the table directory: each multi-file
+    * group's rewritten data file moves in as `compacted-<g>.parquet`
+    * (deterministic name; Hadoop rename — the same-FS atomic commit a
+    * table format relies on), while singleton-group originals stay put.
+    * Returns the LIVE set after promotion — moved files + singleton
+    * originals — exactly what a format would record in the new snapshot
+    * manifest; the rewritten groups' originals are now orphans awaiting
+    * [[vacuum]]. Takes the SAME plan the compaction ran with. */
+  def promote(s: SparkSession, dir: String, outDir: String,
+      planned: Seq[PlannedFile]): Set[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val byGroup = planned.groupBy(_.group)
+    val moved = byGroup.toSeq.sortBy(_._1).collect {
+      case (g, fs0) if fs0.length > 1 =>
+        val src = new org.apache.hadoop.fs.Path(s"$outDir/group=$g")
+        val fs = src.getFileSystem(conf)
+        val part = fs.listStatus(src).filter(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet")).head.getPath
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/compacted-$g.parquet")
+        require(fs.rename(part, dst), s"promotion rename failed for group $g")
+        dst.toUri.getPath
+    }
+    val singles = byGroup.values.filter(_.length == 1).map(_.head.path)
+    (moved ++ singles).toSet
+  }
+
+  /** Orphan-file GC: every data file under `dir` NOT in `live`. With
+    * `dryRun` (the default) nothing is touched — the report IS the
+    * audit a deployment reviews before retention deletes; otherwise the
+    * orphans are deleted. Returns (path, bytes, deleted), path-ordered.
+    * Scope is deliberately narrow: only immediate `*.parquet` children
+    * of `dir` are ever considered (the [[dataFiles]] listing), so a
+    * mis-built live set cannot reach past the table directory. */
+  def vacuum(s: SparkSession, dir: String, live: Set[String],
+      dryRun: Boolean = true): Seq[(String, Long, Boolean)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    dataFiles(s, dir).filterNot { case (p, _) => live.contains(p) }
+      .map { case (p, b) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val deleted = !dryRun && hp.getFileSystem(conf).delete(hp, false)
+        (p, b, deleted)
+      }
   }
 }

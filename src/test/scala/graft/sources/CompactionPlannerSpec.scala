@@ -71,4 +71,38 @@ class CompactionPlannerSpec extends SparkSpec {
       assert(n == 1L, s"$p should hold exactly one data file, saw $n")
     }
   }
+
+  test("promote + vacuum close the loop: commit, GC exactly the orphans, conserve") {
+    val dir = smallFileTable(12)
+    val target = CompactionPlanner.fileReport(spark, dir).collect()
+      .map(_.getLong(1)).sum / 3
+    def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)), sum(col("l_orderkey") % 997), sum(col("l_partkey") % 997),
+      sum((col("l_quantity").cast("decimal(18,2)") * 100).cast("long") % 997)).head()
+    val before = sig(spark.read.parquet(dir))
+
+    val planned = CompactionPlanner.plan(spark, dir, target)
+    val out = Files.createTempDirectory("graft-promote-out").toFile.getAbsolutePath + "/o"
+    CompactionPlanner.compact(spark, dir, out, target)
+    val live = CompactionPlanner.promote(spark, dir, out, planned)
+
+    // the expected orphans: originals of every multi-file group
+    val multi = planned.groupBy(_.group).filter(_._2.length > 1)
+      .values.flatten.map(_.path).toSet
+    assert(multi.nonEmpty, "fixture must compact something")
+    val dry = CompactionPlanner.vacuum(spark, dir, live) // dryRun default
+    assert(dry.map(_._1).toSet == multi, "dry-run must list exactly the orphans")
+    assert(dry.forall(!_._3), "dry-run must delete nothing")
+    assert(sig(spark.read.parquet(dir)) != before,
+      "pre-GC the table double-counts the rewritten groups")
+
+    val gone = CompactionPlanner.vacuum(spark, dir, live, dryRun = false)
+    assert(gone.forall(_._3) && gone.map(_._1).toSet == multi)
+    // post-GC: content conserved, layout is live ∪ nothing else
+    assert(sig(spark.read.parquet(dir)) == before,
+      "post-GC content must equal the original table")
+    val remaining = CompactionPlanner.fileReport(spark, dir).collect().map(_.getString(0)).toSet
+    assert(remaining == live, "only the live manifest may remain")
+    assert(CompactionPlanner.vacuum(spark, dir, live).isEmpty, "GC is idempotent")
+  }
 }
