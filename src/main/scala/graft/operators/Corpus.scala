@@ -571,7 +571,20 @@ object Corpus {
 
   /** The marker the "changed" branch appends (a re-crawled page whose
     * content drifted between snapshots). */
-  private val ChangedSuffix = " updated content v2"
+  private[operators] val ChangedSuffix = " updated content v2"
+
+  /** The derived two-snapshot fixture every cross-snapshot oracle query
+    * binds (d22 diff, p7 gate, t35 drift): snapshot A drops
+    * doc_id%10=7, snapshot B drops doc_id%9=4 and re-crawls every sixth
+    * doc with drifted content — deterministic in both engines. */
+  def oraclePair(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
+    val snapA = d.filter(col("doc_id") % 10 =!= 7)
+    val snapB = d.filter(col("doc_id") % 9 =!= 4)
+      .withColumn("text", when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(ChangedSuffix))).otherwise(col("text")))
+    (snapA, snapB)
+  }
 
   /** d22: SNAPSHOT DIFF — the docs added / removed / changed report
     * between two corpus versions with per-language token-mass deltas:
@@ -592,11 +605,7 @@ object Corpus {
     * language-count-bound. At 100 TB this is exactly the d9 anti-join
     * exchange class, paid twice. */
   def d22SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
-    val snapA = d.filter(col("doc_id") % 10 =!= 7)
-    val snapB = d.filter(col("doc_id") % 9 =!= 4)
-      .withColumn("text", when(col("doc_id") % 6 === 0,
-        concat(col("text"), lit(ChangedSuffix))).otherwise(col("text")))
+    val (snapA, snapB) = oraclePair(s, dir)
     snapshotDiffFrames(snapA, snapB)
   }
 
@@ -768,11 +777,7 @@ object Corpus {
     * the candidate's 16-byte fingerprints; everything downstream is
     * lang-bound or one-row. Nothing wider than (doc_id, fp, nt) moves. */
   def p7PromotionGate(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select("doc_id", "text", "lang")
-    val snapA = d.filter(col("doc_id") % 10 =!= 7)
-    val snapB = d.filter(col("doc_id") % 9 =!= 4)
-      .withColumn("text", when(col("doc_id") % 6 === 0,
-        concat(col("text"), lit(ChangedSuffix))).otherwise(col("text")))
+    val (snapA, snapB) = oraclePair(s, dir)
     promotionGateFrames(snapA, snapB)
   }
 

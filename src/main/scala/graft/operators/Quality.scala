@@ -1196,4 +1196,96 @@ object Quality {
        | cast(CASE WHEN $c4PageKeptSql THEN 1 ELSE 0 END AS bigint) AS page_kept,
        | CASE WHEN len(kept) > 0 THEN md5(array_to_string(kept, chr(10))) END AS kept_fp
        |FROM c4k ORDER BY doc_id""".stripMargin
+
+  // ---- t35: distribution-drift report (LM scored across snapshots) ----
+
+  /** t35: DISTRIBUTION DRIFT between corpus snapshots — d22 reports
+    * WHAT changed and p7 gates on mass; this measures how far the
+    * token DISTRIBUTION moved: train t17's unigram LM on snapshot A
+    * (the promoted corpus), score BOTH snapshots under it, and report
+    * per language the mean surprisal of each side and the drift delta.
+    * A crawl that silently shifted topic, language mix, or boilerplate
+    * shows mean_B pulling away from mean_A even when d22's row churn
+    * looks ordinary (Wenzek et al. 2020's LM-filtering premise, turned
+    * into a monitoring signal). Unseen-in-A tokens cost the ctf=1
+    * sentinel — t17LmWrite's fallback discipline.
+    *
+    * Determinism: the t17 contract — ONE ln → multiply → floor per
+    * DISTINCT A-vocabulary term (+ the sentinel), exact integer
+    * arithmetic after; per-language surprisal sums ride decimal(38,0)
+    * (hugeint in the oracle) so no mass overflows; means are integer
+    * division.
+    *
+    * Scale: the A-side ctf rollup and each side's (lang, term) count
+    * are map-combined vocabulary-bound shuffles off one scan each; the
+    * cost join is vocabulary-bound; the report is |langs|-bound.
+    * Nothing corpus-text-sized moves. */
+  def t35LmDrift(s: SparkSession, dir: String): DataFrame = {
+    val (snapA, snapB) = Corpus.oraclePair(s, dir)
+    lmDriftFrames(snapA, snapB)
+  }
+
+  /** The drift core over ANY two (doc_id, text, lang) snapshots — the
+    * public API; [[t35LmDrift]] binds the oracle's derived pair. */
+  def lmDriftFrames(snapA: DataFrame, snapB: DataFrame): DataFrame = {
+    val ctf = snapA
+      .select(explode(words(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("ctf"))
+    val total = ctf.agg(sum(col("ctf")).as("total"))
+    def score(snap: DataFrame, side: String): DataFrame =
+      snap.select(col("lang"), explode(words(col("text"))).as("term"))
+        .filter(col("term").isNotNull)
+        .groupBy("lang", "term").agg(count(lit(1)).as("tf"))
+        .join(ctf, Seq("term"), "left")
+        .crossJoin(broadcast(total))
+        .withColumn("cost_micro",
+          floor(log(col("total").cast("double") / coalesce(col("ctf"), lit(1L))) * 1e6))
+        .groupBy("lang")
+        .agg(sum(col("tf")).as(s"tokens_$side"),
+          sum((col("tf") * col("cost_micro")).cast("decimal(38,0)")).as(s"sur_$side"))
+    score(snapA, "a").join(score(snapB, "b"), Seq("lang"), "full_outer")
+      .na.fill(0L, Seq("tokens_a", "tokens_b"))
+      .select(col("lang"),
+        col("tokens_a"), col("tokens_b"),
+        when(col("tokens_a") > 0, expr("CAST(sur_a DIV tokens_a AS BIGINT)"))
+          .otherwise(lit(0L)).as("mean_a_micro"),
+        when(col("tokens_b") > 0, expr("CAST(sur_b DIV tokens_b AS BIGINT)"))
+          .otherwise(lit(0L)).as("mean_b_micro"))
+      .withColumn("drift_micro", col("mean_b_micro") - col("mean_a_micro"))
+      .orderBy("lang")
+  }
+
+  val t35Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+       |a AS (SELECT lang, text FROM d WHERE doc_id % 10 != 7),
+       |b AS (
+       | SELECT lang, CASE WHEN doc_id % 6 = 0
+       |   THEN text || '${Corpus.ChangedSuffix}' ELSE text END AS text
+       | FROM d WHERE doc_id % 9 != 4),
+       |ta AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term FROM a),
+       |tb AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term FROM b),
+       |ctf AS (SELECT term, count(*) AS ctf FROM ta GROUP BY 1),
+       |tot AS (SELECT count(*) AS total FROM ta),
+       |sa AS (
+       | SELECT lang, sum(tf) AS tokens_a, sum(tf * cost) AS sur_a
+       | FROM (SELECT lang, term, count(*) AS tf FROM ta GROUP BY 1, 2) g
+       |  LEFT JOIN ctf USING (term) CROSS JOIN tot,
+       |  LATERAL (SELECT cast(floor(ln(cast(total AS double) / coalesce(ctf, 1)) * 1e6) AS bigint) AS cost) c
+       | GROUP BY lang),
+       |sb AS (
+       | SELECT lang, sum(tf) AS tokens_b, sum(tf * cost) AS sur_b
+       | FROM (SELECT lang, term, count(*) AS tf FROM tb GROUP BY 1, 2) g
+       |  LEFT JOIN ctf USING (term) CROSS JOIN tot,
+       |  LATERAL (SELECT cast(floor(ln(cast(total AS double) / coalesce(ctf, 1)) * 1e6) AS bigint) AS cost) c
+       | GROUP BY lang)
+       |SELECT coalesce(sa.lang, sb.lang) AS lang,
+       | cast(coalesce(tokens_a, 0) AS bigint) AS tokens_a,
+       | cast(coalesce(tokens_b, 0) AS bigint) AS tokens_b,
+       | cast(CASE WHEN coalesce(tokens_a, 0) > 0 THEN sur_a // tokens_a ELSE 0 END AS bigint) AS mean_a_micro,
+       | cast(CASE WHEN coalesce(tokens_b, 0) > 0 THEN sur_b // tokens_b ELSE 0 END AS bigint) AS mean_b_micro,
+       | cast(CASE WHEN coalesce(tokens_b, 0) > 0 THEN sur_b // tokens_b ELSE 0 END
+       |    - CASE WHEN coalesce(tokens_a, 0) > 0 THEN sur_a // tokens_a ELSE 0 END AS bigint) AS drift_micro
+       |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
+       |ORDER BY lang""".stripMargin
 }

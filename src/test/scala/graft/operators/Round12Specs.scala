@@ -573,3 +573,51 @@ class GapfillSpec extends SparkSpec {
     }
   }
 }
+
+/** t35: LM drift — zero on identical snapshots, localized on a planted
+  * one-language drift, and the unseen-token sentinel recomputed. */
+class LmDriftSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("identical snapshots drift zero in every language") {
+    val a = docs((1L to 20L).map(i => (i, s"alpha beta gamma doc $i", if (i % 2 == 0) "en" else "fr")))
+    val got = Quality.lmDriftFrames(a, a).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), "token masses equal")
+      assert(r.getLong(5) == 0L, s"${r.getString(0)}: drift must be 0")
+    }
+  }
+
+  test("planted rare-token spam drifts only its own language upward") {
+    val base = (1L to 30L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog", if (i % 2 == 0) "en" else "fr"))
+    val a = docs(base)
+    // B: French docs re-crawled into rare-token noise; English unchanged
+    val b = docs(base.map { case (i, t, l) =>
+      if (l == "fr") (i, s"zzq$i xqv$i qqz$i wvx$i", l) else (i, t, l)
+    })
+    val got = Quality.lmDriftFrames(a, b).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(got("en") == 0L, "unchanged language must not drift")
+    assert(got("fr") > 0L, "noise-injected language must drift upward")
+  }
+
+  test("unseen tokens cost the ctf=1 sentinel, recomputed driver-side") {
+    // A: 8 tokens total ("a b c d" ×2); B: one doc of 2 unseen tokens
+    val a = docs(Seq((1L, "a b c d", "en"), (2L, "a b c d", "en")))
+    val b = docs(Seq((3L, "zz yy", "en")))
+    val row = Quality.lmDriftFrames(a, b).collect().head
+    val total = 8.0
+    val sentinel = math.floor(math.log(total / 1.0) * 1e6).toLong
+    assert(row.getLong(2) == 2L)
+    assert(row.getLong(4) == sentinel, s"mean_b ${row.getLong(4)} != sentinel $sentinel")
+    val costSeen = math.floor(math.log(total / 2.0) * 1e6).toLong
+    assert(row.getLong(3) == costSeen, "A scores its uniform vocab at ln(total/ctf)")
+    assert(row.getLong(5) == sentinel - costSeen)
+  }
+}
