@@ -633,6 +633,80 @@ object Events {
       |FROM m GROUP BY model, channel
       |ORDER BY model, channel""".stripMargin
 
+  /** e15: GROWTH ACCOUNTING — the weekly new / retained / resurrected /
+    * churned user ledger (the growth-team standard that decomposes
+    * every active-user curve; e4 follows cohorts forward, e9 takes one
+    * churn snapshot — this is the week-over-week flow statement).
+    * Definitions, all exact integer week arithmetic (the e4 DIV rule):
+    * a user's week is active; NEW = first active week; RETAINED =
+    * active in the immediately previous week; RESURRECTED = active
+    * before but not last week; CHURNED(w) = active in w−1, not in w
+    * (attributed to w, reported through the corpus's last week).
+    *
+    * Plan: the corpus reduces ONCE to distinct (user, week) pairs
+    * (two-phase distinct, user-week-bound); lag and lead share ONE
+    * window over HIGH-cardinality user_id (same partition, same order —
+    * one sort); classification is row-local; activity and churn rollups
+    * are week-bound and meet in a |weeks|-bound full-outer join gated
+    * by the one-row corpus max week. Nothing event-sized is windowed
+    * twice. */
+  def e15GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(s, dir).select("user_id", "ts")
+      .select(col("user_id"), expr(s"unix_micros(ts) DIV $WeekUs").as("wk"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("wk")
+    val stepped = uw
+      .withColumn("prev", lag(col("wk"), 1).over(w))
+      .withColumn("next", lead(col("wk"), 1).over(w))
+    val activity = stepped.groupBy("wk").agg(
+      sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("prev") === col("wk") - 1, 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("prev").isNotNull && col("prev") < col("wk") - 1, 1L)
+        .otherwise(0L)).as("n_resurrected"))
+    val churn = stepped
+      .filter(col("next").isNull || col("next") > col("wk") + 1)
+      .select((col("wk") + 1).as("wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_churned"))
+    val maxWk = uw.agg(max("wk").as("max_wk"))
+    activity.join(churn, Seq("wk"), "full_outer")
+      .na.fill(0L, Seq("n_new", "n_retained", "n_resurrected", "n_churned"))
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") <= col("max_wk"))
+      .select(col("wk"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        (col("n_new") + col("n_retained") + col("n_resurrected")).as("n_active"))
+      .orderBy("wk")
+  }
+
+  val e15Sql: String =
+    s"""WITH uw AS (
+       | SELECT DISTINCT user_id, epoch_us(ts) // $WeekUs AS wk FROM events),
+       |st AS (
+       | SELECT user_id, wk,
+       |  lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+       |  lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next
+       | FROM uw),
+       |act AS (
+       | SELECT wk,
+       |  sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+       |  sum(CASE WHEN prev = wk - 1 THEN 1 ELSE 0 END) AS n_retained,
+       |  sum(CASE WHEN prev IS NOT NULL AND prev < wk - 1 THEN 1 ELSE 0 END) AS n_resurrected
+       | FROM st GROUP BY wk),
+       |ch AS (
+       | SELECT wk + 1 AS wk, count(*) AS n_churned
+       | FROM st WHERE next IS NULL OR next > wk + 1 GROUP BY 1),
+       |mx AS (SELECT max(wk) AS max_wk FROM uw)
+       |SELECT coalesce(act.wk, ch.wk) AS wk,
+       | cast(coalesce(n_new, 0) AS bigint) AS n_new,
+       | cast(coalesce(n_retained, 0) AS bigint) AS n_retained,
+       | cast(coalesce(n_resurrected, 0) AS bigint) AS n_resurrected,
+       | cast(coalesce(n_churned, 0) AS bigint) AS n_churned,
+       | cast(coalesce(n_new, 0) + coalesce(n_retained, 0)
+       |   + coalesce(n_resurrected, 0) AS bigint) AS n_active
+       |FROM act FULL OUTER JOIN ch ON act.wk = ch.wk, mx
+       |WHERE coalesce(act.wk, ch.wk) <= max_wk
+       |ORDER BY wk""".stripMargin
+
   /** e14: calendar GAP-FILL + trailing window — the resample step every
     * time-series dashboard and anomaly detector needs before trusting a
     * daily curve (a day with zero events must appear as 0, not vanish:

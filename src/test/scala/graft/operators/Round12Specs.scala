@@ -621,3 +621,50 @@ class LmDriftSpec extends SparkSpec {
     assert(row.getLong(5) == sentinel - costSeen)
   }
 }
+
+/** e15: growth accounting — the flow identities that make the ledger a
+  * LEDGER, plus a full driver-side recompute. */
+class GrowthAccountingSpec extends SparkSpec {
+
+  test("e15 flows balance: active(w) = active(w-1) - churn(w) + new + resurrected") {
+    val rows = Events.e15GrowthAccounting(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byWk = rows.map(t => t._1 -> t).toMap
+    rows.sliding(2).foreach {
+      case Array((w0, _, _, _, _, act0), (w1, nw, ret, res, chn, act1)) if w1 == w0 + 1 =>
+        // retained(w) + churned(w) = active(w-1): every w-1 user goes one way
+        assert(ret + chn == act0, s"week $w1: retained+churned != active(w-1)")
+        assert(act1 == nw + ret + res, s"week $w1: active identity")
+      case _ => // non-adjacent weeks carry no cross-week identity here
+    }
+    // every user is NEW exactly once: total new == distinct users
+    val users = graft.Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users, "sum of n_new must equal |users|")
+  }
+
+  test("e15 matches a driver-side recompute of the week sets") {
+    val weekUs = Events.WeekUs
+    val uw = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts)").as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs)).distinct
+    val byUser = uw.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    val maxWk = uw.map(_._2).max
+    val weeks = uw.map(_._2).distinct.sorted
+    val want = (weeks ++ weeks.map(_ + 1)).distinct.sorted.filter(_ <= maxWk).flatMap { w =>
+      val nw = byUser.values.count(ws => ws.head == w)
+      val ret = byUser.values.count(ws => ws.contains(w) && ws.contains(w - 1))
+      val res = byUser.values.count(ws => ws.contains(w) && ws.head < w && !ws.contains(w - 1))
+      val chn = byUser.values.count(ws => ws.contains(w - 1) && !ws.contains(w))
+      val act = nw + ret + res
+      if (nw + ret + res + chn == 0) None
+      else Some((w, nw.toLong, ret.toLong, res.toLong, chn.toLong, act.toLong))
+    }
+    val got = Events.e15GrowthAccounting(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want.toSeq, "growth ledger mismatch vs driver recompute")
+  }
+}
