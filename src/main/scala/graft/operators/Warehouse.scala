@@ -739,6 +739,44 @@ object Warehouse {
       |   sum(rev_e4) OVER (PARTITION BY yr, r_name) AS bigint) AS share_ppm
       |FROM cell ORDER BY yr, r_name, n_name""".stripMargin
 
+  /** q52 (TPC-H Q12's CASE-sum shape): the LATE-SHIPMENT report — per
+    * order priority, how many lineitems shipped within the 90-day SLA
+    * vs late, and the late share in exact ppm (Q12 audits whether cheap
+    * ship modes delay critical orders; without a shipmode column the
+    * audit pivots on the priority classes themselves — q50 reports the
+    * latency distribution, this reports the binary SLA verdict mix).
+    *
+    * Plan: ONE fact-fact orderkey join (both sides pruned to three
+    * columns), the verdict is a row-local timestamp comparison against
+    * orderdate + 90 days (exact interval arithmetic, no float), and the
+    * CASE sums land in a map-combined aggregate on the |priorities|-
+    * bound key — deliberately an aggregate, never a window, on a
+    * 5-value key (the q15 anti-shape rule). */
+  def q52LateShipments(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .cast("long"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("late")).as("n_late"))
+      .select(col("o_orderpriority"), col("n_lines"), col("n_late"),
+        expr("n_late * 1000000L DIV n_lines").as("late_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q52Sql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      | cast(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |   THEN 1 ELSE 0 END) AS bigint) AS n_late,
+      | cast(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |   THEN 1 ELSE 0 END) * 1000000 // count(*) AS bigint) AS late_ppm
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q47 (TPC-H Q21 topology on this schema): the SOLE-STRAGGLER
     * supplier report — for each finalized ('F') multi-supplier order,
     * the one supplier whose latest shipment is strictly after every

@@ -304,6 +304,26 @@ class WarehouseSpec extends SparkSpec {
       "cell revenue must conserve up to per-cell floor truncation")
   }
 
+  test("q52 late-shipment mix matches a driver-side recompute") {
+    val got = Warehouse.q52LateShipments(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        r.getAs[java.time.LocalDateTime](2)))).toMap
+    val lines = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1)))
+    val want = lines.flatMap { case (ok, ship) => orders.get(ok).map { case (p, od) =>
+        (p, if (ship.isAfter(od.plusDays(90))) 1L else 0L)
+      } }.groupBy(_._1).map { case (p, xs) =>
+        val (n, late) = (xs.length.toLong, xs.map(_._2).sum)
+        p -> ((n, late, late * 1000000L / n))
+      }
+    assert(got == want, "late-shipment mix mismatch")
+    assert(got.values.exists(_._2 > 0), "fixture must contain late lines")
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
