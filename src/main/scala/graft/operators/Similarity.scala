@@ -1619,4 +1619,81 @@ object Similarity {
        |SELECT qid, rank, cid AS neighbor FROM ($allSel) u
        |ORDER BY qid, rank""".stripMargin
   }
+
+  // ---- s19: late-interaction (MaxSim) multi-vector retrieval ----
+
+  /** s19: LATE-INTERACTION retrieval — ColBERT's MaxSim (Khattab &
+    * Zaharia 2020) over multi-vector "documents": a document is a SET
+    * of vectors (here a label group — the chunked-passage shape), a
+    * query is a set too, and relevance is Σ_{q∈Q} max_{d∈D} sim(q, d)
+    * — each query vector finds its best-matching document vector, so a
+    * document matching HALF the query's aspects perfectly beats one
+    * matching everything weakly; single-vector cosine (s1) structurally
+    * cannot express that.
+    *
+    * Exactness: components quantize FIRST — floor(x·1024) per element
+    * (exact float→double→floor in both engines, the s11/SQ discipline;
+    * NEVER floor a computed cosine — accumulation order would decide
+    * the unit) — and similarity is the INTEGER dot product, so max,
+    * sum, rank are all exact int64 and the score column itself is
+    * oracle-hashable.
+    *
+    * Plan: the query side is a BOUNDED probe batch (the s1 `vec_id <
+    * 10` discipline, widened to 30 so several labels query as
+    * multi-vector groups) — bounded means the pair pass is O(corpus),
+    * never O(corpus × corpus-fraction); it quantizes and BROADCASTS;
+    * the corpus quantizes in the same map stage it scans in and joins
+    * the query side once (label-exclusion predicate, broadcast — the
+    * corpus never shuffles vectors); aggregate 1 is the map-combined
+    * (qlabel, qvec, dlabel) max; aggregate 2 the (qlabel, dlabel) sum;
+    * the top-3 rank runs over that labels²-bound cell frame. 100 TB
+    * path: the candidate pass composes with IVF pruning (s4/s10) the
+    * same way s1 does — MaxSim only changes the per-pair score and the
+    * two-level rollup. */
+  def s19MaxSim(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val quant = expr(
+      "transform(embedding, x -> cast(floor(cast(x as double) * 1024) as bigint))")
+    val e = Tables.embeddings(s, dir).select(col("vec_id"), col("label"), quant.as("qv"))
+    val q = e.filter(col("vec_id") < 30)
+      .select(col("label").as("qlabel"), col("vec_id").as("qvec"), col("qv").as("qq"))
+    maxSimFrames(e, q, k)
+  }
+
+  /** The MaxSim core over ANY quantized corpus (vec_id, label, qv) and
+    * bounded query batch (qlabel, qvec, qq) — the public API;
+    * [[s19MaxSim]] binds the oracle's probe fixture. */
+  def maxSimFrames(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val dotInt = expr(
+      "aggregate(zip_with(qq, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    val pair = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("qlabel"), col("qvec"), col("label").as("dlabel"), dotInt.as("d"))
+      .groupBy("qlabel", "qvec", "dlabel").agg(max(col("d")).as("m"))
+    val sc = pair.groupBy("qlabel", "dlabel").agg(sum(col("m")).as("score_q10"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qlabel").orderBy(col("score_q10").desc, col("dlabel"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qlabel"), col("rank"), col("dlabel"), col("score_q10"))
+      .orderBy("qlabel", "rank")
+  }
+
+  val s19Sql: String =
+    """WITH e AS (
+      | SELECT vec_id, label,
+      |  list_transform(embedding, x -> cast(floor(cast(x AS double) * 1024) AS bigint)) AS qv
+      | FROM embeddings),
+      |q AS (SELECT label AS qlabel, vec_id AS qvec, qv AS qq FROM e WHERE vec_id < 30),
+      |pair AS (
+      | SELECT qlabel, qvec, e.label AS dlabel,
+      |  max(list_inner_product(qq, qv)) AS m
+      | FROM e JOIN q ON e.label <> q.qlabel
+      | GROUP BY 1, 2, 3),
+      |sc AS (
+      | SELECT qlabel, dlabel, cast(sum(m) AS bigint) AS score_q10
+      | FROM pair GROUP BY 1, 2)
+      |SELECT qlabel,
+      | row_number() OVER (PARTITION BY qlabel ORDER BY score_q10 DESC, dlabel) AS rank,
+      | dlabel, score_q10
+      |FROM sc QUALIFY rank <= 3
+      |ORDER BY qlabel, rank""".stripMargin
 }

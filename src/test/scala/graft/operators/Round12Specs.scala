@@ -668,3 +668,50 @@ class GrowthAccountingSpec extends SparkSpec {
     assert(got == want.toSeq, "growth ledger mismatch vs driver recompute")
   }
 }
+
+/** s19: MaxSim — the aspect-matching property single-vector pooling
+  * cannot express, plus a full driver-side recompute on the fixture. */
+class MaxSimSpec extends SparkSpec {
+
+  private def frame(rows: Seq[(Long, Int, Seq[Long])]) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "label", "qv")
+  }
+
+  test("s19 ranks the aspect-covering document above the weak-everywhere one") {
+    // query group 0: two orthogonal aspects a=(8,0), b=(0,8)
+    val q = frame(Seq((0L, 0, Seq(8L, 0L)), (1L, 0, Seq(0L, 8L))))
+      .select(col("label").as("qlabel"), col("vec_id").as("qvec"), col("qv").as("qq"))
+    // doc 1 nails both aspects with separate vectors; doc 2's vectors
+    // are all the weak diagonal (higher mean-pooled cosine than doc 1's
+    // pooled mean would suggest, but MaxSim sees the aspect coverage)
+    val e = frame(Seq(
+      (10L, 1, Seq(8L, 0L)), (11L, 1, Seq(0L, 8L)),
+      (20L, 2, Seq(3L, 3L)), (21L, 2, Seq(3L, 3L))))
+    val got = Similarity.maxSimFrames(e, q, k = 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc1: max dots 64 + 64 = 128; doc2: 24 + 24 = 48
+    assert(got.toSeq == Seq((0, 1, 1, 128L), (0, 2, 2, 48L)))
+  }
+
+  test("s19 oracle fixture matches a driver-side recompute") {
+    val rows = Similarity.s19MaxSim(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1024).toLong)))
+    val q = e.filter(_._1 < 30)
+    val want = q.groupBy(_._2).toSeq.flatMap { case (ql, qs) =>
+      val scores = e.map(_._2).distinct.filter(_ != ql).map { dl =>
+        val ds = e.filter(_._2 == dl)
+        dl -> qs.map { qv =>
+          ds.map(dv => qv._3.zip(dv._3).map { case (a, b) => a * b }.sum).max
+        }.sum
+      }.sortBy { case (dl, sc) => (-sc, dl) }.take(3)
+      scores.zipWithIndex.map { case ((dl, sc), i) => (ql, i + 1, dl, sc) }
+    }.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == want, "MaxSim top-3 mismatch vs driver recompute")
+  }
+}
