@@ -2335,4 +2335,103 @@ object Dedup {
        | cast(CASE WHEN coalesce(a.n_match, 0) = 0 THEN 1 ELSE 0 END AS bigint) AS is_novel
        |FROM newb n LEFT JOIN agg a ON n.doc_id = a.new_id
        |ORDER BY n.doc_id""".stripMargin
+
+  // ---- d26: URL-canonicalization dedup (crawl step zero) ----
+
+  /** d26: URL-CANONICALIZATION dedup — the step-zero dedup every crawl
+    * pipeline runs BEFORE fetching content (CommonCrawl's URL dedup;
+    * trailing slashes, default ports, tracking params, and cased
+    * scheme/host multiply the frontier by small integer factors, and
+    * canonicalizing them is pure string algebra — no content needed).
+    * The fixture plants four variant classes per canonical target
+    * (bare, trailing slash, UPPERCASED scheme+host with :443, and
+    * utm-tracking query), derived deterministically from doc_id — the
+    * t31 planted-fixture discipline — then the operator canonicalizes
+    * and reports the frontier compression as ONE summary row: urls,
+    * distinct canonicals, dup groups, redundant fetches avoided, and a
+    * modular checksum of the first-wins survivors (the q42 receipt).
+    *
+    * Canonicalization rules (group-free regexps — Spark's `$1` and
+    * DuckDB's `\\1` replacement syntaxes differ, so no backrefs):
+    * strip utm_* params, strip a dangling `?`, drop default ports
+    * (:443/:80), drop the trailing slash, lowercase scheme+authority
+    * ONLY (paths stay case-sensitive).
+    *
+    * Scale: wholly map work (one regexp chain per row) into one
+    * map-combined canonical-key aggregate and a one-row rollup —
+    * the d1 exchange class on ~60-byte keys. */
+  def d26UrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val url = {
+      val host = concat(lit("h"), expr("(doc_id DIV 4) % 50"))
+      val base = concat(lit("https://"), host,
+        lit(".example.com/a/"), expr("doc_id DIV 4"))
+      when(col("doc_id") % 4 === 1, concat(base, lit("/")))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("HTTPS://"), upper(host),
+            lit(".EXAMPLE.COM:443/a/"), expr("doc_id DIV 4")))
+        .when(col("doc_id") % 4 === 3,
+          concat(base, lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(base)
+    }
+    val d = Tables.documents(s, dir).select(col("doc_id"), url.as("url"))
+    val canon = canonicalUrl(col("url"))
+    d.select(col("doc_id"), canon.as("canon"))
+      .groupBy("canon")
+      .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+      .agg(count(lit(1)).as("n_canonical"),
+        sum(col("n_variants")).as("n_urls"),
+        sum(when(col("n_variants") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(col("n_variants") - 1).as("n_redundant"),
+        (sum(col("first_doc") % P) % P).as("survivor_checksum"))
+      .select("n_urls", "n_canonical", "n_dup_groups", "n_redundant",
+        "survivor_checksum")
+  }
+
+  /** The canonicalization chain — public so ingest pipelines reuse it. */
+  def canonicalUrl(u: Column): Column = {
+    val noUtm = regexp_replace(u, "[?&]utm_[a-z_]+=[^&#]*", "")
+    val noDangle = regexp_replace(noUtm, "[?&]$", "")
+    val noPort = regexp_replace(
+      regexp_replace(noDangle, ":(443|80)/", "/"), ":(443|80)$", "")
+    val noSlash = regexp_replace(noPort, "/$", "")
+    val head = regexp_extract(noSlash, "^[A-Za-z]+://[^/]*", 0)
+    val rest = regexp_replace(noSlash, "^[A-Za-z]+://[^/]*", "")
+    concat(lower(head), rest)
+  }
+
+  val d26Sql: String =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  CASE doc_id % 4
+      |   WHEN 1 THEN 'https://h' || ((doc_id // 4) % 50) || '.example.com/a/' || (doc_id // 4) || '/'
+      |   WHEN 2 THEN 'HTTPS://H' || ((doc_id // 4) % 50) || '.EXAMPLE.COM:443/a/' || (doc_id // 4)
+      |   WHEN 3 THEN 'https://h' || ((doc_id // 4) % 50) || '.example.com/a/' || (doc_id // 4) || '?utm_source=feed&utm_campaign=x'
+      |   ELSE 'https://h' || ((doc_id // 4) % 50) || '.example.com/a/' || (doc_id // 4)
+      |  END AS url
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id,
+      |  lower(regexp_extract(s4, '^[A-Za-z]+://[^/]*', 0)) ||
+      |   regexp_replace(s4, '^[A-Za-z]+://[^/]*', '') AS canon
+      | FROM (
+      |  SELECT doc_id,
+      |   regexp_replace(
+      |    regexp_replace(
+      |     regexp_replace(
+      |      regexp_replace(
+      |       regexp_replace(url, '[?&]utm_[a-z_]+=[^&#]*', '', 'g'),
+      |      '[?&]$', ''),
+      |     ':(443|80)/', '/'),
+      |    ':(443|80)$', ''),
+      |   '/$', '') AS s4
+      |  FROM u)),
+      |g AS (
+      | SELECT canon, count(*) AS n_variants, min(doc_id) AS first_doc
+      | FROM c GROUP BY canon)
+      |SELECT cast(sum(n_variants) AS bigint) AS n_urls,
+      | count(*) AS n_canonical,
+      | cast(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup_groups,
+      | cast(sum(n_variants - 1) AS bigint) AS n_redundant,
+      | cast(sum(first_doc % 1000000007) % 1000000007 AS bigint) AS survivor_checksum
+      |FROM g""".stripMargin
 }

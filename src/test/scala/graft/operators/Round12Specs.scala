@@ -715,3 +715,49 @@ class MaxSimSpec extends SparkSpec {
     assert(rows.toSeq == want, "MaxSim top-3 mismatch vs driver recompute")
   }
 }
+
+/** d26: URL canonicalization — each planted variant class collapses to
+  * its bare form, real distinctions survive, and the summary recomputes. */
+class UrlDedupSpec extends SparkSpec {
+
+  private def canon(urls: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(Dedup.canonicalUrl(col("u")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  test("every variant class canonicalizes to the bare URL; distinctions survive") {
+    val bare = "https://srcx.example.com/a/12"
+    assert(canon(Seq(
+      bare,
+      bare + "/",
+      "HTTPS://SRCX.EXAMPLE.COM:443/a/12",
+      bare + "?utm_source=feed&utm_campaign=x",
+      "https://srcx.example.com:80/a/12")).forall(_ == bare))
+    // genuinely different URLs must NOT collapse
+    assert(canon(Seq("https://srcx.example.com/a/13")).head != bare)
+    assert(canon(Seq("http://srcx.example.com/a/12")).head != bare,
+      "http and https are different resources")
+    assert(canon(Seq("https://srcx.example.com/A/12")).head != bare,
+      "paths stay case-sensitive")
+    assert(canon(Seq("https://srcx.example.com/a/12?page=2")).head
+      == bare + "?page=2", "real query params survive the utm strip")
+    assert(canon(Seq("https://srcx.example.com:8080/a/12")).head
+      == "https://srcx.example.com:8080/a/12", "non-default ports survive")
+  }
+
+  test("d26 summary matches a driver-side recompute of the planted frontier") {
+    val row = Dedup.d26UrlDedup(spark, sfDir).collect().head
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val groups = ids.groupBy(_ / 4)
+    val nUrls = ids.length.toLong
+    val nCanon = groups.size.toLong
+    val nDup = groups.values.count(_.length > 1).toLong
+    val checksum = groups.values.map(_.min % Dedup.P).sum % Dedup.P
+    assert(row.getLong(0) == nUrls && row.getLong(1) == nCanon)
+    assert(row.getLong(2) == nDup && row.getLong(3) == nUrls - nCanon)
+    assert(row.getLong(4) == checksum, "survivor checksum mismatch")
+    assert(nDup > 0, "fixture must actually collapse variants")
+  }
+}
