@@ -55,6 +55,42 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer dot(a, b) over array<long> — exact int64 end-to-end (the
+  * s19 MaxSim hot path: quantized components, no float anywhere, no
+  * intermediate array the HOF zip_with form would allocate per row). */
+case class IntDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def prettyName: String = "vec_idot"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[AbstractType] =
+    Seq(ArrayType(org.apache.spark.sql.types.LongType),
+        ArrayType(org.apache.spark.sql.types.LongType))
+
+  protected override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** cosine(a, b) = dot / (|a||b|), 0.0 when either norm is 0. One pass. */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   override def prettyName: String = "vec_cosine"
@@ -165,6 +201,8 @@ object VectorExpressions {
     Shim.column(CosineSimilarity(Shim.expression(a), Shim.expression(b)))
   def dot(a: Column, b: Column): Column =
     Shim.column(DotProduct(Shim.expression(a), Shim.expression(b)))
+  def intDot(a: Column, b: Column): Column =
+    Shim.column(IntDotProduct(Shim.expression(a), Shim.expression(b)))
   def nearest(v: Column, centroids: Column): Column =
     Shim.column(NearestIndex(Shim.expression(v), Shim.expression(centroids)))
 }

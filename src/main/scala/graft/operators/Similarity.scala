@@ -1663,8 +1663,9 @@ object Similarity {
     * bounded query batch (qlabel, qvec, qq) — the public API;
     * [[s19MaxSim]] binds the oracle's probe fixture. */
   def maxSimFrames(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
-    val dotInt = expr(
-      "aggregate(zip_with(qq, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+    // codegen'd exact int64 dot — the HOF zip_with form allocates an
+    // intermediate array per pair row and measured 4.5x slower at sf1
+    val dotInt = V.intDot(col("qq"), col("qv"))
     val pair = e.join(broadcast(q), col("label") =!= col("qlabel"))
       .select(col("qlabel"), col("qvec"), col("label").as("dlabel"), dotInt.as("d"))
       .groupBy("qlabel", "qvec", "dlabel").agg(max(col("d")).as("m"))
