@@ -1256,12 +1256,20 @@ object Quality {
       .orderBy("lang")
   }
 
+  /** == Corpus.ChangedSuffix, duplicated as a LOCAL literal: Corpus's
+    * own init references Quality vals, so a Quality val interpolating
+    * Corpus.ChangedSuffix can observe the not-yet-assigned null during
+    * the object-initialization cycle (it DID, in the full Verify sweep
+    * — the oracle SQL captured the string "null"). Equality is pinned
+    * by LmDriftSpec at runtime, when both objects are initialized. */
+  private[operators] val PairChangedSuffix = " updated content v2"
+
   val t35Sql: String =
     s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
        |a AS (SELECT lang, text FROM d WHERE doc_id % 10 != 7),
        |b AS (
        | SELECT lang, CASE WHEN doc_id % 6 = 0
-       |   THEN text || '${Corpus.ChangedSuffix}' ELSE text END AS text
+       |   THEN text || '$PairChangedSuffix' ELSE text END AS text
        | FROM d WHERE doc_id % 9 != 4),
        |ta AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term FROM a),
        |tb AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$WordRe')) AS term FROM b),

@@ -583,6 +583,14 @@ class LmDriftSpec extends SparkSpec {
     rows.toDF("doc_id", "text", "lang")
   }
 
+  test("t35's local oracle suffix equals Corpus.ChangedSuffix (init-cycle guard)") {
+    assert(Quality.PairChangedSuffix == Corpus.ChangedSuffix,
+      "the duplicated literal must track Corpus.ChangedSuffix")
+    assert(!Quality.t35Sql.contains("'null'"),
+      "the oracle SQL must never capture a null interpolation")
+    assert(Quality.t35Sql.contains(Quality.PairChangedSuffix))
+  }
+
   test("identical snapshots drift zero in every language") {
     val a = docs((1L to 20L).map(i => (i, s"alpha beta gamma doc $i", if (i % 2 == 0) "en" else "fr")))
     val got = Quality.lmDriftFrames(a, a).collect()
