@@ -945,6 +945,208 @@ object Warehouse {
       |WHERE rn = 1
       |ORDER BY share_ppm DESC, total_qty_c DESC, p_partkey LIMIT 25""".stripMargin
 
+  /** q53 (TPC-H Q2 topology): the MIN-COST SUPPLIER report — for every
+    * part in a procurement slice (LARGE type, size ≤ 10), the
+    * European supplier(s) whose best historical unit price equals the
+    * part's minimum across the region, with supplier wealth attribution
+    * (Q2 ranks candidate vendors by account balance). The schema has no
+    * partsupp catalog, so the offer book derives from shipped history:
+    * a (part, supplier) pair's cost is its cheapest observed unit
+    * price. The defining Q2 topology — a row kept only when its value
+    * equals a correlated MIN over the same dimensional slice — is kept
+    * exactly.
+    *
+    * Exactness: unit cost moves as integer TEN-THOUSANDTHS per unit —
+    * price_cents × 100 DIV qty (quantities are integral and ≥ 1; both
+    * engines floor positive integer division) — so MIN and the
+    * equality test never touch a float.
+    *
+    * Plan: the part slice and the region's supplier set broadcast as
+    * LEFT SEMI prunes BEFORE the fact shuffle (lineitem shrinks to the
+    * slice's share immediately); the offer book is ONE map-combined
+    * composite-key aggregate; the per-part MIN reuses the same partkey
+    * hashing (co-partitioned agg + join-back, the q38 alternative that
+    * avoids carrying every offer through a window); dimensions arrive
+    * by broadcast only after the fact side has collapsed to offer
+    * rows. */
+  def q53MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val eurNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir)
+      .join(broadcast(eurNations), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"),
+        (dec(col("s_acctbal")) * 100).cast("long").as("s_acctbal_cents"))
+    val slice = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name")
+    val offers = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") * 100)
+          .as("price_c4"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(slice.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(broadcast(sup.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey"),
+        expr("price_c4 DIV qty").as("unit_c4"))
+      .groupBy("l_partkey", "l_suppkey").agg(min("unit_c4").as("cost_c4"))
+    val best = offers.groupBy("l_partkey").agg(min("cost_c4").as("best_c4"))
+    offers.join(best, Seq("l_partkey"))
+      .filter(col("cost_c4") === col("best_c4"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal_cents"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost_c4").as("unit_cost_c4"))
+      .orderBy(col("s_acctbal_cents").desc, col("s_name"), col("n_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q53Sql: String =
+    """WITH eursupp AS (
+      | SELECT s_suppkey, s_name, n_name,
+      |  cast(cast(s_acctbal AS decimal(18,2)) * 100 AS bigint) AS s_acctbal_cents
+      | FROM supplier
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      | WHERE r_name = 'EUROPE'),
+      |slice AS (
+      | SELECT p_partkey, p_name FROM part
+      | WHERE p_type = 'LARGE' AND p_size <= 10),
+      |offers AS (
+      | SELECT l_partkey, l_suppkey,
+      |  min(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) * 100
+      |      // cast(l_quantity AS bigint)) AS cost_c4
+      | FROM lineitem
+      |  JOIN slice ON l_partkey = p_partkey
+      |  JOIN eursupp ON l_suppkey = s_suppkey
+      | GROUP BY 1, 2),
+      |best AS (SELECT l_partkey, min(cost_c4) AS best_c4 FROM offers GROUP BY 1)
+      |SELECT s_acctbal_cents, s_name, n_name, p_partkey, p_name,
+      | o.cost_c4 AS unit_cost_c4
+      |FROM offers o
+      | JOIN best b ON o.l_partkey = b.l_partkey AND o.cost_c4 = b.best_c4
+      | JOIN eursupp ON o.l_suppkey = s_suppkey
+      | JOIN slice ON o.l_partkey = p_partkey
+      |ORDER BY s_acctbal_cents DESC, s_name, n_name, p_partkey LIMIT 100""".stripMargin
+
+  /** q54's share gate, in parts-per-million of the regional value mass. */
+  val ImportantPartPpm = 1000L
+
+  /** q54 (TPC-H Q11 topology): IMPORTANT-STOCK concentration — the parts
+    * whose shipped value from ASIAN suppliers exceeds a fixed fraction
+    * of the region's TOTAL shipped value (Q11's "significant share of
+    * available stock" HAVING-against-a-global-scalar shape, on shipped
+    * history instead of the absent partsupp catalog).
+    *
+    * Exactness: value moves as exact cents; the global threshold
+    * comparison is the cross-multiplied integer form
+    * value × 1e6 > total × ppm in decimal(38,0) — no float, no
+    * division, overflow-free at any corpus size (the q42 receipt
+    * discipline).
+    *
+    * Plan: the region's supplier set broadcasts as a LEFT SEMI prune
+    * ahead of the fact shuffle; per-part value is ONE map-combined
+    * partkey aggregate; the global total is a ONE-ROW aggregate OVER
+    * THE AGGREGATE's output (never a second fact scan) broadcast back
+    * via crossJoin; the final filter is row-local. */
+  def q54ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val asiaSupp = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select("n_nationkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val perPart = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("cents"))
+      .join(broadcast(asiaSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey").agg(sum("cents").as("value_cents"))
+    val total = perPart.agg(sum("value_cents").as("total_cents"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_cents").cast("decimal(38,0)") * 1000000 >
+        col("total_cents").cast("decimal(38,0)") * ImportantPartPpm)
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  val q54Sql: String =
+    s"""WITH asiasupp AS (
+       | SELECT s_suppkey FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey
+       | WHERE r_name = 'ASIA'),
+       |pp AS (
+       | SELECT l_partkey,
+       |  cast(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint))
+       |    AS bigint) AS value_cents
+       | FROM lineitem
+       | WHERE l_suppkey IN (SELECT s_suppkey FROM asiasupp)
+       | GROUP BY 1),
+       |tot AS (SELECT sum(value_cents) AS total_cents FROM pp)
+       |SELECT l_partkey AS p_partkey, value_cents
+       |FROM pp, tot
+       |WHERE cast(value_cents AS hugeint) * 1000000 >
+       |      cast(total_cents AS hugeint) * $ImportantPartPpm
+       |ORDER BY value_cents DESC, p_partkey""".stripMargin
+
+  /** q55 (TPC-H Q15 topology): the TOP-REVENUE SUPPLIER — supplier(s)
+    * whose revenue over one quarter equals the maximum across all
+    * suppliers (Q15's view + WHERE total = (SELECT max(total)) shape:
+    * an aggregate judged against the max OF THE SAME AGGREGATE, which
+    * no other inventory query has — q5 ranks raw rows, q47/q48 rank
+    * within windows, this gates on a global scalar of a grouped
+    * frame).
+    *
+    * Exactness: revenue accumulates in integer 1e-4 units
+    * (price_cents × (100 − disc_cents)); the max-equality is integer;
+    * the reported cents are DIV 10000 of a nonnegative sum (both
+    * engines floor).
+    *
+    * Plan: the quarter filter pushes into the scan; per-supplier
+    * revenue is ONE map-combined |suppliers|-bound aggregate; the max
+    * is a one-row aggregate over that TINY frame, broadcast back via
+    * crossJoin; the name arrives by broadcast after the gate. */
+  def q55TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_suppkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") *
+         (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4"))
+      .groupBy("l_suppkey").agg(sum("rev_e4").as("rev_e4"))
+    val mx = rev.agg(max("rev_e4").as("max_e4"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("rev_e4") === col("max_e4"))
+      .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        expr("rev_e4 DIV 10000").as("total_revenue_cents"))
+      .orderBy("s_suppkey")
+  }
+
+  val q55Sql: String =
+    """WITH rev AS (
+      | SELECT l_suppkey,
+      |  cast(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |    (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)))
+      |   AS bigint) AS rev_e4
+      | FROM lineitem
+      | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |   AND l_shipdate < TIMESTAMP '1996-04-01'
+      | GROUP BY 1),
+      |mx AS (SELECT max(rev_e4) AS max_e4 FROM rev)
+      |SELECT s_suppkey, s_name,
+      | cast(rev_e4 // 10000 AS bigint) AS total_revenue_cents
+      |FROM rev, mx
+      | JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_e4 = max_e4
+      |ORDER BY s_suppkey""".stripMargin
+
   val q47Sql: String =
     """WITH a1 AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max

@@ -324,6 +324,96 @@ class WarehouseSpec extends SparkSpec {
     assert(got.values.exists(_._2 > 0), "fixture must contain late lines")
   }
 
+  test("q53 min-cost suppliers match a driver-side recompute") {
+    val got = Warehouse.q53MinCostSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    assert(got.nonEmpty && got.length <= 100)
+    val slice = graft.Tables.part(spark, sfDir)
+      .filter(col("p_type") === "LARGE" && col("p_size") <= 10)
+      .select("p_partkey", "p_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val eurNations = graft.Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 3) // EUROPE
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val sup = graft.Tables.supplier(spark, sfDir).collect()
+      .filter(r => eurNations.contains(r.getAs[Number](2).longValue))
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        eurNations(r.getAs[Number](2).longValue),
+        (BigDecimal(r.getDouble(3)).setScale(2) * 100).toLongExact))).toMap
+    val offers = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity").collect()
+      .filter(r => slice.contains(r.getLong(0)) && sup.contains(r.getLong(1)))
+      .map { r =>
+        val c4 = (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact * 100 /
+          r.getDouble(3).toLong
+        ((r.getLong(0), r.getLong(1)), c4)
+      }.groupBy(_._1).map { case ((p, su), xs) => (p, su, xs.map(_._2).min) }
+    val bestByPart = offers.groupBy(_._1).map { case (p, g) => p -> g.map(_._3).min }
+    val want = offers.toSeq.collect {
+      case (p, su, c) if c == bestByPart(p) =>
+        val (name, nn, bal) = sup(su)
+        (bal, name, nn, p, slice(p), c)
+    }.sortBy { case (bal, name, nn, p, _, _) => (-bal, name, nn, p) }.take(100)
+    assert(got.toSeq == want, "Q2-shape report mismatch")
+    // every part appears with ONLY its min-cost suppliers
+    got.groupBy(_._4).foreach { case (p, rows) =>
+      assert(rows.map(_._6).distinct.length == 1, s"part $p: non-min row leaked")
+    }
+  }
+
+  test("q54 important-stock parts clear the exact ppm threshold") {
+    val got = Warehouse.q54ImportantStock(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.nonEmpty)
+    val asia = graft.Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 2).select("n_nationkey").collect()
+      .map(_.getAs[Number](0).longValue).toSet
+    val asiaSupp = graft.Tables.supplier(spark, sfDir).collect()
+      .filter(r => asia.contains(r.getAs[Number](2).longValue))
+      .map(_.getLong(0)).toSet
+    val perPart = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice").collect()
+      .filter(r => asiaSupp.contains(r.getLong(1)))
+      .map(r => r.getLong(0) ->
+        (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact)
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sum }
+    val total = perPart.values.sum
+    val want = perPart.toSeq
+      .filter { case (_, v) => BigInt(v) * 1000000 > BigInt(total) * Warehouse.ImportantPartPpm }
+      .sortBy { case (p, v) => (-v, p) }
+    assert(got.toSeq == want, "important-stock set mismatch")
+    // the gate is strict: nothing at-or-below threshold survives
+    want.foreach { case (_, v) => assert(BigInt(v) * 1000000 > BigInt(total) * 1000) }
+  }
+
+  test("q55 returns exactly the max-revenue supplier(s) of the quarter") {
+    val got = Warehouse.q55TopSupplier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val q0 = java.time.LocalDateTime.parse("1996-01-01T00:00:00")
+    val q1 = java.time.LocalDateTime.parse("1996-04-01T00:00:00")
+    val rev = graft.Tables.lineitem(spark, sfDir)
+      .select("l_suppkey", "l_extendedprice", "l_discount", "l_shipdate").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](3)
+        !d.isBefore(q0) && d.isBefore(q1)
+      }
+      .map { r =>
+        val pc = (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact
+        val dc = (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact
+        r.getLong(0) -> pc * (100 - dc)
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val mx = rev.values.max
+    val names = graft.Tables.supplier(spark, sfDir)
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = rev.toSeq.filter(_._2 == mx)
+      .map { case (k, v) => (k, names(k), v / 10000) }.sortBy(_._1)
+    assert(got.toSeq == want, "Q15-shape max-of-aggregate mismatch")
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
