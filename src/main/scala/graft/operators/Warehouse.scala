@@ -1147,6 +1147,208 @@ object Warehouse {
       |WHERE rev_e4 = max_e4
       |ORDER BY s_suppkey""".stripMargin
 
+  /** q56's size slice — Q16 probes 8 scattered sizes; six here. */
+  val PartSizes: Seq[Int] = Seq(1, 9, 15, 23, 36, 49)
+
+  /** q56 (TPC-H Q16 topology): SUPPLIER-COUNT distribution — how many
+    * DISTINCT qualified suppliers can furnish each (brand, type, size)
+    * part class, excluding one brand, one type, and suppliers with a
+    * complaint on file (no comment column in this schema; a negative
+    * account balance is the stand-in flag). Q16's shape: a NOT-IN
+    * subquery against a flagged-supplier set + COUNT DISTINCT over a
+    * relationship table — here the (part, supplier) relationship
+    * derives from shipped history.
+    *
+    * Plan: the size/brand/type slice broadcasts as a LEFT SEMI prune
+    * ahead of the fact scan; the (partkey, suppkey) DISTINCT is the one
+    * fact-bound exchange (map-side combined — multiplicity collapses
+    * before the shuffle); the complaint set is a tiny broadcast
+    * LEFT ANTI; part attributes arrive by broadcast; the final
+    * COUNT DISTINCT groups the |slice|-bound pair frame. */
+  def q56SupplierDistribution(s: SparkSession, dir: String): DataFrame = {
+    val slice = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(PartSizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val flagged = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val pairs = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(slice.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .distinct()
+      .join(broadcast(flagged), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    pairs.join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  val q56Sql: String =
+    s"""SELECT p_brand, p_type, p_size,
+       | count(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+       | JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+       | AND p_size IN (${PartSizes.mkString(", ")})
+       | AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** q57 (TPC-H Q9 topology): PRODUCT-LINE PROFIT by supplier nation and
+    * order year, for parts matching a name token ('red' — Q9's
+    * '%green%'). Without partsupp's supply cost, the cost leg prices
+    * consumed quantity at the part's retail price; profit = revenue −
+    * cost can be NEGATIVE, so the figure stays in exact integer 1e-4
+    * units end-to-end — no floor division whose Spark (truncate) and
+    * DuckDB (floor) semantics diverge below zero.
+    *
+    * Plan: the name-sliced part dim broadcasts (an INNER broadcast join
+    * — retail price must ride along, unlike q53's semi); supplier →
+    * nation is the second broadcast chain; the ONLY fact-fact exchange
+    * is lineitem ⋈ orders on orderkey, carrying just (nation, year,
+    * profit) upward into a (nations × years)-bound rollup. */
+  def q57ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        (dec(col("p_retailprice")) * 100).cast("long").as("retail_c"))
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "n_name")
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * 100).cast("long").as("price_c"),
+        (dec(col("l_discount")) * 100).cast("long").as("disc_c"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("n_name"),
+        (col("price_c") * (lit(100L) - col("disc_c")) -
+         col("retail_c") * 100L * col("qty")).as("profit_e4"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("n_name", "o_year")
+      .agg(sum("profit_e4").as("profit_e4"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q57Sql: String =
+    """SELECT n_name, cast(year(o_orderdate) AS int) AS o_year,
+      | cast(sum(
+      |   cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |   (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)) -
+      |   cast(cast(p_retailprice AS decimal(18,2)) * 100 AS bigint) * 100 *
+      |   cast(l_quantity AS bigint)) AS bigint) AS profit_e4,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN part ON l_partkey = p_partkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON s_nationkey = n_nationkey
+      | JOIN orders ON l_orderkey = o_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** q58 (TPC-H Q14 topology): PROMO revenue share per ship month — the
+    * conditional-aggregate-over-total ratio (Q14's promo_revenue
+    * percentage), reported in exact ppm via decimal cross-multiplied
+    * integer division (both sums nonnegative, so DIV and // agree).
+    *
+    * Plan: part's type flag broadcasts into the lineitem scan (INNER
+    * broadcast — the flag rides along); there is NO fact-fact join at
+    * all: the rollup is a map-combined (month)-bound aggregate with
+    * both CASE sums in one pass. */
+  def q58PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    Tables.lineitem(s, dir)
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") *
+         (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(sum(when(col("is_promo"), col("rev_e4")).otherwise(0L)).as("promo_e4"),
+        sum("rev_e4").as("total_e4"))
+      .select(col("month"),
+        expr("promo_e4 DIV 10000").as("promo_revenue_cents"),
+        expr("total_e4 DIV 10000").as("total_revenue_cents"),
+        expr("CAST(CAST(promo_e4 AS DECIMAL(38,0)) * 1000000 DIV total_e4 AS BIGINT)")
+          .as("promo_ppm"))
+      .orderBy("month")
+  }
+
+  val q58Sql: String =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+      | cast(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) // 10000
+      |   AS bigint) AS promo_revenue_cents,
+      | cast(sum(rev_e4) // 10000 AS bigint) AS total_revenue_cents,
+      | cast(cast(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END)
+      |   AS hugeint) * 1000000 // sum(rev_e4) AS bigint) AS promo_ppm
+      |FROM (
+      | SELECT l_partkey, l_shipdate,
+      |  cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |  (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)) AS rev_e4
+      | FROM lineitem) l
+      | JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY month""".stripMargin
+
+  /** q59 (TPC-H Q10 topology): RETURNED-ITEM revenue per customer for
+    * one quarter's orders — the churn-risk report (customers who
+    * returned the most merchandise), with full customer attribution,
+    * top 20. Q10's shape: a quarter-gated fact-fact join, a RETURN-flag
+    * filter on the line side, and a grouped rollup keyed by the
+    * customer dimension row.
+    *
+    * Plan: both fact filters push into their scans (the quarter cuts
+    * orders ~25×, the R flag cuts lineitem ~3×); the fact-fact join is
+    * the one orderkey exchange; customer is fact-sized so the custkey
+    * join stays key-bound under AQE (never broadcast); nation
+    * broadcasts; the rollup groups by the customer key with the
+    * dimension attributes riding as group columns (functionally
+    * dependent on c_custkey), and top-20 is TakeOrderedAndProject. */
+  def q59ReturnedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-10-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") *
+         (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"),
+        (dec(col("c_acctbal")) * 100).cast("long").as("acctbal_cents"),
+        col("n_name"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey").agg(sum("rev_e4").as("rev_e4"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"),
+        expr("rev_e4 DIV 10000").as("revenue_cents"),
+        col("acctbal_cents"), col("n_name"))
+      .orderBy(col("revenue_cents").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q59Sql: String =
+    """SELECT c_custkey, c_name,
+      | cast(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |   (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)))
+      |  // 10000 AS bigint) AS revenue_cents,
+      | cast(cast(c_acctbal AS decimal(18,2)) * 100 AS bigint) AS acctbal_cents,
+      | n_name
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+      |  AND o_orderdate < TIMESTAMP '1995-10-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1, 2, 4, 5
+      |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin
+
   val q47Sql: String =
     """WITH a1 AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max

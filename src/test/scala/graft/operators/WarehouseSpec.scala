@@ -414,6 +414,143 @@ class WarehouseSpec extends SparkSpec {
     assert(got.toSeq == want, "Q15-shape max-of-aggregate mismatch")
   }
 
+  test("q56 distinct-supplier distribution matches a driver-side recompute") {
+    val got = Warehouse.q56SupplierDistribution(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val sizes = Warehouse.PartSizes.toSet
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_type", "p_size").collect()
+      .filter(r => r.getString(1) != "Brand#5" && r.getString(2) != "PROMO" &&
+        sizes.contains(r.getInt(3)))
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getInt(3)))).toMap
+    val flagged = graft.Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey").collect()
+      .map(_.getLong(0)).toSet
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+      .filter(t => parts.contains(t._1) && !flagged.contains(t._2))
+      .groupBy(t => parts(t._1))
+      .map { case (k, xs) => (k._1, k._2, k._3, xs.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy { case (b, t, sz, c) => (-c, b, t, sz) }
+    assert(got.toSeq == want, "Q16-shape distribution mismatch")
+    // the complaint exclusion bites at sf0.01+ (sf0.001 generates no
+    // negative balances); the recompute above applies the same filter, so
+    // equality proves the exclusion wherever the fixture provides one
+    assert(flagged.isEmpty ||
+      want.map(_._4).sum < graft.Tables.lineitem(spark, sfDir)
+        .select("l_partkey", "l_suppkey").distinct()
+        .join(graft.Tables.part(spark, sfDir)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(Warehouse.PartSizes: _*)),
+          col("l_partkey") === col("p_partkey"), "left_semi").count())
+  }
+
+  test("q57 profit figures match a driver-side recompute (negatives kept exact)") {
+    val got = Warehouse.q57ProductProfit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    val parts = graft.Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%red%"))
+      .select("p_partkey", "p_retailprice").collect()
+      .map(r => r.getLong(0) ->
+        (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact).toMap
+    val supN = {
+      val n = graft.Tables.nation(spark, sfDir)
+        .select("n_nationkey", "n_name").collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+      graft.Tables.supplier(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> n(r.getAs[Number](2).longValue)).toMap
+    }
+    val years = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getAs[java.time.LocalDateTime](1).getYear).toMap
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+        "l_discount", "l_quantity").collect()
+      .filter(r => parts.contains(r.getLong(1)))
+      .map { r =>
+        val pc = (BigDecimal(r.getDouble(3)).setScale(2) * 100).toLongExact
+        val dc = (BigDecimal(r.getDouble(4)).setScale(2) * 100).toLongExact
+        val profit = pc * (100 - dc) - parts(r.getLong(1)) * 100 * r.getDouble(5).toLong
+        ((supN(r.getLong(2)), years(r.getLong(0))), profit)
+      }.groupBy(_._1)
+      .map { case ((n, y), xs) => (n, y, xs.map(_._2).sum, xs.length.toLong) }
+      .toSeq.sortBy { case (n, y, _, _) => (n, -y) }
+    assert(got.toSeq == want, "Q9-shape profit mismatch")
+    assert(want.exists(_._3 < 0) || want.forall(_._3 >= 0)) // exactness holds either way
+  }
+
+  test("q58 promo share conserves revenue and stays within [0, 1e6] ppm") {
+    val rows = Warehouse.q58PromoShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (promo, total, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(promo >= 0 && promo <= total, s"month ${r.getString(0)}")
+      assert(ppm >= 0 && ppm <= 1000000L)
+    }
+    // independent recompute of one month's exact figures
+    val m = rows.head.getString(0)
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> (r.getString(1) == "PROMO")).toMap
+    val lines = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](1)
+        f"${d.getYear}%04d-${d.getMonthValue}%02d" == m
+      }
+      .map { r =>
+        val pc = (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact
+        val dc = (BigDecimal(r.getDouble(3)).setScale(2) * 100).toLongExact
+        (parts(r.getLong(0)), pc * (100 - dc))
+      }
+    val promoE4 = lines.filter(_._1).map(_._2).sum
+    val totalE4 = lines.map(_._2).sum
+    assert(rows.head.getLong(1) == promoE4 / 10000 &&
+      rows.head.getLong(2) == totalE4 / 10000 &&
+      rows.head.getLong(3) == (BigInt(promoE4) * 1000000 / totalE4).toLong,
+      s"month $m exact figures")
+  }
+
+  test("q59 returned-revenue top-20 matches a driver-side recompute") {
+    val got = Warehouse.q59ReturnedRevenue(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.nonEmpty && got.length <= 20)
+    val q0 = java.time.LocalDateTime.parse("1995-07-01T00:00:00")
+    val q1 = java.time.LocalDateTime.parse("1995-10-01T00:00:00")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](2)
+        !d.isBefore(q0) && d.isBefore(q1)
+      }.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val revByCust = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        orders.get(r.getLong(0)).map { ck =>
+          val pc = (BigDecimal(r.getDouble(1)).setScale(2) * 100).toLongExact
+          val dc = (BigDecimal(r.getDouble(2)).setScale(2) * 100).toLongExact
+          ck -> pc * (100 - dc)
+        }
+      }.groupBy(_._1).map { case (k, xs) => k -> xs.map(_._2).sum }
+    val nations = graft.Tables.nation(spark, sfDir)
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val cust = graft.Tables.customer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        (BigDecimal(r.getDouble(3)).setScale(2) * 100).toLongExact,
+        nations(r.getAs[Number](2).longValue)))).toMap
+    val want = revByCust.toSeq.map { case (ck, e4) =>
+      val (nm, bal, nn) = cust(ck)
+      (ck, nm, e4 / 10000, bal, nn)
+    }.sortBy { case (ck, _, rev, _, _) => (-rev, ck) }.take(20)
+    assert(got.toSeq == want, "Q10-shape top-20 mismatch")
+  }
+
   test("q43 fkEdge counts planted orphans and flips the verdict") {
     import spark.implicits._
     val child = Seq(1L, 2L, 2L, 7L, 8L, 9L).toDF("k")
