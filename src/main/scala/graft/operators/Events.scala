@@ -761,4 +761,75 @@ object Events {
       | cast(sum(n) OVER (PARTITION BY event_type ORDER BY day
       |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS bigint) AS trail7
       |FROM filled ORDER BY event_type, day""".stripMargin
+
+  /** e16: SEASONAL-NAIVE FORECAST BACKTEST — the capacity-planning
+    * baseline every traffic dashboard starts from: forecast each day's
+    * per-type event count as the integer mean of the same weekday's
+    * counts one and two weeks back, score the forecast against the
+    * actual over the whole corpus calendar, and report per-type error
+    * totals. Any real model ships only after beating this line; the
+    * backtest (not the model) is the data-engine operator, and its
+    * arithmetic is exact: forecast = (lag7 + lag14) DIV 2 on
+    * nonnegative counts (floor, both engines), MAE ×100 via integer
+    * division, the BIAS kept as a signed exact SUM (never divided — a
+    * negative numerator would floor differently across engines).
+    *
+    * Plan: the corpus reduces ONCE to the (day, type) cell table
+    * (map-combined rollup, the only corpus-sized exchange); the
+    * calendar gap-fill guarantees lag(7)/lag(14) really mean "same
+    * weekday N weeks back" even across zero-traffic days (the e14
+    * machinery — missing days would silently shift a raw lag); both
+    * lags share ONE window over the TINY filled cell frame (types ×
+    * days — the e10 rule: window the cell table, never the fact); the
+    * report is |types|-bound. */
+  def e16ForecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("ts").cast("date").as("day"), col("event_type"))
+    val daily = ev.groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val calendar = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = ev.select("event_type").distinct()
+    val w = Window.partitionBy("event_type").orderBy("day")
+    calendar.crossJoin(types)
+      .join(daily, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n"))
+      .withColumn("l7", lag(col("n"), 7).over(w))
+      .withColumn("l14", lag(col("n"), 14).over(w))
+      .filter(col("l7").isNotNull && col("l14").isNotNull)
+      .select(col("event_type"), col("n"),
+        expr("(l7 + l14) DIV 2").as("fc"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("n").as("actual_total"),
+        sum(abs(col("n") - col("fc"))).as("abs_err_total"),
+        sum(col("fc") - col("n")).as("bias_signed"))
+      .withColumn("mae_x100", expr("abs_err_total * 100 DIV n_days"))
+      .orderBy("event_type")
+  }
+
+  val e16Sql: String =
+    """WITH daily AS (
+      | SELECT cast(ts AS date) AS day, event_type, count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+      |cal AS (
+      | SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::date AS day
+      | FROM b),
+      |ty AS (SELECT DISTINCT event_type FROM events),
+      |filled AS (
+      | SELECT g.day, g.event_type, coalesce(d.n, 0) AS n
+      | FROM (SELECT * FROM cal CROSS JOIN ty) g
+      |  LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type),
+      |fc AS (
+      | SELECT event_type, n,
+      |  (lag(n, 7) OVER (PARTITION BY event_type ORDER BY day) +
+      |   lag(n, 14) OVER (PARTITION BY event_type ORDER BY day)) // 2 AS fc
+      | FROM filled
+      | QUALIFY lag(n, 14) OVER (PARTITION BY event_type ORDER BY day) IS NOT NULL)
+      |SELECT event_type, count(*) AS n_days,
+      | cast(sum(n) AS bigint) AS actual_total,
+      | cast(sum(abs(n - fc)) AS bigint) AS abs_err_total,
+      | cast(sum(fc - n) AS bigint) AS bias_signed,
+      | cast(sum(abs(n - fc)) * 100 // count(*) AS bigint) AS mae_x100
+      |FROM fc GROUP BY 1 ORDER BY event_type""".stripMargin
 }

@@ -1296,4 +1296,82 @@ object Quality {
        |    - CASE WHEN coalesce(tokens_a, 0) > 0 THEN sur_a // tokens_a ELSE 0 END AS bigint) AS drift_micro
        |FROM sa FULL OUTER JOIN sb ON sa.lang = sb.lang
        |ORDER BY lang""".stripMargin
+
+  // ---- t36: Heaps-law vocabulary growth curve ----
+
+  /** t36's snapshot grid, in sixteenths of the doc_id range. */
+  val HeapsSixteenths: Seq[Int] = Seq(1, 2, 4, 8, 16)
+
+  /** t36: HEAPS-LAW VOCABULARY GROWTH — distinct-vocabulary size at
+    * nested corpus prefixes (1/16, 1/8, 1/4, 1/2, all of the doc_id
+    * range), with exact doc and token masses per snapshot. The curve
+    * every tokenizer-budget and dedup-planning discussion starts from:
+    * sublinear growth (Heaps' V ≈ K·nᵝ) is the empirical fact that
+    * makes distinct-word frames broadcastable (t23's Zipf bound) —
+    * this measures it on the corpus instead of assuming it. Prefixes
+    * key on doc_id THRESHOLDS (a snapshot ledger, the d22 framing),
+    * not on a global row_number — ordering by id needs no global sort
+    * at any scale.
+    *
+    * Exactness: pure integer counts; thresholds are (max+1)·k DIV 16
+    * − 1 (positive floor division, both engines).
+    *
+    * Plan: the corpus tokenizes ONCE into two bounded frames — the
+    * per-word first-appearance frame (min-combined word shuffle,
+    * vocab-bound) and the per-doc token-count frame (map-only) — and
+    * the 5-row threshold grid (derived from a one-row max, broadcast)
+    * cross-joins each bounded frame with a row-local ≤ filter; both
+    * rollups are |grid|-bound. The fact is scanned once, shuffled only
+    * at vocab granularity. */
+  def t36HeapsVocab(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      words(col("text")).as("ws"))
+    val grid = Tables.documents(s, dir).agg(max("doc_id").as("mid"))
+      .select(explode(array(HeapsSixteenths.map(lit(_)): _*)).as("sixteenth"),
+        col("mid"))
+      .select(col("sixteenth"),
+        expr("(mid + 1) * sixteenth DIV 16 - 1").as("t"))
+    val docStats = d.select(col("doc_id"), size(col("ws")).cast("long").as("ntok"))
+      .crossJoin(broadcast(grid))
+      .filter(col("doc_id") <= col("t"))
+      .groupBy("sixteenth")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val vocabAt = d.select(col("doc_id"), explode(col("ws")).as("word"))
+      .groupBy("word").agg(min("doc_id").as("fd"))
+      .crossJoin(broadcast(grid))
+      .filter(col("fd") <= col("t"))
+      .groupBy("sixteenth").agg(count(lit(1)).as("vocab_size"))
+    docStats.join(vocabAt, Seq("sixteenth"))
+      .select(col("sixteenth").cast("int").as("sixteenth"), col("n_docs"),
+        col("n_tokens"), col("vocab_size"))
+      .orderBy("sixteenth")
+  }
+
+  val t36Sql: String =
+    s"""WITH mx AS (SELECT max(doc_id) AS mid FROM documents),
+       |grid AS (
+       | SELECT k AS sixteenth, (mid + 1) * k // 16 - 1 AS t
+       | FROM mx, (VALUES (1), (2), (4), (8), (16)) v(k)),
+       |dtok AS (
+       | SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$WordRe')) AS ntok
+       | FROM documents),
+       |wfirst AS (
+       | SELECT word, min(doc_id) AS fd
+       | FROM (SELECT doc_id,
+       |        unnest(regexp_extract_all(lower(text), '$WordRe')) AS word
+       |       FROM documents)
+       | GROUP BY 1),
+       |ds AS (
+       | SELECT sixteenth, count(*) AS n_docs, sum(ntok) AS n_tokens
+       | FROM grid JOIN dtok ON doc_id <= t GROUP BY 1),
+       |vs AS (
+       | SELECT sixteenth, count(*) AS vocab_size
+       | FROM grid JOIN wfirst ON fd <= t GROUP BY 1)
+       |SELECT cast(sixteenth AS int) AS sixteenth,
+       | cast(n_docs AS bigint) AS n_docs,
+       | cast(n_tokens AS bigint) AS n_tokens,
+       | cast(vocab_size AS bigint) AS vocab_size
+       |FROM ds JOIN vs USING (sixteenth)
+       |ORDER BY sixteenth""".stripMargin
 }

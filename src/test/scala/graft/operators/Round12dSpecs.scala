@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** e16: seasonal-naive forecast backtest — full driver-side recompute of
+  * the forecast, the error totals, and the exact-division report. */
+class ForecastBacktestSpec extends SparkSpec {
+
+  test("e16 error report matches a driver-side seasonal-naive recompute") {
+    val got = Events.e16ForecastBacktest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.nonEmpty)
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .collect()
+      .map(r => (java.time.LocalDate.parse(r.getString(0)), r.getString(1)))
+    val d0 = ev.map(_._1).minBy(_.toEpochDay)
+    val d1 = ev.map(_._1).maxBy(_.toEpochDay)
+    val days = Iterator.iterate(d0)(_.plusDays(1)).takeWhile(!_.isAfter(d1)).toSeq
+    val counts = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val types = ev.map(_._2).distinct
+    val want = types.map { t =>
+      val series = days.map(d => counts.getOrElse((d, t), 0L))
+      val scored = (14 until series.length).map { i =>
+        val fc = (series(i - 7) + series(i - 14)) / 2
+        (series(i), fc)
+      }
+      val absErr = scored.map { case (n, fc) => math.abs(n - fc) }.sum
+      val bias = scored.map { case (n, fc) => fc - n }.sum
+      t -> ((scored.length.toLong, scored.map(_._1).sum, absErr, bias,
+        absErr * 100 / scored.length))
+    }.toMap
+    assert(got == want, "backtest report mismatch")
+    // the scored span excludes the 14-day warmup exactly
+    got.values.foreach { case (nDays, _, _, _, _) =>
+      assert(nDays == days.length - 14L, "warmup rows must be excluded")
+    }
+  }
+
+  test("e16 is exact on a planted series with known seasonal error") {
+    // planted: type X is perfectly weekly-periodic => zero error;
+    // type Y alternates its seasonal level => known constant error
+    import spark.implicits._
+    val base = java.time.LocalDate.parse("2024-01-01")
+    val rows = (0 until 28).flatMap { d =>
+      val day = base.plusDays(d)
+      val x = Seq.fill(3 + (d % 7))(("X", day))            // periodic
+      val y = Seq.fill(if ((d / 7) % 2 == 0) 2 else 6)(("Y", day)) // level flips
+      x ++ y
+    }
+    val df = rows.zipWithIndex.map { case ((t, day), i) =>
+      (i.toLong, java.sql.Timestamp.valueOf(day.atStartOfDay), 1L, t, 0.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    df.createOrReplaceTempView("___e16_fixture")
+    // recompute via the same frame logic on the fixture
+    val daily = df.select(col("ts").cast("date").as("day"), col("event_type"))
+      .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val scored = daily
+      .withColumn("l7", lag(col("n"), 7).over(w))
+      .withColumn("l14", lag(col("n"), 14).over(w))
+      .filter(col("l7").isNotNull && col("l14").isNotNull)
+      .select(col("event_type"),
+        abs(col("n") - expr("(l7 + l14) DIV 2")).as("ae"))
+      .groupBy("event_type").agg(sum("ae").as("abs_err"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(scored("X") == 0L, "periodic series must backtest error-free")
+    // Y: 14 scored days; forecast = mean of the two previous regimes = 4,
+    // actual alternates 2/6 week-wise => |err| = 2 every day
+    assert(scored("Y") == 28L, "level-flip series must err by 2/day")
+  }
+}
+
+/** t36: Heaps-law vocabulary growth — nested-prefix monotonicity and a
+  * full driver-side recompute of every snapshot's exact masses. */
+class HeapsVocabSpec extends SparkSpec {
+
+  test("t36 snapshots match a driver-side recompute and nest monotonically") {
+    val got = Quality.t36HeapsVocab(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Quality.HeapsSixteenths)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[a-z0-9]+".r.findAllIn(r.getString(1).toLowerCase).toSeq)
+    val mid = docs.map(_._1).max
+    got.foreach { case (k, nDocs, nTok, vocab) =>
+      val t = (mid + 1) * k / 16 - 1
+      val in = docs.filter(_._1 <= t)
+      assert(nDocs == in.length.toLong, s"k=$k docs")
+      assert(nTok == in.map(_._2.length.toLong).sum, s"k=$k tokens")
+      assert(vocab == in.flatMap(_._2).distinct.length.toLong, s"k=$k vocab")
+    }
+    // nesting: all three masses are non-decreasing in k
+    got.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._2 && a._3 <= b._3 && a._4 <= b._4, "prefixes must nest")
+    }
+    // Heaps: vocabulary grows SLOWER than token mass between the two
+    // largest snapshots (the sublinearity the broadcast designs rely on)
+    val (h, f) = (got(got.length - 2), got.last)
+    assert(BigInt(f._4) * h._3 <= BigInt(h._4) * f._3,
+      "vocab growth must be sublinear in token growth on the top doubling")
+  }
+}
