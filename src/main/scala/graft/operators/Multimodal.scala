@@ -303,6 +303,89 @@ object Multimodal {
   def m5IncrementalPhash(s: SparkSession, dir: String): DataFrame =
     m5Screen(m5NewBatch(s, dir), phBands(m5Hashed(m5Existing(s, dir))))
 
+  // ---- m6: image-text alignment screen (the LAION CLIP-filter pass) ----
+
+  /** m6's embedding width and the cosine gate (0.99 as 9801/10000). */
+  val AlignDims = 8
+  val AlignTauSqX10k = 9801L
+
+  /** One integer embedding dimension: md5-derived, uniform in
+    * [-512, 511] — the m3 stub-encoder recipe kept PRE-division so
+    * every downstream product is exact integer arithmetic. */
+  private def embDim(j: Int, text: org.apache.spark.sql.Column) =
+    (conv(substring(md5(concat(lit(j.toString), text).cast("binary")), 1, 15),
+      16, 10).cast("long") % 1024) - 512
+
+  /** m6: IMAGE-TEXT ALIGNMENT SCREEN — the LAION-5B construction pass
+    * (Schuhmann et al. arXiv:2210.08402 §2: crawled (caption, image)
+    * pairs survive only if CLIP cosine ≥ τ; ~90% of the crawl drops).
+    * Corpus: every document is a (caption, payload) pair; every 7th
+    * asset's payload is SWAPPED with its successor's (the mis-captioned
+    * crawl junk the filter exists to kill — alt-text that belongs to a
+    * different image). Both modalities embed through the stub encoder
+    * (the container has no CLIP; a deployment swaps ONLY the encoder —
+    * m1/m3's convention, MultimodalDecode.scala:10), and the gate is
+    * EXACT: integer embeddings in [-512, 511]^8, score = the raw
+    * integer dot product, and cosine ≥ 0.99 tested as the
+    * cross-multiplied dot² × 10⁴ ≥ 9801 · |a|² · |b|² with dot > 0 —
+    * no float, no sqrt, oracle-hashable (the s19 integer-score
+    * discipline; max |dot| = 8·512² ≈ 2.1e6, every product ≤ 4.4e16 —
+    * long-safe).
+    *
+    * Plan: the pairing is ONE co-partitioned self-join on the successor
+    * key (key-unique, never fanning out); embed + score + verdict are
+    * row-local map work after it — at 100 TB the screen costs one scan
+    * and one key exchange, and the verdict column is what the p3-style
+    * composed cuts would gate on. */
+  def m6AlignmentScreen(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+    val partner = d.select((col("doc_id") - 1).as("pk"), col("text").as("succ_text"))
+    val paired = d
+      .join(partner, col("doc_id") === col("pk") && col("doc_id") % 7 === 0, "left")
+      .select(col("doc_id").as("asset_id"), col("source"),
+        col("text").as("caption"),
+        coalesce(col("succ_text"), col("text")).as("payload"))
+    val embCols = Seq(col("asset_id"), col("source")) ++
+      (0 until AlignDims).map(j => embDim(j, col("caption")).as(s"c$j")) ++
+      (0 until AlignDims).map(j => embDim(j, col("payload")).as(s"p$j"))
+    val scored = paired.select(embCols: _*)
+    val dot = (0 until AlignDims).map(j => col(s"c$j") * col(s"p$j")).reduce(_ + _)
+    val na = (0 until AlignDims).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
+    val nb = (0 until AlignDims).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
+    scored.select(col("asset_id"), col("source"), dot.as("alignment_dot"),
+        (dot > 0 && dot * dot * 10000L >= lit(AlignTauSqX10k) * na * nb)
+          .cast("long").as("aligned"))
+      .orderBy("asset_id")
+  }
+
+  val m6Sql: String = {
+    def dim(j: Int, src: String) =
+      s"(('0x' || substr(md5('$j' || $src), 1, 15))::bigint % 1024) - 512"
+    val cs = (0 until AlignDims).map(j => s"${dim(j, "caption")} AS c$j")
+    val ps = (0 until AlignDims).map(j => s"${dim(j, "payload")} AS p$j")
+    val dot = (0 until AlignDims).map(j => s"c$j*p$j").mkString(" + ")
+    val na = (0 until AlignDims).map(j => s"c$j*c$j").mkString(" + ")
+    val nb = (0 until AlignDims).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH paired AS (
+       | SELECT d.doc_id AS asset_id, d.source, d.text AS caption,
+       |  coalesce(p.text, d.text) AS payload
+       | FROM documents d
+       |  LEFT JOIN documents p
+       |   ON p.doc_id = d.doc_id + 1 AND d.doc_id % 7 = 0),
+       |emb AS (
+       | SELECT asset_id, source,
+       |  ${(cs ++ ps).mkString(",\n  ")}
+       | FROM paired),
+       |sc AS (
+       | SELECT asset_id, source, $dot AS dot,
+       |  $na AS na, $nb AS nb
+       | FROM emb)
+       |SELECT asset_id, source, cast(dot AS bigint) AS alignment_dot,
+       | cast(CASE WHEN dot > 0 AND dot*dot*10000 >= $AlignTauSqX10k*na*nb
+       |   THEN 1 ELSE 0 END AS bigint) AS aligned
+       |FROM sc ORDER BY asset_id""".stripMargin
+  }
+
   /** Persist the asset index: (doc_id, ph, band, key) — 8 rows of ~32 B
     * per asset, the whole verify surface. */
   def m5IndexWrite(s: SparkSession, dir: String, path: String): Unit =

@@ -74,6 +74,50 @@ class ForecastBacktestSpec extends SparkSpec {
   }
 }
 
+/** m6: image-text alignment screen — full driver-side recompute of the
+  * integer embeddings, dot products, and the cosine gate; the planted
+  * caption swaps must be exactly the dropped set. */
+class AlignmentScreenSpec extends SparkSpec {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def emb(text: String): Array[Long] =
+    (0 until Multimodal.AlignDims).map { j =>
+      java.lang.Long.parseLong(md5hex(j.toString + text).take(15), 16) % 1024 - 512
+    }.toArray
+
+  test("m6 verdicts match a driver-side integer-cosine recompute") {
+    val got = Multimodal.m6AlignmentScreen(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    docs.keys.foreach { id =>
+      val caption = docs(id)
+      val payload =
+        if (id % 7 == 0) docs.getOrElse(id + 1, caption) else caption
+      val (c, p) = (emb(caption), emb(payload))
+      val dot = c.zip(p).map { case (a, b) => a * b }.sum
+      val na = c.map(x => x * x).sum
+      val nb = p.map(x => x * x).sum
+      val aligned =
+        if (dot > 0 && dot * dot * 10000L >= Multimodal.AlignTauSqX10k * na * nb) 1L
+        else 0L
+      assert(got(id) == ((dot, aligned)), s"asset $id")
+      // identity pairs are self-cosine 1 exactly: dot == both norms
+      if (payload == caption) assert(dot == na && dot == nb, s"asset $id identity")
+    }
+    // the screen's whole point: swapped captions are exactly the drops
+    // (modulo the documented missing-successor fallback)
+    val dropped = got.collect { case (id, (_, 0L)) => id }.toSet
+    val planted = docs.keys.filter(id => id % 7 == 0 && docs.contains(id + 1)).toSet
+    assert(dropped == planted, "drop set must equal the planted swap set")
+  }
+}
+
 /** t36: Heaps-law vocabulary growth — nested-prefix monotonicity and a
   * full driver-side recompute of every snapshot's exact masses. */
 class HeapsVocabSpec extends SparkSpec {
