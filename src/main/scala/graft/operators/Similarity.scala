@@ -725,6 +725,42 @@ object Similarity {
        |FROM embeddings WHERE vec_id IN (${FetchIds.mkString(", ")})
        |ORDER BY vec_id""".stripMargin
 
+  /** v7's page geometry: namespace, id prefix, keyset cursor, page. */
+  val ListNamespace = 3
+  val ListIdPrefix = "1"
+  val ListAfterId = 150L
+  val ListPageSize = 10
+
+  /** v7: LIST vector ids — the last Pinecone verb
+    * (`index.listPaginated({prefix, paginationToken, limit})`): page
+    * through a namespace's ids matching a string PREFIX, resuming from
+    * a pagination token. The token is KEYSET (the last id of the
+    * previous page), never OFFSET — an offset page at depth d re-scans
+    * d rows on every request, a keyset page is one range probe
+    * (SURVEY §5's q6 rule; Pinecone's own token works the same way).
+    *
+    * Plan: namespace equality, the keyset bound, and (as a startsWith)
+    * the prefix all PUSH into the parquet scan; the page cut is
+    * TakeOrderedAndProject over the pruned sliver — no global sort
+    * exchange at any store size. */
+  def v7ListVectors(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("label") === ListNamespace &&
+        col("vec_id") > ListAfterId &&
+        col("vec_id").cast("string").startsWith(ListIdPrefix))
+      .select(col("vec_id"), col("vec_id").cast("string").as("id_str"),
+        col("label"), size(col("embedding")).cast("long").as("dim"))
+      .orderBy("vec_id")
+      .limit(ListPageSize)
+
+  val v7Sql: String =
+    s"""SELECT vec_id, cast(vec_id AS varchar) AS id_str, label,
+       | cast(len(embedding) AS bigint) AS dim
+       |FROM embeddings
+       |WHERE label = $ListNamespace AND vec_id > $ListAfterId
+       |  AND starts_with(cast(vec_id AS varchar), '$ListIdPrefix')
+       |ORDER BY vec_id LIMIT $ListPageSize""".stripMargin
+
   /** s11: SCALAR-QUANTIZED (SQ8) top-k — the third compression point on
     * the serving curve after full-float (s1) and PQ (s8/s9): every
     * dimension is affinely mapped to one byte against the corpus-global

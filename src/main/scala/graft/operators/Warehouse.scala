@@ -1349,6 +1349,146 @@ object Warehouse {
       |GROUP BY 1, 2, 4, 5
       |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** q60 (TPC-H Q5 topology): LOCAL-SUPPLIER revenue by nation — revenue
+    * from 1997 orders where the customer and the line's supplier sit in
+    * the SAME nation of one region (Q5's defining constraint: the
+    * c_nationkey = s_nationkey equality that closes the join cycle
+    * customer→orders→lineitem→supplier→customer, which no other
+    * inventory query has).
+    *
+    * Plan: the region's nations broadcast twice (customer arm and
+    * supplier arm); the order-year filter pushes into the orders scan;
+    * the one fact-fact exchange is lineitem ⋈ orders; supplier
+    * broadcasts; the same-nation equality is a row-local filter once
+    * both nation keys ride the row, and the rollup is |nations|-
+    * bound. */
+  def q60LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val amNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_nationkey", "n_name")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") *
+         (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(expr("sum(rev_e4) DIV 10000").as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue_cents").desc, col("n_name"))
+  }
+
+  val q60Sql: String =
+    """SELECT n_name,
+      | cast(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |   (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint)))
+      |  // 10000 AS bigint) AS revenue_cents,
+      | count(*) AS n_lines
+      |FROM lineitem
+      | JOIN orders ON l_orderkey = o_orderkey
+      | JOIN customer ON o_custkey = c_custkey
+      | JOIN supplier ON l_suppkey = s_suppkey
+      | JOIN nation ON c_nationkey = n_nationkey
+      | JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |  AND s_nationkey = c_nationkey
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin
+
+  /** q61 (TPC-H Q6): the FORECAST-REVENUE-CHANGE probe — discount
+    * revenue that a promotion tweak would have foregone: one year of
+    * shipments, discounts in the 5–7¢ band, small quantities. The
+    * canonical PREDICATE-PUSHDOWN benchmark: a single scan, every
+    * filter in the scan, one global aggregate, zero joins — it measures
+    * the engine's scan path and nothing else (the plan spec pins all
+    * three filters inside the parquet scan node).
+    *
+    * Exactness: the figure is Σ price_cents × disc_cents — integer 1e-4
+    * currency units end-to-end. */
+  def q61ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .select(((dec(col("l_extendedprice")) * 100).cast("long") *
+               (dec(col("l_discount")) * 100).cast("long")).as("disc_e4"))
+      .agg(sum("disc_e4").as("foregone_e4"), count(lit(1)).as("n_lines"))
+
+  val q61Sql: String =
+    """SELECT
+      | cast(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |          cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint))
+      |   AS bigint) AS foregone_e4,
+      | count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** q62 (TPC-H Q19 topology): the DISJUNCTIVE-BRACKET revenue probe —
+    * three OR'd (brand, size-range, quantity-range) brackets over the
+    * part ⋈ lineitem join (Q19's DNF predicate spanning BOTH join
+    * sides, which no other inventory query has). The classic optimizer
+    * trap: naively the OR evaluates only after the join, scanning
+    * everything.
+    *
+    * Plan: the disjunction's per-side BOUNDING HULLS are applied as
+    * conjunctive prefilters — quantity ∈ [1, 30] pushes into the
+    * lineitem scan, (brand ∈ {12,23,3} AND size ∈ [1, 30]) into the
+    * part scan — exactly what Catalyst cannot derive on its own from
+    * a cross-side DNF; the slimmed part side broadcasts, and the exact
+    * three-bracket test runs row-local on the joined sliver. */
+  def q62BracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3") &&
+              col("p_size") >= 1 && col("p_size") <= 30)
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        ((dec(col("l_extendedprice")) * 100).cast("long") *
+         (lit(100L) - (dec(col("l_discount")) * 100).cast("long"))).as("rev_e4"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size") <= 10 &&
+          col("l_quantity") >= 1 && col("l_quantity") <= 11) ||
+        (col("p_brand") === "Brand#23" && col("p_size") <= 20 &&
+          col("l_quantity") >= 10 && col("l_quantity") <= 20) ||
+        (col("p_brand") === "Brand#3" && col("p_size") <= 30 &&
+          col("l_quantity") >= 20 && col("l_quantity") <= 30))
+      .agg(expr("coalesce(sum(rev_e4), 0L) DIV 10000").as("revenue_cents"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q62Sql: String =
+    """SELECT
+      | cast(coalesce(sum(cast(cast(l_extendedprice AS decimal(18,2)) * 100 AS bigint) *
+      |   (100 - cast(cast(l_discount AS decimal(18,2)) * 100 AS bigint))), 0)
+      |  // 10000 AS bigint) AS revenue_cents,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   val q47Sql: String =
     """WITH a1 AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max

@@ -74,6 +74,117 @@ class ForecastBacktestSpec extends SparkSpec {
   }
 }
 
+/** q60/q61/q62: the Q5 same-nation join cycle, the Q6 pushdown probe,
+  * and the Q19 disjunctive brackets — driver recomputes + the plan
+  * contracts that make them worth benchmarking. */
+class WarehouseQ5Q6Q19Spec extends SparkSpec {
+
+  private def cents(d: Double): Long =
+    (BigDecimal(d).setScale(2) * 100).toLongExact
+
+  test("q60 keeps only same-nation (customer, supplier) revenue") {
+    val got = Warehouse.q60LocalSupplier(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val nations = graft.Tables.nation(spark, sfDir)
+      .filter(col("n_regionkey") === 1) // AMERICA
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getString(1)).toMap
+    val cust = graft.Tables.customer(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](2).longValue).toMap
+    val supp = graft.Tables.supplier(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](2).longValue).toMap
+    val y0 = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    val y1 = java.time.LocalDateTime.parse("1998-01-01T00:00:00")
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .filter { r =>
+        val d = r.getAs[java.time.LocalDateTime](2)
+        !d.isBefore(y0) && d.isBefore(y1)
+      }.map(r => r.getLong(0) -> cust(r.getLong(1))).toMap
+    val cells = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount").collect()
+      .flatMap { r =>
+        orders.get(r.getLong(0)).flatMap { cn =>
+          val sn = supp(r.getLong(1))
+          if (sn == cn && nations.contains(cn))
+            Some(nations(cn) -> cents(r.getDouble(2)) * (100 - cents(r.getDouble(3))))
+          else None
+        }
+      }.groupBy(_._1)
+      .map { case (n, xs) => (n, xs.map(_._2).sum / 10000, xs.length.toLong) }
+      .toSeq.sortBy { case (n, rev, _) => (-rev, n) }
+    assert(got.toSeq == cells, "Q5-shape local-supplier revenue mismatch")
+  }
+
+  test("q61 recomputes exactly and pushes every filter into the scan") {
+    val r = Warehouse.q61ForecastRevenue(spark, sfDir).head()
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice").collect()
+      .filter { x =>
+        val d = x.getAs[java.time.LocalDateTime](0)
+        d.getYear == 1996 && x.getDouble(1) >= 0.05 && x.getDouble(1) <= 0.07 &&
+          x.getDouble(2) < 24
+      }.map(x => cents(x.getDouble(3)) * cents(x.getDouble(1)))
+    assert(r.getLong(0) == want.sum && r.getLong(1) == want.length.toLong)
+    // formatted mode prints the FULL PushedFilters list (toString truncates)
+    val plan = Warehouse.q61ForecastRevenue(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") &&
+      plan.contains("GreaterThanOrEqual(l_discount") &&
+      plan.contains("LessThan(l_quantity"),
+      s"Q6's whole point is scan-resident filters:\n$plan")
+  }
+
+  test("q62 brackets recompute exactly and the hulls prefilter both scans") {
+    val r = Warehouse.q62BracketRevenue(spark, sfDir).head()
+    val parts = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_size").collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    val want = graft.Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount").collect()
+      .flatMap { x =>
+        val (brand, size) = parts(x.getLong(0))
+        val q = x.getDouble(1)
+        val hit =
+          (brand == "Brand#12" && size >= 1 && size <= 10 && q >= 1 && q <= 11) ||
+          (brand == "Brand#23" && size >= 1 && size <= 20 && q >= 10 && q <= 20) ||
+          (brand == "Brand#3" && size >= 1 && size <= 30 && q >= 20 && q <= 30)
+        if (hit) Some(cents(x.getDouble(2)) * (100 - cents(x.getDouble(3)))) else None
+      }
+    assert(r.getLong(0) == want.sum / 10000 && r.getLong(1) == want.length.toLong)
+    val plan = Warehouse.q62BracketRevenue(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("LessThanOrEqual(l_quantity,30.0"),
+      s"the quantity hull must reach the lineitem scan:\n$plan")
+    assert(plan.contains("In(p_brand"),
+      s"the brand hull must reach the part scan:\n$plan")
+  }
+
+  test("v7 pages by keyset with the prefix pushed, and the page is exact") {
+    val got = Similarity.v7ListVectors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val all = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).length.toLong))
+    val want = all
+      .filter(t => t._2 == Similarity.ListNamespace &&
+        t._1 > Similarity.ListAfterId &&
+        t._1.toString.startsWith(Similarity.ListIdPrefix))
+      .sortBy(_._1).take(Similarity.ListPageSize)
+      .map(t => (t._1, t._1.toString, t._2, t._3))
+    assert(got.toSeq == want.toSeq, "list page mismatch")
+    assert(got.length <= Similarity.ListPageSize)
+    val plan = Similarity.v7ListVectors(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("GreaterThan(vec_id") &&
+      plan.contains("EqualTo(label"),
+      s"keyset + namespace must push into the scan:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the page cut must be top-k, not a global sort:\n$plan")
+  }
+}
+
 /** m6: image-text alignment screen — full driver-side recompute of the
   * integer embeddings, dot products, and the cosine gate; the planted
   * caption swaps must be exactly the dropped set. */
