@@ -337,25 +337,120 @@ object Multimodal {
     * row-local map work after it — at 100 TB the screen costs one scan
     * and one key exchange, and the verdict column is what the p3-style
     * composed cuts would gate on. */
-  def m6AlignmentScreen(s: SparkSession, dir: String): DataFrame = {
+  /** m6's crawl corpus: (asset_id, source, caption, payload) with every
+    * 7th payload swapped for its successor's. */
+  private[graft] def m6Paired(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select("doc_id", "source", "text")
     val partner = d.select((col("doc_id") - 1).as("pk"), col("text").as("succ_text"))
-    val paired = d
-      .join(partner, col("doc_id") === col("pk") && col("doc_id") % 7 === 0, "left")
+    d.join(partner, col("doc_id") === col("pk") && col("doc_id") % 7 === 0, "left")
       .select(col("doc_id").as("asset_id"), col("source"),
         col("text").as("caption"),
         coalesce(col("succ_text"), col("text")).as("payload"))
-    val embCols = Seq(col("asset_id"), col("source")) ++
+  }
+
+  /** Public verdict API: score any (asset_id, source, caption, payload)
+    * frame — adds the exact integer `alignment_dot` and the `aligned`
+    * gate, keeps `payload` for downstream stages. Row-local map work. */
+  def m6Verdicts(paired: DataFrame): DataFrame = {
+    val embCols = Seq(col("asset_id"), col("source"), col("payload")) ++
       (0 until AlignDims).map(j => embDim(j, col("caption")).as(s"c$j")) ++
       (0 until AlignDims).map(j => embDim(j, col("payload")).as(s"p$j"))
     val scored = paired.select(embCols: _*)
     val dot = (0 until AlignDims).map(j => col(s"c$j") * col(s"p$j")).reduce(_ + _)
     val na = (0 until AlignDims).map(j => col(s"c$j") * col(s"c$j")).reduce(_ + _)
     val nb = (0 until AlignDims).map(j => col(s"p$j") * col(s"p$j")).reduce(_ + _)
-    scored.select(col("asset_id"), col("source"), dot.as("alignment_dot"),
-        (dot > 0 && dot * dot * 10000L >= lit(AlignTauSqX10k) * na * nb)
-          .cast("long").as("aligned"))
+    scored.select(col("asset_id"), col("source"), col("payload"),
+      dot.as("alignment_dot"),
+      (dot > 0 && dot * dot * 10000L >= lit(AlignTauSqX10k) * na * nb)
+        .cast("long").as("aligned"))
+  }
+
+  def m6AlignmentScreen(s: SparkSession, dir: String): DataFrame =
+    m6Verdicts(m6Paired(s, dir))
+      .select("asset_id", "source", "alignment_dot", "aligned")
       .orderBy("asset_id")
+
+  /** p8's id-receipt modulus — the q42 overflow-free checksum rule. */
+  val CutChecksumP = 1000000007L
+
+  /** p8: the COMPOSED MULTIMODAL CORPUS CUT — LAION's construction
+    * pipeline end-to-end as ONE oracle row (Schuhmann et al. 2210.08402
+    * §2: CLIP-filter the crawl, dedup, publish the per-source
+    * datasheet): m6's alignment screen drops mis-captioned pairs, exact
+    * payload dedup collapses re-uploads among the survivors (keep =
+    * lowest asset id per digest, d1's rule), and the ledger reports per
+    * source: assets in, misaligned dropped, duplicates dropped, kept,
+    * kept byte mass, and the modular kept-id receipt (sum(id % P) % P
+    * in decimal(38,0) — exact at any corpus size, the q42 discipline).
+    *
+    * Plan: the screen is map-local after m6's one key-unique self-join;
+    * the dedup is ONE digest-keyed map-combined aggregate whose
+    * join-back reuses the digest hashing (co-partitioned — the keeper
+    * verdict never broadcasts anything corpus-sized); the ledger is a
+    * |sources|-bound rollup. Three corpus-sized operators, two
+    * exchanges total, nothing quadratic. */
+  def p8MultimodalCut(s: SparkSession, dir: String): DataFrame = {
+    val v = m6Verdicts(m6Paired(s, dir))
+      .withColumn("digest", md5(col("payload").cast("binary")))
+    val keep = v.filter(col("aligned") === 1L)
+      .groupBy("digest").agg(min("asset_id").as("keep_id"))
+    v.join(keep, Seq("digest"), "left")
+      .withColumn("keeper",
+        (col("aligned") === 1L && col("asset_id") === col("keep_id")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_assets"),
+        sum(lit(1L) - col("aligned")).as("n_misaligned"),
+        sum(col("aligned") - col("keeper")).as("n_dup_dropped"),
+        sum(col("keeper")).as("n_kept"),
+        sum(when(col("keeper") === 1L, octet_length(col("payload")).cast("long"))
+          .otherwise(0L)).as("kept_bytes"),
+        (sum(when(col("keeper") === 1L, col("asset_id") % CutChecksumP)
+          .otherwise(0L).cast("decimal(38,0)")) % CutChecksumP)
+          .cast("long").as("kept_id_receipt"))
+      .orderBy("source")
+  }
+
+  val p8Sql: String = {
+    def dim(j: Int, src: String) =
+      s"(('0x' || substr(md5('$j' || $src), 1, 15))::bigint % 1024) - 512"
+    val cs = (0 until AlignDims).map(j => s"${dim(j, "caption")} AS c$j")
+    val ps = (0 until AlignDims).map(j => s"${dim(j, "payload")} AS p$j")
+    val dot = (0 until AlignDims).map(j => s"c$j*p$j").mkString(" + ")
+    val na = (0 until AlignDims).map(j => s"c$j*c$j").mkString(" + ")
+    val nb = (0 until AlignDims).map(j => s"p$j*p$j").mkString(" + ")
+    s"""WITH paired AS (
+       | SELECT d.doc_id AS asset_id, d.source, d.text AS caption,
+       |  coalesce(p.text, d.text) AS payload
+       | FROM documents d
+       |  LEFT JOIN documents p
+       |   ON p.doc_id = d.doc_id + 1 AND d.doc_id % 7 = 0),
+       |emb AS (
+       | SELECT asset_id, source, payload,
+       |  ${(cs ++ ps).mkString(",\n  ")}
+       | FROM paired),
+       |sc AS (
+       | SELECT asset_id, source, payload,
+       |  CASE WHEN $dot > 0 AND ($dot)*($dot)*10000 >= $AlignTauSqX10k*($na)*($nb)
+       |    THEN 1 ELSE 0 END AS aligned,
+       |  md5(payload) AS digest
+       | FROM emb),
+       |keep AS (
+       | SELECT digest, min(asset_id) AS keep_id FROM sc WHERE aligned = 1
+       | GROUP BY digest)
+       |SELECT source, count(*) AS n_assets,
+       | cast(sum(1 - aligned) AS bigint) AS n_misaligned,
+       | cast(sum(aligned -
+       |   CASE WHEN aligned = 1 AND asset_id = keep_id THEN 1 ELSE 0 END)
+       |  AS bigint) AS n_dup_dropped,
+       | cast(sum(CASE WHEN aligned = 1 AND asset_id = keep_id THEN 1 ELSE 0 END)
+       |  AS bigint) AS n_kept,
+       | cast(sum(CASE WHEN aligned = 1 AND asset_id = keep_id
+       |   THEN octet_length(payload::blob) ELSE 0 END) AS bigint) AS kept_bytes,
+       | cast(cast(sum(CASE WHEN aligned = 1 AND asset_id = keep_id
+       |     THEN asset_id % $CutChecksumP ELSE 0 END) AS hugeint)
+       |   % $CutChecksumP AS bigint) AS kept_id_receipt
+       |FROM sc LEFT JOIN keep USING (digest)
+       |GROUP BY source ORDER BY source""".stripMargin
   }
 
   val m6Sql: String = {

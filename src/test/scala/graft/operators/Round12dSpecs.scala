@@ -229,6 +229,49 @@ class AlignmentScreenSpec extends SparkSpec {
   }
 }
 
+/** p8: the composed multimodal corpus cut — conservation identities and
+  * a full driver-side recompute of every ledger column. */
+class MultimodalCutSpec extends SparkSpec {
+
+  test("p8 ledger recomputes driver-side and conserves the corpus") {
+    val got = Multimodal.p8MultimodalCut(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs.map(t => t._1 -> t._3).toMap
+    // alignment: swapped payloads (with an existing successor) are the drops
+    val rows = docs.map { case (id, src, text) =>
+      val payload = if (id % 7 == 0) byId.getOrElse(id + 1, text) else text
+      (id, src, payload, payload == text)
+    }
+    // exact dedup among aligned: keep the lowest id per payload
+    val keepId = rows.filter(_._4).groupBy(_._3)
+      .map { case (_, g) => g.map(_._1).min }.toSet
+    val want = rows.groupBy(_._2).map { case (src, g) =>
+      val aligned = g.filter(_._4)
+      val kept = aligned.filter(r => keepId.contains(r._1))
+      src -> ((g.length.toLong, (g.length - aligned.length).toLong,
+        (aligned.length - kept.length).toLong, kept.length.toLong,
+        kept.map(_._3.getBytes("UTF-8").length.toLong).sum,
+        kept.map(r => r._1 % Multimodal.CutChecksumP).sum % Multimodal.CutChecksumP))
+    }
+    assert(got == want, "multimodal-cut ledger mismatch")
+    // conservation per source: in = misaligned + dups + kept
+    got.values.foreach { case (n, mis, dup, kept, _, _) =>
+      assert(n == mis + dup + kept, "ledger must conserve assets")
+    }
+    // dup-drop activity tracks the corpus: present exactly when aligned
+    // payloads repeat (sf0.01+ has duplicate texts; sf0.001 may not)
+    val alignedRows = rows.filter(_._4)
+    val corpusDups = alignedRows.length - alignedRows.map(_._3).distinct.length
+    assert(got.values.map(_._3).sum == corpusDups.toLong,
+      "dup drops must equal the corpus's aligned-payload multiplicity")
+  }
+}
+
 /** t36: Heaps-law vocabulary growth — nested-prefix monotonicity and a
   * full driver-side recompute of every snapshot's exact masses. */
 class HeapsVocabSpec extends SparkSpec {
