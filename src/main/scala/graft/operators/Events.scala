@@ -762,6 +762,81 @@ object Events {
       |   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS bigint) AS trail7
       |FROM filled ORDER BY event_type, day""".stripMargin
 
+  /** e17's per-step deadline: 24 hours, in microseconds. */
+  val FunnelDeadlineUs: Long = 86400L * 1000000L
+
+  /** e17: the DEADLINE FUNNEL — e3's signup→click→purchase chain with a
+    * per-step conversion WINDOW (each step counts only within 24 h of
+    * the previous step's completion), plus the per-step conversion rate
+    * in exact ppm. This is the form product analytics actually ships
+    * ("converted within 24 h"), and it is a different query from e3:
+    * an unbounded funnel only ever grows, a deadline funnel can LOSE a
+    * user whose next step came too late. Anchoring follows e3's
+    * deterministic convention — each step anchors at the EARLIEST
+    * in-window completion of the previous step.
+    *
+    * Plan: identical shape to e3 (the high-cardinality user window
+    * family): running-min windows share ONE user_id sort, the deadline
+    * test is row-local arithmetic against the running anchor, and both
+    * rollups are bounded. The running t*_run equals the oracle's global
+    * per-user min at every row AFTER that min's position (rows sort by
+    * time), so the window form and the oracle's correlated-min chain
+    * agree exactly — e3's proven argument, deadline conditions being
+    * row-local in (us, anchor). */
+  def e17DeadlineFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val d = FunnelDeadlineUs
+    Tables.events(s, dir).select("event_id", "ts", "user_id", "event_type")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1_run", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("click_ok",
+        when(col("event_type") === "click" && col("us") > col("t1_run") &&
+          col("us") <= col("t1_run") + d, col("us")))
+      .withColumn("t2_run", min(col("click_ok")).over(w))
+      .withColumn("purchase_ok",
+        when(col("event_type") === "purchase" && col("us") > col("t2_run") &&
+          col("us") <= col("t2_run") + d, col("us")))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t1"),
+           min(col("click_ok")).as("t2"),
+           min(col("purchase_ok")).as("t3"))
+      .agg(count(col("t1")).as("n_signup"),
+           count(col("t2")).as("n_click_24h"),
+           count(col("t3")).as("n_purchase_24h"))
+      .select(col("n_signup"), col("n_click_24h"), col("n_purchase_24h"),
+        expr("n_click_24h * 1000000L DIV n_signup").as("step2_ppm"),
+        expr("CASE WHEN n_click_24h > 0 THEN n_purchase_24h * 1000000L DIV n_click_24h ELSE 0 END")
+          .as("step3_ppm"))
+  }
+
+  val e17Sql: String =
+    s"""WITH e AS (
+       | SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+       |s1 AS (
+       | SELECT user_id, min(CASE WHEN event_type = 'signup' THEN us END) AS t1
+       | FROM e GROUP BY user_id),
+       |s2 AS (
+       | SELECT e.user_id, min(us) AS t2
+       | FROM e JOIN s1 ON e.user_id = s1.user_id
+       | WHERE event_type = 'click' AND us > t1 AND us <= t1 + $FunnelDeadlineUs
+       | GROUP BY e.user_id),
+       |s3 AS (
+       | SELECT e.user_id, min(us) AS t3
+       | FROM e JOIN s2 ON e.user_id = s2.user_id
+       | WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + $FunnelDeadlineUs
+       | GROUP BY e.user_id),
+       |agg AS (
+       | SELECT count(t1) AS n_signup, count(t2) AS n_click_24h,
+       |  count(t3) AS n_purchase_24h
+       | FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+       |         LEFT JOIN s3 ON s1.user_id = s3.user_id)
+       |SELECT n_signup, n_click_24h, n_purchase_24h,
+       | cast(n_click_24h * 1000000 // n_signup AS bigint) AS step2_ppm,
+       | cast(CASE WHEN n_click_24h > 0
+       |   THEN n_purchase_24h * 1000000 // n_click_24h ELSE 0 END AS bigint) AS step3_ppm
+       |FROM agg""".stripMargin
+
   /** e16: SEASONAL-NAIVE FORECAST BACKTEST — the capacity-planning
     * baseline every traffic dashboard starts from: forecast each day's
     * per-type event count as the integer mean of the same weekday's

@@ -334,10 +334,47 @@ object Similarity {
     * float re-rank rides the family's rank-stability contract (the
     * asymmetric 3:1 query blend separates parents far above float
     * noise, the s15 precedent). */
-  def s17ExternalAdcServe(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def s17ExternalAdcServe(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    adcServeFrame(s, dir, k, labels = None)
+
+  /** s20's namespace filter — the s5 metadata predicate at this tier. */
+  val ServeLabels: Seq[Int] = Seq(1, 2, 3)
+
+  /** s20: FILTERED serving at the COMPRESSED tier — the s5 metadata
+    * predicate composed with the s17 read path, which is the actual
+    * production query shape (Pinecone `index.query({vector, filter})`
+    * against a quantized index: every serving read is both filtered
+    * and compressed; s5 measures the filter at full float, s17 the
+    * compression unfiltered — this closes the matrix). Semantics
+    * pinned by the spec: the IVF probe and the PQ codebook come from
+    * the FULL store (one codebook serves every tenant — filters vary
+    * per query, codebooks don't), the label predicate prunes the CODES
+    * side before ADC scoring (label is a plain parquet column, so the
+    * filter is scan-resident on the code store), and the exact re-rank
+    * touches only the filtered shortlist sliver. Equal to
+    * s5FilteredTopKFor's brute-force answer wherever the probe recalls
+    * it (spec-measured), and the oracle pins the full composition. */
+  def s20FilteredAdcServe(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    adcServeFrame(s, dir, k, labels = Some(ServeLabels))
+
+  /** Filtered probes widen: namespace members scatter across the IVF
+    * lists, so a filtered read at nprobe=2 recalls measurably less than
+    * the unfiltered path (0.56 vs the s16-measured unfiltered number at
+    * sf0.001) — the standard selective-search compensation is a higher
+    * nprobe for filtered queries, paid only on the pruned code sliver. */
+  val FilteredNprobe = 4
+
+  private def adcServeFrame(s: SparkSession, dir: String, k: Int,
+      labels: Option[Seq[Int]]): DataFrame = {
+    val nprobe = if (labels.isDefined) FilteredNprobe else ExtNprobe
     import graft.sources.PqCodebook
     import graft.functions.{PqExpressions => PQ}
-    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val eAll = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val e = eAll.select("vec_id", "embedding")
+    // the label predicate prunes the stored-code side only: codebooks and
+    // probes are whole-store artifacts, the tenant filter is per-query
+    val eServe = labels.fold(eAll)(ls => eAll.filter(col("label").isin(ls: _*)))
+      .select("vec_id", "embedding")
     val qs = externalQueries(s, dir).localCheckpoint()
     val cent = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
@@ -345,7 +382,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("cid"), col("cemb")))).as("cb"))
       .select(expr("transform(cb, c -> c.cid)").as("cids"),
               expr("transform(cb, c -> c.cemb)").as("cembs"))
-    val assigned = e.crossJoin(broadcast(ccb))
+    val assigned = eServe.crossJoin(broadcast(ccb))
       .select(col("vec_id"), col("embedding"),
         element_at(col("cids"), V.nearest(col("embedding"), col("cembs")) + 1).as("cid"))
     val cents = PqCodebook.train(e, IvfAdcK).withColumn("kcb", lit(IvfAdcK)).localCheckpoint()
@@ -357,7 +394,7 @@ object Similarity {
       .select(col("qid"), PQ.adcTable(col("qemb"), element_at(col("kbs"), 1)).as("tbls"))
     val probes = qs.crossJoin(broadcast(cent))
       .groupBy("qid")
-      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), ExtNprobe).as("pcids"),
+      .agg(TopK.topKByScore(V.cosine(col("qemb"), col("cemb")), col("cid"), nprobe).as("pcids"),
            first(col("qemb")).as("qemb"))
       .select(col("qid"), col("qemb"), explode(col("pcids")).as("pcid"))
       .join(qt, Seq("qid"))
@@ -376,21 +413,29 @@ object Similarity {
   /** Oracle: extq + the s10 coarse/PQ CTEs, with the query-side ADC
     * table built from the EXTERNAL vectors (same micro-unit
     * quantization), shortlist by exact integer score, exact re-rank. */
-  lazy val s17Sql: String = {
+  lazy val s17Sql: String = adcServeSql("")
+
+  /** s20's oracle = the same composition with the tenant predicate on
+    * the stored-code side (codebook/probes stay whole-store). */
+  lazy val s20Sql: String =
+    adcServeSql(s" WHERE e.label IN (${ServeLabels.mkString(", ")})")
+
+  private def adcServeSql(labelPred: String): String = {
     import graft.sources.PqCodebook
+    val nprobe = if (labelPred.nonEmpty) FilteredNprobe else ExtNprobe
     val sub = PqCodebook.Sub
     val ip = (1 to sub).map(j => s"q.xm[$j] * c.cent[$j]").mkString(" + ")
     s"""WITH $ExtqSql,
        |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
        |assigned AS (
        | SELECT e.vec_id, c.cid
-       | FROM embeddings e CROSS JOIN cent c
+       | FROM embeddings e CROSS JOIN cent c$labelPred
        | QUALIFY row_number() OVER (PARTITION BY e.vec_id
        |   ORDER BY list_cosine_similarity(e.embedding, c.cemb) DESC, c.cid ASC) = 1),
        |probes AS (
        | SELECT q.qid, c.cid FROM extq q CROSS JOIN cent c
        | QUALIFY row_number() OVER (PARTITION BY q.qid
-       |   ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid ASC) <= $ExtNprobe),
+       |   ORDER BY list_cosine_similarity(q.qemb, c.cemb) DESC, c.cid ASC) <= $nprobe),
        |pts AS (${PqCodebook.ptsSql()}),
        |${PqCodebook.trainSql("p", IvfAdcK)},
        |${PqCodebook.encodeSql("p")},

@@ -1489,6 +1489,47 @@ object Warehouse {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** q63's report size. */
+  val CopurchaseK = 50
+
+  /** q63: CO-PURCHASE PAIRS — the market-basket association report
+    * (the support-counting step of Apriori/FP-growth, and the "bought
+    * together" widget behind every storefront): for every unordered
+    * pair of parts appearing in the same order, the number of orders
+    * containing both, top [[CopurchaseK]] by support. A topology the
+    * inventory lacks: WITHIN-GROUP PAIR ENUMERATION with a bounded
+    * report.
+    *
+    * Scale: the pair explosion is the hazard — it is quadratic in
+    * LINES PER ORDER, not in orders (TPC-H-shaped baskets hold ≤7
+    * distinct parts, so Σ C(nᵢ,2) ≤ 21 × |orders| — linear in the
+    * fact), and the self-join runs CO-PARTITIONED on l_orderkey (both
+    * sides are the same distinct-pair frame, one exchange feeds both).
+    * A retail deployment with thousand-line carts caps the basket
+    * (drop or sample oversized orders) — the documented guard; the
+    * pair-count rollup is map-side combined on (p1, p2) and the report
+    * is TakeOrderedAndProject. */
+  def q63Copurchase(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(CopurchaseK)
+  }
+
+  val q63Sql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_orders
+       |FROM items a JOIN items b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY 1, 2
+       |ORDER BY n_orders DESC, p1, p2 LIMIT $CopurchaseK""".stripMargin
+
   val q47Sql: String =
     """WITH a1 AS (
       | SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max

@@ -185,6 +185,115 @@ class WarehouseQ5Q6Q19Spec extends SparkSpec {
   }
 }
 
+/** e17: the deadline funnel — driver-side recompute of the windowed
+  * min-chain and the containment relation vs the unbounded e3. */
+class DeadlineFunnelSpec extends SparkSpec {
+
+  test("e17 matches a driver-side recompute and never exceeds e3") {
+    val r = Events.e17DeadlineFunnel(spark, sfDir).head()
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val d = Events.FunnelDeadlineUs
+    val byUser = ev.groupBy(_._1)
+    val chains = byUser.values.map { es =>
+      val t1 = es.collect { case (_, "signup", us) => us }.sorted.headOption
+      val t2 = t1.flatMap(a => es.collect {
+        case (_, "click", us) if us > a && us <= a + d => us }.sorted.headOption)
+      val t3 = t2.flatMap(a => es.collect {
+        case (_, "purchase", us) if us > a && us <= a + d => us }.sorted.headOption)
+      (t1, t2, t3)
+    }.toSeq
+    val (n1, n2, n3) = (chains.count(_._1.isDefined).toLong,
+      chains.count(_._2.isDefined).toLong, chains.count(_._3.isDefined).toLong)
+    assert(got == ((n1, n2, n3, n2 * 1000000L / n1,
+      if (n2 > 0) n3 * 1000000L / n2 else 0L)), "deadline funnel mismatch")
+    // containment: the windowed funnel can only lose users vs e3
+    val e3r = Events.e3Funnel(spark, sfDir).head()
+    assert(got._1 == e3r.getLong(0), "step 1 has no deadline — counts equal")
+    assert(got._2 <= e3r.getLong(1) && got._3 <= e3r.getLong(2),
+      "deadline steps must be subsets of the unbounded funnel")
+  }
+
+  test("e17 loses a planted too-late converter that e3 keeps") {
+    import spark.implicits._
+    // user 1 converts in-window; user 2's click lands 25h after signup
+    val h = 3600L * 1000000L
+    val rows = Seq(
+      (1L, 10L, "signup", 0L), (2L, 10L, "click", 2 * h), (3L, 10L, "purchase", 3 * h),
+      (4L, 20L, "signup", 0L), (5L, 20L, "click", 25 * h), (6L, 20L, "purchase", 26 * h))
+    val df = rows.toDF("event_id", "user_id", "event_type", "us")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("us")).as("ts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val d = Events.FunnelDeadlineUs
+    val funnel = df.withColumn("us", unix_micros(col("ts")))
+      .withColumn("t1_run", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("click_ok", when(col("event_type") === "click" &&
+        col("us") > col("t1_run") && col("us") <= col("t1_run") + d, col("us")))
+      .withColumn("t2_run", min(col("click_ok")).over(w))
+      .withColumn("purchase_ok", when(col("event_type") === "purchase" &&
+        col("us") > col("t2_run") && col("us") <= col("t2_run") + d, col("us")))
+      .groupBy("user_id")
+      .agg(min(col("click_ok")).as("t2"), min(col("purchase_ok")).as("t3"))
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(funnel(10L)._1.isDefined && funnel(10L)._2.isDefined, "in-window user converts")
+    assert(funnel(20L)._1.isEmpty && funnel(20L)._2.isEmpty, "late click must not count")
+  }
+}
+
+/** q63: co-purchase pairs — driver recompute + the basket-bounded
+  * explosion arithmetic. */
+class CopurchaseSpec extends SparkSpec {
+
+  test("q63 pair supports match a driver-side recompute") {
+    val got = Warehouse.q63Copurchase(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= Warehouse.CopurchaseK)
+    val items = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val want = items.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, xs) => (p._1, p._2, xs.size.toLong) }
+      .toSeq.sortBy { case (p1, p2, n) => (-n, p1, p2) }.take(Warehouse.CopurchaseK)
+    assert(got.toSeq == want, "co-purchase support mismatch")
+  }
+}
+
+/** s20: filtered serving at the compressed tier — namespace purity,
+  * probe-respecting equality with the filtered brute force, and the
+  * whole-store codebook contract. */
+class FilteredAdcSpec extends SparkSpec {
+
+  test("s20 serves only the namespace and tracks the filtered brute force") {
+    val got = Similarity.s20FilteredAdcServe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.nonEmpty)
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ns = Similarity.ServeLabels.toSet
+    got.foreach { case (qid, _, nbr) =>
+      assert(ns.contains(labels(nbr)), s"q$qid: neighbor $nbr outside the namespace")
+    }
+    // recall vs the filtered full-float brute force over the same batch
+    val truth = Similarity.s5FilteredTopKFor(spark, sfDir,
+        Similarity.externalQueries(spark, sfDir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val mine = got.groupBy(_._1).map { case (q, xs) => q -> xs.map(_._3).toSet }
+    val hits = mine.map { case (q, s) => (s intersect truth(q)).size }.sum
+    val total = truth.values.map(_.size).sum
+    assert(hits * 10 >= total * 6,
+      s"filtered compressed recall collapsed: $hits/$total")
+  }
+}
+
 /** m6: image-text alignment screen — full driver-side recompute of the
   * integer embeddings, dot products, and the cosine gate; the planted
   * caption swaps must be exactly the dropped set. */
