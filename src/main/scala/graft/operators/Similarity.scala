@@ -770,6 +770,57 @@ object Similarity {
        |FROM embeddings WHERE vec_id IN (${FetchIds.mkString(", ")})
        |ORDER BY vec_id""".stripMargin
 
+  /** v8's id-receipt modulus — the q42 overflow-free discipline. */
+  val UpdateChecksumP = 1000000007L
+
+  /** v8: UPDATE — Pinecone's partial-update verb
+    * (`index.update({id, setMetadata})`): re-label a batch of stored
+    * vectors WITHOUT touching their payloads (v1's upsert replaces the
+    * whole row; this is the metadata-only patch — the q23 $set shape on
+    * the vector store). The patch is every 11th id moving up 50 labels;
+    * the report is the post-image per-label audit: vector count, the
+    * modular id receipt, and the exact integer payload-checksum MASS —
+    * the "payloads did not move" proof, since every vector's
+    * micro-checksum (v6's receipt expression) lands unchanged in its
+    * NEW label's row and the global checksum total is conserved
+    * (spec-asserted against the pre-image).
+    *
+    * Plan: the patch frame derives from a pushed scan filter and
+    * BROADCASTS into a left join (the 100 TB store never shuffles for a
+    * patch batch — q23's rule); the merge is row-local coalesce; the
+    * audit is one |labels|-bound map-combined aggregate. */
+  def v8UpdateMetadata(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "label", "embedding")
+    val patches = e.filter(col("vec_id") % 11 === 0)
+      .select(col("vec_id").as("pk"), (col("label") + 50).as("new_label"))
+    e.join(broadcast(patches), col("vec_id") === col("pk"), "left")
+      .select(col("vec_id"),
+        coalesce(col("new_label"), col("label")).as("label"),
+        expr("aggregate(embedding, 0L, (a, x) -> a + cast(floor(cast(x as double) * 1e6) as bigint))")
+          .as("pcheck"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vectors"),
+        (sum((col("vec_id") % UpdateChecksumP).cast("decimal(38,0)"))
+          % UpdateChecksumP).cast("long").as("id_receipt"),
+        sum(col("pcheck").cast("decimal(38,0)")).cast("long").as("payload_mass"))
+      .orderBy("label")
+  }
+
+  val v8Sql: String =
+    s"""WITH patches AS (
+       | SELECT vec_id AS pk, label + 50 AS new_label
+       | FROM embeddings WHERE vec_id % 11 = 0),
+       |merged AS (
+       | SELECT e.vec_id, coalesce(p.new_label, e.label) AS label,
+       |  list_sum(list_transform(e.embedding,
+       |    x -> cast(floor(cast(x AS double) * 1e6) AS bigint))) AS pcheck
+       | FROM embeddings e LEFT JOIN patches p ON e.vec_id = p.pk)
+       |SELECT label, count(*) AS n_vectors,
+       | cast(cast(sum(vec_id % $UpdateChecksumP) AS hugeint)
+       |   % $UpdateChecksumP AS bigint) AS id_receipt,
+       | cast(sum(pcheck) AS bigint) AS payload_mass
+       |FROM merged GROUP BY label ORDER BY label""".stripMargin
+
   /** v7's page geometry: namespace, id prefix, keyset cursor, page. */
   val ListNamespace = 3
   val ListIdPrefix = "1"

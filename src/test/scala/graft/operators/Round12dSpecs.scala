@@ -294,6 +294,40 @@ class FilteredAdcSpec extends SparkSpec {
   }
 }
 
+/** v8: the metadata-update verb — conservation audit: payload mass and
+  * row count invariant, ids move to exactly their patched labels. */
+class UpdateMetadataSpec extends SparkSpec {
+
+  test("v8 conserves payload mass and moves exactly the patched ids") {
+    val post = Similarity.v8UpdateMetadata(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val pre = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label", "embedding").collect()
+      .map { r =>
+        val check = r.getSeq[Float](2).map(x => math.floor(x.toDouble * 1e6).toLong).sum
+        (r.getLong(0), r.getAs[Number](1).longValue, check)
+      }
+    // driver-side merge with the same patch rule
+    val merged = pre.map { case (id, l, c) =>
+      (id, if (id % 11 == 0) l + 50 else l, c)
+    }
+    val want = merged.groupBy(_._2).map { case (l, xs) =>
+      l -> ((xs.length.toLong,
+        xs.map(t => BigInt(t._1 % Similarity.UpdateChecksumP)).sum
+          .mod(BigInt(Similarity.UpdateChecksumP)).toLong,
+        xs.map(_._3).sum))
+    }
+    assert(post == want, "post-image audit mismatch")
+    // global conservation: rows and payload mass unchanged by the patch
+    assert(post.values.map(_._1).sum == pre.length.toLong)
+    assert(post.values.map(t => BigInt(t._3)).sum ==
+      pre.map(t => BigInt(t._3)).sum, "payloads must not move")
+    // patched namespaces exist: labels ≥ 50 hold exactly the %11 ids
+    assert(post.keys.exists(_ >= 50L), "patch must create shifted labels")
+  }
+}
+
 /** m6: image-text alignment screen — full driver-side recompute of the
   * integer embeddings, dot products, and the cosine gate; the planted
   * caption swaps must be exactly the dropped set. */
