@@ -2434,4 +2434,55 @@ object Dedup {
       | cast(sum(n_variants - 1) AS bigint) AS n_redundant,
       | cast(sum(first_doc % 1000000007) % 1000000007 AS bigint) AS survivor_checksum
       |FROM g""".stripMargin
+
+  // ---------------------------------------------------------------- d27
+
+  /** d27: EDIT-DISTANCE-verified near-dup pairs — the character-level
+    * verify the Jaccard family cannot give. MinHash-LSH band collisions
+    * (d3's candidate sliver) are confirmed with exact Levenshtein
+    * distance; a pair survives when the edit distance is at most 10% of
+    * the longer text (integer cross-multiplication — no float ratio).
+    * This is the verify a plagiarism/near-recrawl audit runs when it
+    * needs "how many CHARACTER edits", not "how similar the shingle
+    * sets": a one-word substitution and a scattered 30-typo rewrite can
+    * carry the same Jaccard yet land on opposite sides of this gate.
+    *
+    * Scale: Levenshtein is O(|a|·|b|) PER PAIR — the quadratic lives
+    * inside a row, so the only defense that matters is never evaluating
+    * it on corpus² rows: candidates come from the banded LSH screen (a
+    * collision sliver), and the pair frame (doc ids only, ~16 B/row)
+    * broadcasts against the corpus so texts are picked up by two
+    * map-side joins — the corpus is scanned, never shuffled, and
+    * nothing text-sized moves through an exchange. Both engines compute
+    * the same unit-cost character-level DP, so distances (and the ppm
+    * similarity) are driver-gated exact. */
+  def d27EditDedup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d3Pairs(s, dir)
+    val c = corpusNear(s, dir)
+    val ta = c.select(col("doc_id").as("doc_a"), col("text").as("text_a"))
+    val tb = c.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    pairs.join(ta, Seq("doc_a")).join(tb, Seq("doc_b"))
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")).cast("long"))
+      .withColumn("len_max",
+        greatest(length(col("text_a")), length(col("text_b"))).cast("long"))
+      .filter(col("dist") * 10 <= col("len_max"))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("len_max"),
+        expr("((len_max - dist) * 1000000) DIV len_max").as("sim_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  lazy val d27Sql: String =
+    s"""WITH pairs AS ($d3PairsSql),
+       |corpus AS ($corpusNearSql),
+       |v AS (
+       | SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(a.text, b.text) AS bigint) AS dist,
+       |  CAST(greatest(length(a.text), length(b.text)) AS bigint) AS len_max
+       | FROM pairs p
+       | JOIN corpus a ON a.doc_id = p.doc_a
+       | JOIN corpus b ON b.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, dist, len_max,
+       |  ((len_max - dist) * 1000000) // len_max AS sim_ppm
+       |FROM v WHERE dist * 10 <= len_max
+       |ORDER BY doc_a, doc_b""".stripMargin
 }

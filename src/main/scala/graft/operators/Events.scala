@@ -907,4 +907,102 @@ object Events {
       | cast(sum(fc - n) AS bigint) AS bias_signed,
       | cast(sum(abs(n - fc)) * 100 // count(*) AS bigint) AS mae_x100
       |FROM fc GROUP BY 1 ORDER BY event_type""".stripMargin
+
+  /** e18: PEAK CONCURRENT SESSIONS per UTC day — the capacity number a
+    * serving deployment sizes against (max simultaneous live sessions,
+    * not events/day). e1's 30-min-gap sessions become closed intervals
+    * [start_us, end_us]; the classic sweep-line counts +1 at each start
+    * and −1 at each end, with starts ordered BEFORE ends at an equal
+    * instant (closed-interval semantics: a zero-length single-event
+    * session still registers, and a session ending exactly as another
+    * starts counts as concurrent). Sessions crossing midnight are split
+    * into per-day segments (bounded: the 30-min gap caps a session at
+    * ~2 calendar days), so a spanning session correctly appears in both
+    * days' concurrency.
+    *
+    * Scale: the running sum is NOT one day-keyed window over every
+    * boundary (a day of a 100 TB feed is millions of rows through one
+    * reducer) — it is the t13 distributed-prefix-sum discipline: hour
+    * buckets give per-(day, hour) partial sums, a 24-bounded window
+    * cumulates bucket offsets, and the within-bucket running sum runs
+    * on day/24 slices. The day-level MAX of the running count is
+    * invariant to the bucket decomposition (same boundary order), so
+    * the bucketed plan is bit-equal to the oracle's flat window. */
+  def e18PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val HourUs = 3600000000L
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir).select("event_id", "ts", "user_id")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(col("us") - lag(col("us"), 1).over(byUser) > SessionGapUs, 1)
+          .when(lag(col("us"), 1).over(byUser).isNull, 1).otherwise(0))
+      .withColumn("session_seq", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min(col("us")).as("start_us"), max(col("us")).as("end_us"))
+    val segs = sess
+      .withColumn("d", explode(sequence(
+        expr(s"start_us DIV $DayUs"), expr(s"end_us DIV $DayUs"))))
+      .select(col("d"),
+        greatest(col("start_us"), col("d") * DayUs).as("s_us"),
+        least(col("end_us"), (col("d") + 1) * DayUs - 1).as("e_us"))
+    val bounds = segs.select(col("d"), col("s_us").as("us"), lit(1L).as("delta"))
+      .unionByName(segs.select(col("d"), col("e_us").as("us"), lit(-1L).as("delta")))
+      .withColumn("hr", expr(s"(us DIV $HourUs) % 24"))
+    // bounded bucket offsets: ≤24 rows per day through the hour window
+    val bySums = bounds.groupBy("d", "hr")
+      .agg(sum(col("delta")).as("bsum"),
+        sum(when(col("delta") > 0, 1L).otherwise(0L)).as("starts"))
+    val byDayHr = Window.partitionBy("d").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = bySums
+      .withColumn("off", sum(col("bsum")).over(byDayHr) - col("bsum"))
+    val inBucket = Window.partitionBy("d", "hr")
+      .orderBy(col("us"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.join(offsets.select("d", "hr", "off"), Seq("d", "hr"))
+      .withColumn("run", col("off") + sum(col("delta")).over(inBucket))
+      .groupBy(col("d").as("day_num"))
+      .agg(sum(when(col("delta") > 0, 1L).otherwise(0L)).as("n_sessions"),
+        max(col("run")).as("peak_concurrent"))
+      .orderBy("day_num")
+  }
+
+  val e18Sql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+      |flagged AS (
+      | SELECT *, CASE
+      |    WHEN us - lag(us) OVER w > 1800000000 THEN 1
+      |    WHEN lag(us) OVER w IS NULL THEN 1
+      |    ELSE 0 END AS new_session
+      | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sessions AS (
+      | SELECT *, sum(new_session) OVER (
+      |    PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      | FROM flagged),
+      |sess AS (
+      | SELECT user_id, session_seq, min(us) AS start_us, max(us) AS end_us
+      | FROM sessions GROUP BY 1, 2),
+      |segs AS (
+      | SELECT d,
+      |  greatest(start_us, d * 86400000000) AS s_us,
+      |  least(end_us, (d + 1) * 86400000000 - 1) AS e_us
+      | FROM (SELECT *,
+      |   unnest(range(start_us // 86400000000, end_us // 86400000000 + 1)) AS d
+      |  FROM sess)),
+      |bounds AS (
+      | SELECT d, s_us AS us, 1 AS delta FROM segs
+      | UNION ALL SELECT d, e_us, -1 FROM segs),
+      |run AS (
+      | SELECT d, delta, sum(delta) OVER (
+      |    PARTITION BY d ORDER BY us, delta DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      | FROM bounds)
+      |SELECT d AS day_num,
+      | cast(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS bigint) AS n_sessions,
+      | cast(max(c) AS bigint) AS peak_concurrent
+      |FROM run GROUP BY d ORDER BY day_num""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -1529,6 +1530,94 @@ object Warehouse {
        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
        |GROUP BY 1, 2
        |ORDER BY n_orders DESC, p1, p2 LIMIT $CopurchaseK""".stripMargin
+
+  /** q64: REVENUE CONCENTRATION per market segment — exact Gini
+    * coefficient and top-decile revenue share in ppm, over per-customer
+    * lifetime revenue in exact cents (zero-order customers included at
+    * zero — concentration over the CUSTOMER BASE, not just buyers).
+    * The inequality ledger a marketplace (or a corpus curator asking
+    * "how concentrated is my token mass per source") reviews.
+    *
+    * Gini needs global ranks inside each segment — the one computation
+    * that looks like it demands a per-segment row_number over every
+    * customer (5 hot reducer keys at 100 TB). It does not: ranks come
+    * from the t13 distributed-prefix-sum discipline — customers bucket
+    * by the BIT LENGTH of their revenue (order-preserving and exact:
+    * `length(bin(x+1))` = floor(log2)+1, no float log), per-(segment,
+    * bucket) counts cumulate through a ≤64-row window, and row_number
+    * runs within (segment, bucket) slices. Σ i·xᵢ then folds in ONE
+    * map-combined aggregate; ties share equal x so the sum is
+    * tie-order invariant. All arithmetic is integer cents with the
+    * q42 decimal(38,0) discipline for the ppm steps (n²·x products
+    * overflow int64 past ~sf100; DuckDB's HUGEINT matches). */
+  def q64GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val custRev = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents"))
+    val rev = Tables.customer(s, dir).select("c_custkey", "c_mktsegment")
+      .join(custRev, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment").as("seg"), col("c_custkey").as("key"),
+        coalesce(col("cents"), lit(0L)).as("x"))
+    // order-preserving data-independent buckets: bit length of x+1
+    val inBucket = Window.partitionBy("seg", "bkt").orderBy("x", "key")
+    val ranked = rev.withColumn("bkt", length(bin(col("x") + 1)))
+      .withColumn("rn", row_number().over(inBucket).cast("long"))
+    val byBkt = Window.partitionBy("seg").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = ranked.groupBy("seg", "bkt")
+      .agg(count(lit(1)).as("n_b"))
+      .withColumn("off", sum(col("n_b")).over(byBkt) - col("n_b"))
+    val withRank = ranked.join(offsets.select("seg", "bkt", "off"), Seq("seg", "bkt"))
+      .select(col("seg"), col("x"), (col("off") + col("rn")).as("i"))
+      .localCheckpoint()
+    val g = withRank.groupBy("seg").agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("s"),
+      expr("sum(cast(i as decimal(38,0)) * cast(x as decimal(38,0)))").as("t"))
+    val top = withRank.join(broadcast(g.select(col("seg").as("seg2"), col("n").as("n2"))),
+        col("seg") === col("seg2"))
+      .filter(col("i") > col("n2") - expr("n2 DIV 10"))
+      .groupBy("seg").agg(sum(col("x")).as("top_cents"))
+    g.join(top, Seq("seg"))
+      .select(col("seg").as("segment"), col("n").as("n_customers"),
+        col("s").as("total_cents"),
+        when(col("s") > 0, expr(
+          "(2 * t - (cast(n as decimal(38,0)) + 1) * cast(s as decimal(38,0))) * 1000000" +
+          " div (cast(n as decimal(38,0)) * cast(s as decimal(38,0)))"))
+          .otherwise(lit(0L)).as("gini_ppm"),
+        when(col("s") > 0,
+          expr("cast(top_cents as decimal(38,0)) * 1000000 div cast(s as decimal(38,0))"))
+          .otherwise(lit(0L)).as("top10_share_ppm"))
+      .orderBy("segment")
+  }
+
+  val q64Sql: String =
+    """WITH rev AS (
+      | SELECT c.c_mktsegment AS seg, c.c_custkey AS key,
+      |  coalesce(o.cents, 0) AS x
+      | FROM customer c LEFT JOIN (
+      |   SELECT o_custkey,
+      |    cast(sum(cast(cast(o_totalprice AS decimal(18,2)) * 100 AS bigint)) AS bigint) AS cents
+      |   FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey),
+      |r AS (
+      | SELECT seg, x,
+      |  row_number() OVER (PARTITION BY seg ORDER BY x, key) AS i
+      | FROM rev),
+      |g AS (
+      | SELECT seg, count(*) AS n, sum(x) AS s, sum(i * x) AS t
+      | FROM r GROUP BY 1),
+      |tp AS (
+      | SELECT r.seg, sum(r.x) AS top_cents
+      | FROM r JOIN g ON r.seg = g.seg
+      | WHERE r.i > g.n - g.n // 10 GROUP BY 1)
+      |SELECT g.seg AS segment, g.n AS n_customers, cast(g.s AS bigint) AS total_cents,
+      | cast(CASE WHEN g.s > 0
+      |   THEN ((2 * g.t - (g.n + 1) * g.s) * 1000000) // (g.n * g.s)
+      |   ELSE 0 END AS bigint) AS gini_ppm,
+      | cast(CASE WHEN g.s > 0
+      |   THEN (tp.top_cents * 1000000) // g.s ELSE 0 END AS bigint) AS top10_share_ppm
+      |FROM g JOIN tp ON g.seg = tp.seg
+      |ORDER BY segment""".stripMargin
 
   val q47Sql: String =
     """WITH a1 AS (

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture validation of the graph family: the integer PageRank
+  * recurrence against a from-the-definition driver recompute, triangle
+  * counts against brute-force enumeration, and the registered
+  * co-purchase queries' structural invariants. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(edges: Seq[(Long, Long)]): DataFrame =
+    edges.toDF("p1", "p2")
+
+  /** From-the-definition integer PageRank — independent of the Spark
+    * dataflow (plain Scala maps). */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val adj = sym.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+    val deg = adj.map { case (k, vs) => k -> vs.size.toLong }
+    var rank = deg.map { case (k, _) => k -> Graph.InitRank }
+    for (_ <- 1 to iters) {
+      val inflow = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = deg.map { case (v, _) =>
+        v -> (Graph.Teleport + Graph.DampPct * inflow.getOrElse(v, 0L) / 100L)
+      }
+    }
+    rank
+  }
+
+  /** Brute-force triangle count: every unordered node triple. */
+  private def refTriangles(edges: Seq[(Long, Long)]): Long = {
+    val set = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    nodes.combinations(3).count { case Seq(a, b, c) =>
+      set((a, b)) && set((a, c)) && set((b, c))
+    }
+  }
+
+  // a graph with hubs, a clique, a pendant, and ties: K4 {1,2,3,4} +
+  // path 4-5-6 + star center 7 over {1,5,6,8} + isolated edge 9-10
+  private val fixture: Seq[(Long, Long)] = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (4L, 5L), (5L, 6L),
+    (7L, 1L), (7L, 5L), (7L, 6L), (7L, 8L),
+    (9L, 10L))
+
+  test("g1: Spark integer PageRank equals the from-the-definition recompute") {
+    val got = Graph.pageRank(pairsDf(fixture), Graph.Iterations)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    val want = refPageRank(fixture, Graph.Iterations)
+    assert(got == want)
+    // K4 member that also touches the star and the path outranks the pendant
+    assert(got(4L) > got(8L))
+  }
+
+  test("g1: rank mass stays plausible and deterministic across runs") {
+    val a = Graph.pageRank(pairsDf(fixture), Graph.Iterations)
+      .select("node", "rank_micro").as[(Long, Long)].collect().sorted.toSeq
+    val b = Graph.pageRank(pairsDf(fixture), Graph.Iterations)
+      .select("node", "rank_micro").as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+    // integer-floor leakage only ever LOSES mass vs n * 1e6
+    val total = a.map(_._2).sum
+    assert(total <= 10L * Graph.InitRank && total > 9L * Graph.InitRank / 2)
+  }
+
+  test("g2: oriented wedge-closing equals brute-force triangle enumeration") {
+    val row = Graph.triangleStats(pairsDf(fixture))
+      .select("n_nodes", "n_edges", "n_wedges", "n_triangles", "clustering_ppm")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val (nNodes, nEdges, nWedges, nTri, ppm) = row
+    assert(nNodes == 10L)
+    assert(nEdges == fixture.size.toLong)
+    // K4 holds 4 triangles; the star center closes a 5th over path edge 5-6
+    assert(nTri == refTriangles(fixture) && nTri == 5L)
+    val wantWedges = fixture.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+    assert(nWedges == wantWedges)
+    assert(ppm == 3000000L * nTri / nWedges)
+  }
+
+  test("g2: triangle count is orientation-exact on a denser random graph") {
+    // deterministic pseudo-random graph: edge (a,b) present iff
+    // md5-free arithmetic hash bit — plain modular rule keeps it exact
+    val edges = for {
+      a <- 0L until 18L; b <- (a + 1) until 18L
+      if (a * 7919 + b * 104729) % 3 == 0
+    } yield (a, b)
+    val got = Graph.triangleStats(pairsDf(edges))
+      .select("n_triangles").as[Long].head()
+    assert(got == refTriangles(edges))
+  }
+
+  test("registered co-purchase queries run green on the smoke corpus") {
+    val g1 = Graph.g1PageRank(spark, sfDir)
+    assert(g1.columns.toSeq == Seq("node", "degree", "rank_micro"))
+    val rows = g1.collect()
+    assert(rows.nonEmpty && rows.length <= Graph.TopK)
+    // ordered: descending rank, ties by node
+    val ranks = rows.map(r => (r.getLong(2), r.getLong(0)))
+    assert(ranks.sliding(2).forall { case Array((r1, n1), (r2, n2)) =>
+      r1 > r2 || (r1 == r2 && n1 < n2)
+    case _ => true })
+    val g2 = Graph.g2Triangles(spark, sfDir).head()
+    assert(g2.getLong(0) > 0 && g2.getLong(1) > 0)
+  }
+}
