@@ -2471,6 +2471,116 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- d28
+
+  /** d28 boundary window (tokens), divisor (avg chunk ≈ CdcMod tokens). */
+  val CdcWindow = 3
+  val CdcMod = 16L
+
+  /** d28: CONTENT-DEFINED CHUNKING dedup ledger — the storage-level
+    * dedup a lakehouse/backup tier runs under the text pipeline (FastCDC,
+    * Xia et al. USENIX ATC'16): chunk boundaries are declared wherever a
+    * rolling content hash of the trailing [[CdcWindow]]-token window is
+    * ≡ 0 mod [[CdcMod]], so boundaries are a function of LOCAL CONTENT,
+    * not of position — insert a paragraph at the front of a document and
+    * every chunk after the next boundary keeps its identity byte-for-byte
+    * (the property fixed-size blocks structurally lack, and the reason
+    * recurring crawls dedup at chunk level). Chunks are then keyed by
+    * content hash and the ledger reports the dedup the store would
+    * realize: chunk counts, distinct chunks, duplicate ppm, token mass
+    * vs stored mass.
+    *
+    * Determinism: the boundary test and the chunk key are both
+    * md5-prefix hashes ([[graft.functions.Md5PrefixMod]]), the
+    * d3-precedented cross-engine-exact hash, so the oracle replicates
+    * boundaries and keys bit-for-bit (no engine-defined fingerprints).
+    * FastCDC's min/max chunk clamps are a sequential refinement left to
+    * a deployment (documented, not silently approximated): without them
+    * the boundary set is position-independent, which is what makes the
+    * operator both declarative and oracle-exact.
+    *
+    * Scale: chunking is ONE map-only HOF pass per document (the
+    * per-window md5 is the documented hot-loop cost — the rolling-gear
+    * variant rides the d17 `token_window_hashes` precedent when the
+    * digest dominates a profile); the only exchange is the 8-byte
+    * chunk-key shuffle, map-side combined into the bounded ledger. */
+  def d28CdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcLedger(cdcChunks(corpusExact(s, dir)))
+
+  /** The map-only CDC pass: any frame with a `text` column → one row per
+    * chunk (ctext, ch, ntok). Exposed for the spec's shift-invariance
+    * fixture — the property that makes CDC worth its hash cost. */
+  private[operators] def cdcChunks(docs: DataFrame): DataFrame = {
+    val w = CdcWindow
+    val toks = split(trim(col("text")), "\\s+")
+    val base = docs.select(toks.as("t"))
+      .withColumn("n", size(col("t")))
+    val bnds = filter(
+      transform(
+        when(col("n") >= w + 1, sequence(lit(w), col("n") - 1))
+          .otherwise(typedLit(Array.empty[Int])),
+        i => when(graft.functions.Md5PrefixModF(
+          concat_ws(" ", slice(col("t"), i - (w - 1), lit(w))), CdcMod) === 0, i)),
+      x => x.isNotNull)
+    base.withColumn("bnds", bnds)
+      .withColumn("starts",
+        concat(typedLit(Array(1)), transform(col("bnds"), b => b + 1)))
+      .withColumn("ends", concat(col("bnds"), array(col("n"))))
+      .select(explode(zip_with(col("starts"), col("ends"), (st, en) =>
+        struct(concat_ws(" ", slice(col("t"), st, en - st + 1)).as("ctext"),
+          (en - st + 1).cast("long").as("ntok")))).as("c"))
+      .select(col("c.ctext").as("ctext"),
+        graft.functions.Md5PrefixModF(col("c.ctext"), P).as("ch"),
+        col("c.ntok").as("ntok"))
+  }
+
+  private[operators] def cdcLedger(chunks: DataFrame): DataFrame =
+    chunks.groupBy("ch")
+      .agg(count(lit(1)).as("occ"), min(col("ntok")).as("ntok"))
+      .agg(sum(col("occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        expr("sum(occ * ntok)").as("total_tokens"),
+        sum(col("ntok")).as("stored_tokens"))
+      .select(col("n_chunks"), col("n_distinct_chunks"),
+        expr("(cast(n_chunks as decimal(38,0)) - n_distinct_chunks) * 1000000" +
+          " div cast(n_chunks as decimal(38,0))").as("dup_chunk_ppm"),
+        col("total_tokens"), col("stored_tokens"),
+        expr("(cast(total_tokens as decimal(38,0)) - stored_tokens) * 1000000" +
+          " div cast(total_tokens as decimal(38,0))").as("savings_ppm"))
+
+  lazy val d28Sql: String =
+    s"""WITH corpus AS ($corpusExactSql),
+       |tk AS (
+       | SELECT string_split_regex(trim(text), '\\s+') AS t FROM corpus),
+       |bn AS (
+       | SELECT t, len(t) AS n,
+       |  list_filter(range($CdcWindow, len(t)), i ->
+       |   ('0x' || substr(md5(array_to_string(t[i - ${CdcWindow - 1}:i], ' ')), 1, 15))::bigint
+       |     % $CdcMod = 0) AS bnds
+       | FROM tk),
+       |b2 AS (
+       | SELECT t,
+       |  list_prepend(1, list_transform(bnds, b -> b + 1)) AS starts,
+       |  list_append(bnds, n) AS ends
+       | FROM bn),
+       |ch AS (
+       | SELECT ('0x' || substr(md5(c.ctext), 1, 15))::bigint % $P AS ch,
+       |        c.ntok AS ntok
+       | FROM (
+       |  SELECT unnest([{'ctext': array_to_string(t[starts[j]:ends[j]], ' '),
+       |                  'ntok': ends[j] - starts[j] + 1}
+       |                 FOR j IN range(1, len(starts) + 1)]) AS c
+       |  FROM b2)),
+       |g AS (SELECT ch, count(*) AS occ, min(ntok) AS ntok FROM ch GROUP BY ch)
+       |SELECT cast(sum(occ) AS bigint) AS n_chunks,
+       | count(*) AS n_distinct_chunks,
+       | cast((sum(occ) - count(*)) * 1000000 // sum(occ) AS bigint) AS dup_chunk_ppm,
+       | cast(sum(occ * ntok) AS bigint) AS total_tokens,
+       | cast(sum(ntok) AS bigint) AS stored_tokens,
+       | cast((sum(occ * ntok) - sum(ntok)) * 1000000 // sum(occ * ntok) AS bigint)
+       |   AS savings_ppm
+       |FROM g""".stripMargin
+
   lazy val d27Sql: String =
     s"""WITH pairs AS ($d3PairsSql),
        |corpus AS ($corpusNearSql),

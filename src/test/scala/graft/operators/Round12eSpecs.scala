@@ -58,6 +58,80 @@ class EditDedupSpec extends SparkSpec {
   }
 }
 
+/** d28: the CDC chunker's defining property (boundaries follow content,
+  * not position) driven through the ENGINE path, plus a full driver-side
+  * ledger recompute. */
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5mod(s: String, m: Long): Long =
+    graft.functions.Md5PrefixModUtil.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), m)
+
+  /** Reference chunker — plain Scala from the d28 definition. */
+  private def refChunks(text: String): Seq[String] = {
+    val t = text.trim.split("\\s+")
+    val bnds = (Dedup.CdcWindow to t.length - 1).filter { i =>
+      md5mod(t.slice(i - Dedup.CdcWindow, i).mkString(" "), Dedup.CdcMod) == 0L
+    }
+    val starts = 1 +: bnds.map(_ + 1)
+    val ends = bnds :+ t.length
+    starts.zip(ends).map { case (st, en) => t.slice(st - 1, en).mkString(" ") }
+  }
+
+  test("d28 engine chunks equal the reference chunker on real documents") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 50).select("text").as[String].collect().toSeq
+    val got = Dedup.cdcChunks(texts.toDF("text"))
+      .select("ctext").as[String].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    val want = texts.flatMap(refChunks)
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    assert(got == want)
+  }
+
+  test("d28 shift-invariance: a prepended paragraph leaves every chunk after the first intact") {
+    val original = graft.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 5).select("text").as[String].collect()
+    val prepended = original.map("entirely novel preamble tokens inserted upstream " + _)
+    val origChunks = Dedup.cdcChunks(original.toSeq.toDF("text"))
+      .select("ctext").as[String].collect().toSeq
+    val prepChunks = Dedup.cdcChunks(prepended.toSeq.toDF("text"))
+      .select("ctext").as[String].collect()
+      .groupBy(identity).map { case (k, v) => k -> v.length }
+    // per doc: everything after the doc's FIRST chunk must reappear —
+    // CDC re-finds the same boundaries once past the edit
+    original.foreach { doc =>
+      val tail = refChunks(doc).drop(1)
+      val counts = scala.collection.mutable.Map(prepChunks.toSeq: _*)
+      tail.foreach { c =>
+        assert(counts.getOrElse(c, 0) > 0, s"chunk lost after prepend: $c")
+        counts(c) = counts(c) - 1
+      }
+    }
+    assert(origChunks.nonEmpty)
+  }
+
+  test("d28 ledger equals a driver-side recompute over the exact corpus") {
+    val row = Dedup.d28CdcChunks(spark, sfDir).head()
+    val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // corpusExact replants doc_id % 10 == 0 as exact recrawls
+    val corpus = texts.map(_._2) ++ texts.filter(_._1 % 10 == 0).map(_._2)
+    val chunks = corpus.flatMap(refChunks)
+      .map(c => (md5mod(c, Dedup.P), c.trim.split("\\s+").length.toLong))
+    val byKey = chunks.groupBy(_._1).map { case (k, v) => k -> ((v.size, v.map(_._2).min)) }
+    val nChunks = chunks.size.toLong
+    val nDistinct = byKey.size.toLong
+    val total = byKey.values.map { case (occ, nt) => occ * nt }.sum
+    val stored = byKey.values.map(_._2).sum
+    assert(row.getLong(0) == nChunks && row.getLong(1) == nDistinct)
+    assert(row.getLong(2) == (nChunks - nDistinct) * 1000000L / nChunks)
+    assert(row.getLong(3) == total && row.getLong(4) == stored)
+    assert(row.getLong(5) == (total - stored) * 1000000L / total)
+  }
+}
+
 /** e18: the sweep-line and its bucketed prefix-sum plan re-derived from
   * the raw events, closed-interval tie semantics included. */
 class PeakConcurrencySpec extends SparkSpec {
