@@ -491,4 +491,70 @@ object Multimodal {
     * [[m5IndexWrite]] — spec-equal to the one-shot. */
   def m5ScreenFrom(s: SparkSession, dir: String, path: String): DataFrame =
     m5Screen(m5NewBatch(s, dir), s.read.parquet(path))
+
+  // ---- m7: scene-cut detection over sampled frames ----
+
+  /** m7 frame window (decoded-surrogate bytes per frame; frames are
+    * DISJOINT — overlapping windows would smear a hard cut across
+    * several frame pairs and under-report its magnitude, the reason
+    * shot detectors compare whole successive frames) and the cut
+    * threshold. τ=8 is calibrated to the LOW-CONTRAST surrogate stream
+    * (m4's caveat applies doubly here: uniform ASCII keeps stripe means
+    * close, so even a full content change flips only ~10-25 gradient
+    * bits, while periodic smooth content flips ZERO — the spec measures
+    * both sides of the margin). */
+  val SceneFrameLen = 200
+  val SceneTau = 8
+
+  /** m7: SCENE-CUT detection — the shot-boundary pass a video pipeline
+    * runs before per-shot sampling/captioning (PySceneDetect's content
+    * detector, TransNet's training target): slice the stream into
+    * disjoint [[SceneFrameLen]]-byte frames, dHash each frame's
+    * decoded-surrogate window, and declare a cut where the hamming
+    * distance to the PREVIOUS frame exceeds [[SceneTau]].
+    * Report per asset: frames, cuts, shots (= cuts+1), mean shot length
+    * ×100, and the max inter-frame distance.
+    *
+    * The frame "pixels" are the m1/m4 decode-surrogate convention (a
+    * byte window of the payload at the frame offset — real decode is a
+    * container-stubbed batch transform, the plumbing is what's real).
+    *
+    * Scale: hashing is map-only after m2's shuffle-free explode; the
+    * lag runs in ONE window over (asset, frame_idx) — per-asset frame
+    * counts are duration-bounded, the high-cardinality-key window class
+    * (e1's rationale, not a hot-key hazard); the report is one
+    * map-combined aggregate. Engine-defined fingerprint → spec class
+    * (d4/d6/t6/m4/m5): planted-boundary recall, smooth-content zero
+    * false cuts, determinism. */
+  def m7SceneCuts(s: SparkSession, dir: String): DataFrame =
+    sceneCutReport(Tables.documents(s, dir).select("doc_id", "text"))
+
+  /** The engine body over any (doc_id, text) frame — fixture-pluggable
+    * for the spec's planted scene boundaries. */
+  private[operators] def sceneCutReport(docs: DataFrame): DataFrame = {
+    import graft.functions.DHash
+    import org.apache.spark.sql.expressions.Window
+    // full windows only: a truncated tail window resamples the stripe
+    // grid and fakes a cut at end-of-stream (a real detector drops the
+    // partial frame for the same reason)
+    val frames = docs.filter(length(col("text")) > 0)
+      .withColumn("frame_idx", explode(sequence(
+        lit(0), greatest(length(col("text")) - SceneFrameLen, lit(0)),
+        lit(SceneFrameLen))))
+      .withColumn("fh", DHash.dhash64(
+        col("text").substr(col("frame_idx") + 1, lit(SceneFrameLen)).cast("binary")))
+    val byAsset = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .withColumn("ham", bit_count(col("fh").bitwiseXOR(lag(col("fh"), 1).over(byAsset))))
+      .withColumn("cut", when(col("ham") > SceneTau, 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("cut")).as("n_cuts"),
+        coalesce(max(col("ham")), lit(0)).cast("long").as("max_hamming"))
+      .select(col("doc_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + 1L).as("n_shots"),
+        expr("n_frames * 100 DIV (n_cuts + 1)").as("mean_shot_frames_x100"),
+        col("max_hamming"))
+      .orderBy("doc_id")
+  }
 }

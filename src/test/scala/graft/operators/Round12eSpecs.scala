@@ -175,6 +175,52 @@ class PeakConcurrencySpec extends SparkSpec {
   }
 }
 
+/** m7: planted scene boundaries through the engine path — smooth content
+  * yields zero cuts, a hard content change is detected, output is
+  * deterministic (the spec-only class contract: d4/d6/t6/m4/m5). */
+class SceneCutSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two 50-char "frames" with different gradient structure; the stride
+  // divides the period so intra-scene windows are byte-identical
+  private val a = "abcd efgh ijkl mnop qrst uvwx yz01 2345 6789 wxyz "
+  private val b = "!" * 25 + "~" * 25 // high stripe-scale contrast
+  assert(a.length == 50 && b.length == 50)
+
+  test("m7: smooth content has zero cuts; a scene boundary is detected") {
+    val fixture = Seq(
+      (1L, a * 80),          // one smooth scene
+      (2L, a * 40 + b * 40)  // hard cut at char 2000
+    ).toDF("doc_id", "text")
+    val got = Multimodal.sceneCutReport(fixture).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5)))).toMap
+    // disjoint full frames: (4000 - 200) / 200 + 1 = 20
+    val (f1, cuts1, maxh1) = got(1L)
+    assert(f1 == 20L && cuts1 == 0L && maxh1 == 0L,
+      s"smooth scene must be cut-free: $got")
+    val (f2, cuts2, maxh2) = got(2L)
+    assert(f2 == 20L)
+    // the boundary aligns with the frame grid: EXACTLY one frame pair
+    // differs, so exactly one cut
+    assert(cuts2 == 1L, s"planted boundary missed (max hamming $maxh2): $got")
+    assert(maxh2 > Multimodal.SceneTau)
+  }
+
+  test("m7: registered query is deterministic and shaped") {
+    val r1 = Multimodal.m7SceneCuts(spark, sfDir).collect().toSeq
+    val r2 = Multimodal.m7SceneCuts(spark, sfDir).collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    assert(Multimodal.m7SceneCuts(spark, sfDir).columns.toSeq ==
+      Seq("doc_id", "n_frames", "n_cuts", "n_shots",
+        "mean_shot_frames_x100", "max_hamming"))
+    // shots = cuts + 1 and the mean is the exact integer division
+    r1.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) + 1)
+      assert(r.getLong(4) == r.getLong(1) * 100 / (r.getLong(2) + 1))
+    }
+  }
+}
+
 /** q64: Gini + top-decile share re-derived with BigInt arithmetic from
   * the raw orders — the bucketed-rank plan must agree exactly. */
 class GiniSpec extends SparkSpec {
