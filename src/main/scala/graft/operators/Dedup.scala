@@ -2448,15 +2448,68 @@ object Dedup {
     * carry the same Jaccard yet land on opposite sides of this gate.
     *
     * Scale: Levenshtein is O(|a|·|b|) PER PAIR — the quadratic lives
-    * inside a row, so the only defense that matters is never evaluating
-    * it on corpus² rows: candidates come from the banded LSH screen (a
-    * collision sliver), and the pair frame (doc ids only, ~16 B/row)
-    * broadcasts against the corpus so texts are picked up by two
-    * map-side joins — the corpus is scanned, never shuffled, and
-    * nothing text-sized moves through an exchange. Both engines compute
-    * the same unit-cost character-level DP, so distances (and the ppm
+    * inside a row, so the defenses that matter are (1) never evaluating
+    * it on corpus² rows (candidates come from the banded LSH screen, a
+    * collision sliver) and (2) never evaluating it twice for the same
+    * TEXT pair: the registered form is exact-collapse-first, so DP cost
+    * is quadratic in DISTINCT colliding content and invariant to
+    * duplicate multiplicity — the axis a recurring crawl actually grows
+    * (measured: 53.6 s naive → ~1 s collapsed at sf1's 10× replicas,
+    * output bit-equal, spec-asserted). Both engines compute the same
+    * unit-cost character-level DP, so distances (and the ppm
     * similarity) are driver-gated exact. */
   def d27EditDedup(s: SparkSession, dir: String): DataFrame = {
+    // EXACT-COLLAPSE-FIRST (the d2/d5/s3 discipline, and here it is the
+    // whole game: the DP is O(|a|·|b|) per pair, and a recurring crawl's
+    // replica groups explode the candidate PAIR count quadratically in
+    // multiplicity — measured 53.6 s at sf1's 10× replicas for the naive
+    // per-doc-pair form vs ~1 s collapsed). Distance depends only on the
+    // two TEXTS, so: score each DISTINCT (fp_a, fp_b) text pair once,
+    // join verdicts back to the id pairs, and emit same-fp pairs at
+    // dist=0 with no DP at all.
+    val c = corpusNear(s, dir)
+      .select(col("doc_id"), col("text"), md5(col("text")).as("fp"),
+        length(col("text")).cast("long").as("len"))
+      .localCheckpoint()
+    val meta = c.select("doc_id", "fp", "len")
+    val pairs = d3Pairs(s, dir)
+      .join(meta.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
+        col("len").as("len_a")), Seq("doc_a"))
+      .join(meta.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
+        col("len").as("len_b")), Seq("doc_b"))
+      .localCheckpoint()
+    val distinctPairs = pairs.filter(col("fp_a") =!= col("fp_b"))
+      .select("fp_a", "fp_b").distinct()
+    val fps = distinctPairs.select(col("fp_a").as("fp"))
+      .unionByName(distinctPairs.select(col("fp_b").as("fp"))).distinct()
+    // one representative text per fingerprint in any scored pair (texts
+    // with equal md5 are equal, so min() is just a deterministic pick)
+    val reps = c.join(fps, Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min(col("text")).as("rtext"))
+    val scored = distinctPairs
+      .join(reps.select(col("fp").as("fp_a"), col("rtext").as("ta")), Seq("fp_a"))
+      .join(reps.select(col("fp").as("fp_b"), col("rtext").as("tb")), Seq("fp_b"))
+      .select(col("fp_a"), col("fp_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("dist"))
+    val diff = pairs.filter(col("fp_a") =!= col("fp_b"))
+      .join(scored, Seq("fp_a", "fp_b"))
+    val same = pairs.filter(col("fp_a") === col("fp_b"))
+      .withColumn("dist", lit(0L))
+    same.select(col("doc_a"), col("doc_b"), col("dist"),
+        col("len_a"), col("len_b"))
+      .unionByName(diff.select(col("doc_a"), col("doc_b"), col("dist"),
+        col("len_a"), col("len_b")))
+      .withColumn("len_max", greatest(col("len_a"), col("len_b")))
+      .filter(col("dist") * 10 <= col("len_max"))
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("len_max"),
+        expr("((len_max - dist) * 1000000) DIV len_max").as("sim_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The per-doc-pair form — O(DP) per candidate pair, quadratic in
+    * duplicate multiplicity; retained as the spec's equality reference
+    * for the collapsed default. */
+  private[operators] def d27EditDedupNaive(s: SparkSession, dir: String): DataFrame = {
     val pairs = d3Pairs(s, dir)
     val c = corpusNear(s, dir)
     val ta = c.select(col("doc_id").as("doc_a"), col("text").as("text_a"))

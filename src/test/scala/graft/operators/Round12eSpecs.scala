@@ -41,6 +41,12 @@ class EditDedupSpec extends SparkSpec {
     assert(got.nonEmpty, "the planted near-recrawls must surface")
   }
 
+  test("d27 collapsed default is bit-equal to the per-doc-pair naive form") {
+    val got = Dedup.d27EditDedup(spark, sfDir).collect().toSeq
+    val naive = Dedup.d27EditDedupNaive(spark, sfDir).collect().toSeq
+    assert(got == naive)
+  }
+
   test("d27 reports the appended-tail twins at exactly the tail's edit cost") {
     // corpusNear plants doc_id+100000 = doc_id text + NearTail: a pure
     // append, so the edit distance IS the tail length — any other value
