@@ -2467,12 +2467,18 @@ object Dedup {
     // two TEXTS, so: score each DISTINCT (fp_a, fp_b) text pair once,
     // join verdicts back to the id pairs, and emit same-fp pairs at
     // dist=0 with no DP at all.
+    // the fingerprinted corpus feeds three consumers (two metadata
+    // joins + the rep-text pick) — checkpoint it once; measured better
+    // than either re-scanning per consumer or checkpointing only the
+    // narrow frame (the md5 pass dominates, not the text bytes)
     val c = corpusNear(s, dir)
       .select(col("doc_id"), col("text"), md5(col("text")).as("fp"),
         length(col("text")).cast("long").as("len"))
       .localCheckpoint()
     val meta = c.select("doc_id", "fp", "len")
-    val pairs = d3Pairs(s, dir)
+    // candidates ride the memoized per-(session, corpus) collision
+    // artifact — a pipeline running the d-family pays the LSH term once
+    val pairs = clusterArtifact(s, dir)._1
       .join(meta.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"),
         col("len").as("len_a")), Seq("doc_a"))
       .join(meta.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"),
