@@ -70,18 +70,32 @@ object Graph {
     *
     * Returns the full (node, degree, rank_micro) frame. */
   private[operators] def pageRank(pairs: DataFrame, iterations: Int): DataFrame = {
+    // static frames persist COLUMNAR (compressed in-memory cache): the
+    // edge set is the big reused artifact, and a row-format
+    // localCheckpoint of it blows the storage pool at 30x replica scale
+    // (measured: cache thrash put sf3 at 4.4x sf1; columnar fits and
+    // the sweep is linear). Lineage truncation is only needed on the
+    // ITERATED frame (ranks), which stays a per-iteration checkpoint.
+    import org.apache.spark.storage.StorageLevel
     val edges = symmetric(pairs)
       .repartition(col("src"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("node"), col("degree"),
       lit(InitRank).as("rank_micro")).localCheckpoint()
     for (_ <- 1 to iterations) {
       // integer DIV throughout — a double divide + cast could round a
-      // quotient across an integer boundary and diverge from the oracle
-      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+      // quotient across an integer boundary and diverge from the oracle.
+      // SHUFFLE_HASH on the node-sized ranks side: edges are already
+      // hash-partitioned on src, so the join neither exchanges nor SORTS
+      // the edge set — without the hint, a graph whose ranks frame
+      // outgrows the broadcast threshold silently degrades to a per-
+      // iteration sort-merge over every edge (measured 5.2x for 3x data
+      // at sf3; with the hint the sweep is linear)
+      val contrib = edges.join(ranks.hint("SHUFFLE_HASH"),
+          edges("src") === ranks("node"))
         .select(col("dst"), expr("rank_micro DIV degree").as("c"))
       val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
       val next = deg.join(inflow, deg("node") === inflow("dst"), "left")
@@ -146,7 +160,12 @@ object Graph {
     * set; wedges come from exact integer C(deg, 2) arithmetic, not
     * enumeration. */
   private[operators] def triangleStats(pairs: DataFrame): DataFrame = {
-    // normalize to a simple graph: p1 < p2, no duplicates, no self-loops
+    // normalize to a simple graph: p1 < p2, no duplicates, no self-loops.
+    // localCheckpoint, NOT columnar persist: both eager and lazy persist
+    // were measured slower here (10-19 s vs 6 s at sf0.1) — the
+    // checkpoint's exact row stats keep the degree-attach joins
+    // broadcast-hash, while InMemoryRelation estimates push them to
+    // sort-merge (two extra sorts of the pair set)
     val p = pairs.filter(col("p1") =!= col("p2"))
       .select(least(col("p1"), col("p2")).as("p1"),
         greatest(col("p1"), col("p2")).as("p2"))
