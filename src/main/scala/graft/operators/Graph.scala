@@ -148,6 +148,93 @@ object Graph {
        |ORDER BY rank_micro DESC, node LIMIT $TopK""".stripMargin
   }
 
+  /** g3 seed predicate (a brand's parts) and hop budget. */
+  val ReachBrand = "Brand#11"
+  val ReachHops = 3
+
+  /** g3: K-HOP REACH — breadth-first blast radius over the co-purchase
+    * graph: how many parts sit at minimum distance 1, 2, 3 from a seed
+    * set (one brand's parts — the "recalled component" / "promoted
+    * set" contagion question). Per hop: part count + the q42 modular
+    * id receipt, so the frontier SETS are driver-gated, not just their
+    * sizes.
+    *
+    * The traversal member of the graph family (g1 = fixed-point, g2 =
+    * motif): per hop ONE frontier⋈edges join — frontier side
+    * SHUFFLE_HASH against the src-partitioned edge cache (g1's layout,
+    * reused rationale: broadcast dies when a frontier saturates the
+    * graph; hash-join needs no sort) — then distinct + anti-join
+    * against the visited set. Frontier/visited frames are node-bound;
+    * per-hop lineage is truncated (localCheckpoint) and released.
+    * Seeds that never co-occur with anything still report at hop 0. */
+  def g3KhopReach(s: SparkSession, dir: String): DataFrame =
+    khopReach(copurchasePairs(s, dir),
+      Tables.part(s, dir).filter(col("p_brand") === ReachBrand)
+        .select(col("p_partkey").as("node")),
+      ReachHops)
+
+  /** BFS body over any (p1, p2) pair frame + (node) seed frame —
+    * fixture-pluggable for the spec's driver-side BFS recompute. */
+  private[operators] def khopReach(pairs: DataFrame, seedNodes: DataFrame,
+      hops: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = symmetric(pairs)
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = seedNodes.distinct().localCheckpoint()
+    def report(frontier: DataFrame, hop: Int): DataFrame =
+      frontier.agg(count(lit(1)).as("n_parts"),
+        coalesce(expr("sum(node % 1000000007) % 1000000007"), lit(0L))
+          .as("checksum"))
+        .select(lit(hop.toLong).as("hop"), col("n_parts"), col("checksum"))
+    var frontier = seeds
+    var visited = seeds
+    var out = report(seeds, 0)
+    for (h <- 1 to hops) {
+      val next = edges.join(frontier.hint("SHUFFLE_HASH"),
+          edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .localCheckpoint()
+      // no release: the per-hop report frames read these checkpoints
+      // lazily at collection time; all are node-bound and the context
+      // cleaner reclaims them once unreferenced
+      val nextVisited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+      visited = nextVisited
+      out = out.unionByName(report(next, h))
+    }
+    out.orderBy("hop")
+  }
+
+  val g3Sql: String = {
+    s"""WITH $copurchaseEdgesSql,
+       |v0 AS (SELECT DISTINCT p_partkey AS node FROM part
+       |       WHERE p_brand = '$ReachBrand'),
+       |f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       |        JOIN v0 ON e.src = v0.node
+       |       EXCEPT SELECT node FROM v0),
+       |vis1 AS (SELECT node FROM v0 UNION SELECT node FROM f1),
+       |f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       |        JOIN f1 ON e.src = f1.node
+       |       EXCEPT SELECT node FROM vis1),
+       |vis2 AS (SELECT node FROM vis1 UNION SELECT node FROM f2),
+       |f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+       |        JOIN f2 ON e.src = f2.node
+       |       EXCEPT SELECT node FROM vis2),
+       |rep AS (
+       | SELECT 0 AS hop, count(*) AS n, coalesce(sum(node % 1000000007) % 1000000007, 0) AS c FROM v0
+       | UNION ALL
+       | SELECT 1, count(*), coalesce(sum(node % 1000000007) % 1000000007, 0) FROM f1
+       | UNION ALL
+       | SELECT 2, count(*), coalesce(sum(node % 1000000007) % 1000000007, 0) FROM f2
+       | UNION ALL
+       | SELECT 3, count(*), coalesce(sum(node % 1000000007) % 1000000007, 0) FROM f3)
+       |SELECT cast(hop AS bigint) AS hop, n AS n_parts,
+       | cast(c AS bigint) AS checksum
+       |FROM rep ORDER BY hop""".stripMargin
+  }
+
   /** Triangle + wedge census of an undirected pair frame.
     *
     * Edges are ORIENTED from the lexicographically smaller (degree,

@@ -96,6 +96,34 @@ class GraphSpec extends SparkSpec {
     assert(got == refTriangles(edges))
   }
 
+  /** From-definition BFS levels. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long],
+      hops: Int): Seq[Set[Long]] = {
+    val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    var visited = seeds
+    var frontier = seeds
+    seeds +: (1 to hops).map { _ =>
+      val next = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- visited
+      visited ++= next
+      frontier = next
+      next
+    }
+  }
+
+  test("g3: engine BFS levels equal the from-definition recompute") {
+    val seeds = Set(9L, 7L) // the isolated-edge end + the star center
+    val got = Graph.khopReach(pairsDf(fixture), seeds.toSeq.toDF("node"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = refBfs(fixture, seeds, 3).zipWithIndex.map { case (lvl, h) =>
+      (h.toLong, lvl.size.toLong,
+        if (lvl.isEmpty) 0L else lvl.map(_ % 1000000007L).sum % 1000000007L)
+    }
+    assert(got.toSeq == want)
+    // the fixture's shape: hop 1 from {9, 7} reaches 10 + the star arms
+    assert(got(1)._2 == refBfs(fixture, seeds, 3)(1).size)
+  }
+
   test("registered co-purchase queries run green on the smoke corpus") {
     val g1 = Graph.g1PageRank(spark, sfDir)
     assert(g1.columns.toSeq == Seq("node", "degree", "rank_micro"))
