@@ -164,11 +164,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SessionTuning.inputSplits(SparkSession.builder()
+    val spark = SessionTuning.shuffleScaleOut(SessionTuning.inputSplits(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")), cpus.toInt)
       // measure WITH the library's extensions: the optimizer rule is part
       // of the engine being benchmarked
       .withExtensions(new GraftExtensions)
@@ -193,12 +193,23 @@ object Bench {
     // in the round-11 continuation: v1/v4 "breaches" at measured epoch
     // 0.80 whose raw minimums matched their r10 canonical values).
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Per-iteration SHUFFLED sweep order (r12 verdict item 3): a fixed
+    // alphabetical round-robin maps any time-local co-tenant spike onto
+    // one query FAMILY (the r12 run's d*/e* cluster), manufacturing
+    // correlated watch rows that cost an adjudication each. A seeded
+    // shuffle (seed recorded in the detail JSON; SPARK_GRAFT_BENCH_SEED
+    // overrides for reproduction) scatters a spike window across
+    // unrelated names, where per-query MIN-of-3 absorbs it. Each
+    // iteration draws its own permutation so a disturbance spanning one
+    // full sweep cannot track the same neighborhood three times.
+    val sweepSeed = sys.env.getOrElse("SPARK_GRAFT_BENCH_SEED", "13").toLong
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     calibrateOnce(spark); calibrateOnce(spark) // warm the calibration job
     val sweepCalib = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to 3).foreach { _ =>
-      ordered.foreach { case (name, fn) =>
+    (1 to 3).foreach { iter =>
+      val perm = new scala.util.Random(sweepSeed + iter).shuffle(ordered)
+      perm.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try { runOnce(fn); samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
@@ -307,6 +318,7 @@ object Bench {
       "delta_vs_prev" -> obj(deltas.map { case (k, v) => k -> v.toString }),
       "vs_baseline" -> obj(vsBaseline.map { case (k, v) => k -> v.toString }),
       "vs_baseline_calibrated" -> obj(vsCalibrated.map { case (k, v) => k -> v.toString }),
+      "sweep_seed" -> sweepSeed.toString,
       "calibration_sec" -> f"$calib%.4f",
       "calibration_quiet" -> f"$calibQuiet%.4f",
       "calibration_sweep" -> sweepCalib.map(c => f"$c%.4f").mkString("[", ",", "]"),

@@ -10,11 +10,11 @@ object Verify {
     // re-verification while iterating; the driver always runs all)
     val keys = if (args.length > 2) args(2).split(",").toSet else SparkEntry.queries.keySet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SessionTuning.inputSplits(SparkSession.builder()
+    val spark = SessionTuning.shuffleScaleOut(SessionTuning.inputSplits(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false"))
+      .config("spark.ui.enabled", "false")), cpus.toInt)
       // the library's own extensions (native SQL functions + the
       // window-topk optimizer rule) are part of the verified surface
       .withExtensions(new GraftExtensions)

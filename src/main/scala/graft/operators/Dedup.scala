@@ -2536,6 +2536,17 @@ object Dedup {
   val CdcWindow = 3
   val CdcMod = 16L
 
+  /** d28 chunk-identity modulus: 2^60 = the full range of the 15-hex-digit
+    * md5 prefix, i.e. a NO-OP mod — the chunk key is the whole 60-bit
+    * content hash. Keying chunks on the prefix reduced mod the 1e9-scale
+    * [[P]] (the r12 form) birthday-collides once a corpus passes ~40-50k
+    * distinct chunks (expected collisions ≈ n²/2e9), silently merging
+    * unequal chunks and overstating dedup; at 2^60 the same threshold
+    * sits at ~10^9 distinct chunks per ledger — the 100 TB design point.
+    * Both engines compute the identical prefix, so the oracle stays
+    * bit-exact (ADVICE r12). */
+  val CdcKeyMod = 1L << 60
+
   /** d28: CONTENT-DEFINED CHUNKING dedup ledger — the storage-level
     * dedup a lakehouse/backup tier runs under the text pipeline (FastCDC,
     * Xia et al. USENIX ATC'16): chunk boundaries are declared wherever a
@@ -2589,7 +2600,7 @@ object Dedup {
         struct(concat_ws(" ", slice(col("t"), st, en - st + 1)).as("ctext"),
           (en - st + 1).cast("long").as("ntok")))).as("c"))
       .select(col("c.ctext").as("ctext"),
-        graft.functions.Md5PrefixModF(col("c.ctext"), P).as("ch"),
+        graft.functions.Md5PrefixModF(col("c.ctext"), CdcKeyMod).as("ch"),
         col("c.ntok").as("ntok"))
   }
 
@@ -2623,7 +2634,7 @@ object Dedup {
        |  list_append(bnds, n) AS ends
        | FROM bn),
        |ch AS (
-       | SELECT ('0x' || substr(md5(c.ctext), 1, 15))::bigint % $P AS ch,
+       | SELECT ('0x' || substr(md5(c.ctext), 1, 15))::bigint % $CdcKeyMod AS ch,
        |        c.ntok AS ntok
        | FROM (
        |  SELECT unnest([{'ctext': array_to_string(t[starts[j]:ends[j]], ' '),

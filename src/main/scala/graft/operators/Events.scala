@@ -916,9 +916,14 @@ object Events {
     * instant (closed-interval semantics: a zero-length single-event
     * session still registers, and a session ending exactly as another
     * starts counts as concurrent). Sessions crossing midnight are split
-    * into per-day segments (bounded: the 30-min gap caps a session at
-    * ~2 calendar days), so a spanning session correctly appears in both
-    * days' concurrency.
+    * into per-day segments, so a spanning session correctly appears in
+    * every day it touches. The split fan-out is bounded by SESSION
+    * DURATION, which the 30-min gap rule does NOT cap (ADVICE r12): a
+    * user emitting events every <30 min indefinitely yields one
+    * arbitrarily long session and one segment row per calendar day it
+    * spans — an always-on bot is linear fan-out in days, not a
+    * correctness hazard (results stay exact), but worth knowing when
+    * sizing the segment explode.
     *
     * Scale: the running sum is NOT one day-keyed window over every
     * boundary (a day of a 100 TB feed is millions of rows through one

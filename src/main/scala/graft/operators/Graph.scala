@@ -260,7 +260,13 @@ object Graph {
       .localCheckpoint()
     val deg = symmetric(p).groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("deg"))
-    // orient each edge by (deg, node) lexicographic order
+    // orient each edge by (deg, node) lexicographic order. The oriented
+    // frame feeds BOTH sides of the wedge self-join: repartition on u +
+    // columnar persist makes that join co-partitioned (zero exchange)
+    // and computes the two degree-attach joins ONCE (unpersisted, each
+    // side re-derived them — at sf3 that alone re-read the fact table
+    // twice).
+    import org.apache.spark.storage.StorageLevel
     val da = deg.select(col("node").as("p1"), col("deg").as("deg_a"))
     val db = deg.select(col("node").as("p2"), col("deg").as("deg_b"))
     val oriented = p.join(da, "p1").join(db, "p2")
@@ -271,12 +277,22 @@ object Graph {
         when(col("deg_a") < col("deg_b") ||
           (col("deg_a") === col("deg_b") && col("p1") < col("p2")),
           col("p2")).otherwise(col("p1")).as("v"))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val w1 = oriented.select(col("u"), col("v").as("a"))
     val w2 = oriented.select(col("u"), col("v").as("b"))
     val wedgesOriented = w1.join(w2, Seq("u")).filter(col("a") < col("b"))
-    // close the wedge: (a, b) must be an (undirected) edge
+    // close the wedge: (a, b) must be an (undirected) edge. The edge
+    // side is hinted SHUFFLE_HASH: the default sort-merge plan SORTS the
+    // wedge stream — O(wedges) = 1.2 B rows at sf3, the measured spill
+    // wall (sf0.1→sf3 went 6 s → ~200 s, superlinear purely in the
+    // sort). A hash close builds on the EDGE side (√m-bounded per
+    // partition under the wide AQE initial partitioning) and streams
+    // the wedges through unsorted — the exchange stays, the sort (and
+    // its spill files) disappear.
     val undirected = p.select(col("p1").as("a"), col("p2").as("b"))
-    val triangles = wedgesOriented.join(undirected, Seq("a", "b"), "left_semi")
+    val triangles = wedgesOriented
+      .join(undirected.hint("SHUFFLE_HASH"), Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val totals = deg.agg(
       count(lit(1)).as("n_nodes"),

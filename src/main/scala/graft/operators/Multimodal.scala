@@ -536,10 +536,15 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     // full windows only: a truncated tail window resamples the stripe
     // grid and fakes a cut at end-of-stream (a real detector drops the
-    // partial frame for the same reason)
-    val frames = docs.filter(length(col("text")) > 0)
+    // partial frame for the same reason). The same rule applies to the
+    // FIRST frame (ADVICE r12): an asset shorter than one frame has no
+    // full window at all and is dropped outright — the previous
+    // greatest(..., 0) clamp hashed a single truncated frame at offset
+    // 0, contradicting this convention (harmless for cuts, but
+    // n_frames/mean_shot_frames reported on a partial window).
+    val frames = docs.filter(length(col("text")) >= SceneFrameLen)
       .withColumn("frame_idx", explode(sequence(
-        lit(0), greatest(length(col("text")) - SceneFrameLen, lit(0)),
+        lit(0), length(col("text")) - SceneFrameLen,
         lit(SceneFrameLen))))
       .withColumn("fh", DHash.dhash64(
         col("text").substr(col("frame_idx") + 1, lit(SceneFrameLen)).cast("binary")))

@@ -1578,7 +1578,11 @@ object Warehouse {
         col("seg") === col("seg2"))
       .filter(col("i") > col("n2") - expr("n2 DIV 10"))
       .groupBy("seg").agg(sum(col("x")).as("top_cents"))
-    g.join(top, Seq("seg"))
+    // LEFT join to `top` (ADVICE r12): a segment with n < 10 customers has
+    // n DIV 10 = 0 and an EMPTY top-decile aggregate — an inner join would
+    // silently drop the segment from the report instead of carrying it
+    // with top10_share_ppm = 0 (coalesce below; oracle mirrors).
+    g.join(top, Seq("seg"), "left")
       .select(col("seg").as("segment"), col("n").as("n_customers"),
         col("s").as("total_cents"),
         when(col("s") > 0, expr(
@@ -1586,7 +1590,8 @@ object Warehouse {
           " div (cast(n as decimal(38,0)) * cast(s as decimal(38,0)))"))
           .otherwise(lit(0L)).as("gini_ppm"),
         when(col("s") > 0,
-          expr("cast(top_cents as decimal(38,0)) * 1000000 div cast(s as decimal(38,0))"))
+          expr("cast(coalesce(top_cents, 0) as decimal(38,0)) * 1000000" +
+            " div cast(s as decimal(38,0))"))
           .otherwise(lit(0L)).as("top10_share_ppm"))
       .orderBy("segment")
   }
@@ -1615,8 +1620,8 @@ object Warehouse {
       |   THEN ((2 * g.t - (g.n + 1) * g.s) * 1000000) // (g.n * g.s)
       |   ELSE 0 END AS bigint) AS gini_ppm,
       | cast(CASE WHEN g.s > 0
-      |   THEN (tp.top_cents * 1000000) // g.s ELSE 0 END AS bigint) AS top10_share_ppm
-      |FROM g JOIN tp ON g.seg = tp.seg
+      |   THEN (coalesce(tp.top_cents, 0) * 1000000) // g.s ELSE 0 END AS bigint) AS top10_share_ppm
+      |FROM g LEFT JOIN tp ON g.seg = tp.seg
       |ORDER BY segment""".stripMargin
 
   val q47Sql: String =

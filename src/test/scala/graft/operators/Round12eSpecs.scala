@@ -125,7 +125,7 @@ class CdcSpec extends SparkSpec {
     // corpusExact replants doc_id % 10 == 0 as exact recrawls
     val corpus = texts.map(_._2) ++ texts.filter(_._1 % 10 == 0).map(_._2)
     val chunks = corpus.flatMap(refChunks)
-      .map(c => (md5mod(c, Dedup.P), c.trim.split("\\s+").length.toLong))
+      .map(c => (md5mod(c, Dedup.CdcKeyMod), c.trim.split("\\s+").length.toLong))
     val byKey = chunks.groupBy(_._1).map { case (k, v) => k -> ((v.size, v.map(_._2).min)) }
     val nChunks = chunks.size.toLong
     val nDistinct = byKey.size.toLong
