@@ -65,11 +65,31 @@ object Graph {
     * map-combined sum + one node-sized join back to degrees. The ranks
     * frame is node-bound (≪ edges), lineage is truncated per iteration
     * (localCheckpoint) and intermediate checkpoints are released — the
-    * Pregel shape without a driver-side vertex program. On a symmetric
-    * graph every node has in-edges, so no dangling-mass term is needed.
+    * Pregel shape without a driver-side vertex program.
+    *
+    * Input contract (the r12 verdict's dangling-mass question): the
+    * pair frame is treated as an UNDIRECTED pair list and, by default,
+    * normalized to the simple graph first (self-loops dropped,
+    * least/greatest + distinct — the g2 discipline), THEN symmetrized.
+    * Symmetrization is structural, so every node in the graph has
+    * in-edges and the no-dangling-mass precondition holds by
+    * CONSTRUCTION, not by assumption: a caller passing a directed edge
+    * frame (both orientations present, or duplicates) gets the
+    * undirected simple graph's ranks, never silently double-counted
+    * degrees (spec-pinned on a directed fixture). `assumeNormalized`
+    * skips the normalization exchange for inputs that are provably
+    * p1<p2-distinct already (copurchasePairs ends in exactly that
+    * shape), keeping g1's hot path unchanged.
     *
     * Returns the full (node, degree, rank_micro) frame. */
-  private[operators] def pageRank(pairs: DataFrame, iterations: Int): DataFrame = {
+  private[operators] def pageRank(pairs: DataFrame, iterations: Int,
+      assumeNormalized: Boolean = false): DataFrame = {
+    val normalized =
+      if (assumeNormalized) pairs
+      else pairs.filter(col("p1") =!= col("p2"))
+        .select(least(col("p1"), col("p2")).as("p1"),
+          greatest(col("p1"), col("p2")).as("p2"))
+        .distinct()
     // static frames persist COLUMNAR (compressed in-memory cache): the
     // edge set is the big reused artifact, and a row-format
     // localCheckpoint of it blows the storage pool at 30x replica scale
@@ -77,7 +97,7 @@ object Graph {
     // the sweep is linear). Lineage truncation is only needed on the
     // ITERATED frame (ranks), which stays a per-iteration checkpoint.
     import org.apache.spark.storage.StorageLevel
-    val edges = symmetric(pairs)
+    val edges = symmetric(normalized)
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy(col("src").as("node"))
@@ -113,7 +133,7 @@ object Graph {
     * [[TopK]] parts by 4-iteration integer PageRank. The batch
     * "what anchors the catalog" signal behind related-item serving. */
   def g1PageRank(s: SparkSession, dir: String): DataFrame =
-    pageRank(copurchasePairs(s, dir), Iterations)
+    pageRank(copurchasePairs(s, dir), Iterations, assumeNormalized = true)
       .orderBy(col("rank_micro").desc, col("node"))
       .limit(TopK)
 

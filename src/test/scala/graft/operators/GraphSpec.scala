@@ -58,6 +58,19 @@ class GraphSpec extends SparkSpec {
     assert(got(4L) > got(8L))
   }
 
+  test("g1: a DIRECTED edge frame is normalized to the undirected simple graph") {
+    // the r12 verdict's dangling-mass case: both orientations present,
+    // duplicates, and self-loops — without normalization the degrees
+    // double-count and ranks silently diverge from the undirected
+    // semantics the operator documents. Must equal the recompute on the
+    // DEDUPED undirected fixture, not the raw row multiset.
+    val directed = fixture.flatMap { case (a, b) => Seq(a -> b, b -> a) } ++
+      Seq((1L, 2L), (2L, 1L), (3L, 3L), (7L, 7L))
+    val got = Graph.pageRank(pairsDf(directed), Graph.Iterations)
+      .select("node", "rank_micro").as[(Long, Long)].collect().toMap
+    assert(got == refPageRank(fixture, Graph.Iterations))
+  }
+
   test("g1: rank mass stays plausible and deterministic across runs") {
     val a = Graph.pageRank(pairsDf(fixture), Graph.Iterations)
       .select("node", "rank_micro").as[(Long, Long)].collect().sorted.toSeq
