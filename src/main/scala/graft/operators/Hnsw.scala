@@ -81,7 +81,18 @@ object Hnsw {
     * carries ≤ [[M]] neighbors, exact-cosine-ranked (ties by vec_id asc
     * — the TopKByScore contract) within the layer's candidate set. */
   private[operators] def buildAdjacency(e0: DataFrame): DataFrame = {
-    val e = e0.withColumn("lvl", levelCol(col("vec_id")))
+    // spread the STREAM side of the all-pairs joins explicitly: the
+    // corpus arrives as a handful of input splits (a 20k-row parquet
+    // file is ONE split), and a broadcast-nested-loop join inherits the
+    // stream side's partitioning — without this the n² candidate stream
+    // funnels through one task (measured: single-task OOM at sf1's 20k
+    // vectors). An explicit numeric repartition also opts out of AQE
+    // coalescing, which would re-merge the tiny-BYTES frame and undo
+    // the spread (candidate volume is n²/partitions, invisible to
+    // byte-based coalescing).
+    val par = e0.sparkSession.sparkContext.defaultParallelism * 4
+    val e = e0.repartition(par, col("vec_id"))
+      .withColumn("lvl", levelCol(col("vec_id")))
     // upper layers: exact top-M within the (exponentially thin) layer
     val upper = (1 to MaxLevel).map { l =>
       val members = e.filter(col("lvl") >= l)
@@ -103,7 +114,7 @@ object Hnsw {
     // large-scale kNN-graph build makes (and the one place this build
     // is approximate at scale). Test scale runs the exact form.
     val other = e0.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-    val layer0 = e0.join(other, col("vec_id") =!= col("nid"))
+    val layer0 = e.select("vec_id", "embedding").join(other, col("vec_id") =!= col("nid"))
       .groupBy(col("vec_id").as("node"))
       .agg(TopK.topKByScore(V.cosine(col("embedding"), col("nemb")), col("nid"), M)
         .as("nbrs"))
