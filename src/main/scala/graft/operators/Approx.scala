@@ -465,4 +465,110 @@ object Approx {
       |FROM nd a JOIN nd b ON a.event_type < b.event_type
       | LEFT JOIN ix ON ix.ta = a.event_type AND ix.tb = b.event_type
       |ORDER BY type_a, type_b""".stripMargin
+
+  // ---- a7: KMV bottom-k distinct sketch (the SAMPLING-sketch ledger) ----
+
+  /** Sketch size for a7 — standard error ≈ 1/√k ≈ 12.5%. */
+  val KmvK = 64
+
+  /** Hash space: the full 60-bit md5 prefix (mod 2^60 is the identity —
+    * the d28 lesson: never reduce the space below the prefix itself). */
+  val KmvM: Long = 1L << 60
+
+  /** a7 error envelope in ppm: 1/√64 = 12.5% standard error, 3σ = 37.5%;
+    * pinned at 50% — measured worst row across sf0.001–sf1 is ≤ 21%. */
+  val KmvBoundPpm = 500000L
+
+  /** a7: KMV (bottom-k) DISTINCT sketch scorecard — the third member of
+    * the mergeable-sketch ledger family (a1/a4 = HLL bits, a5 = histogram
+    * vectors, a7 = the k smallest hash VALUES). What HLL cannot do and
+    * bottom-k can: the sketch IS a uniform sample of the distinct
+    * population (the hashes below v_k), so the same kilobyte artifact
+    * that answers |distinct| also answers Jaccard/overlap and feeds
+    * downstream sampling — the reason production ledgers (Theta
+    * sketches, Presto's KHyperLogLog) keep value-level sketches
+    * alongside HLL. Per event type and for the `__all__` row (built by
+    * MERGING the per-type sketches — union, re-truncate to k — never by
+    * rescanning), the report carries the sketch (size, k-th hash), the
+    * estimate (k−1)·M DIV v_k in exact integers (decimal(38,0) for the
+    * 63·2^60 product — the q42 overflow discipline), the exact distinct
+    * truth, and the error in ppm gated against the pinned envelope.
+    *
+    * Plan: ONE corpus pass per report column family — the sketch agg is
+    * the bounded [[graft.functions.KmvMinK]] (k longs per group,
+    * map-combined, duplicates dedup in-buffer so NO distinct exchange
+    * precedes it); the exact-truth columns ride the same groupBy. The
+    * merge row explodes |types|·k hashes — kilobytes — through the same
+    * aggregate. Everything is integer-exact, so the oracle reproduces
+    * the sketch itself (per-type ORDER BY hash LIMIT k), not just its
+    * verdict. */
+  def a7KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Kmv, Md5PrefixModF}
+    val base = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+      Md5PrefixModF(col("user_id").cast("string"), KmvM).as("h"))
+    val perType = base.groupBy("event_type")
+      .agg(Kmv.minK(col("h"), KmvK).as("sk"),
+           countDistinct(col("user_id")).as("n_exact"))
+      .localCheckpoint()
+    val merged = perType.select(explode(col("sk")).as("h"))
+      .agg(Kmv.minK(col("h"), KmvK).as("sk"))
+      .crossJoin(base.agg(countDistinct(col("user_id")).as("n_exact")))
+      .select(lit("__all__").as("event_type"), col("sk"), col("n_exact"))
+    perType.unionByName(merged)
+      .select(col("event_type"), col("n_exact"),
+        size(col("sk")).cast("long").as("n_sketch"),
+        when(size(col("sk")) >= KmvK, element_at(col("sk"), KmvK))
+          .otherwise(lit(0L)).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_sketch") < KmvK, col("n_sketch"))
+          .otherwise(expr(s"CAST(CAST(${KmvK - 1} AS DECIMAL(38,0)) * $KmvM" +
+            " DIV kth_hash AS BIGINT)")))
+      .withColumn("err_ppm",
+        expr("CAST(CAST(abs(est_distinct - n_exact) AS DECIMAL(38,0)) " +
+          "* 1000000 DIV n_exact AS BIGINT)"))
+      .withColumn("within_bound",
+        (col("err_ppm") <= KmvBoundPpm).cast("int"))
+      .orderBy("event_type")
+  }
+
+  val a7Sql: String =
+    s"""WITH base AS (
+       | SELECT event_type, user_id,
+       |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::bigint AS h
+       | FROM events),
+       |ph AS (SELECT DISTINCT event_type, h FROM base),
+       |rk AS (SELECT event_type, h,
+       |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |       FROM ph),
+       |sk AS (SELECT event_type, count(*) AS n_sk,
+       |        max(CASE WHEN rn = $KmvK THEN h END) AS kth
+       |       FROM rk WHERE rn <= $KmvK GROUP BY 1),
+       |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |       FROM base GROUP BY 1),
+       |allrk AS (SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |          FROM (SELECT DISTINCT h FROM rk WHERE rn <= $KmvK)),
+       |allsk AS (SELECT count(*) AS n_sk,
+       |           max(CASE WHEN rn = $KmvK THEN h END) AS kth
+       |          FROM allrk WHERE rn <= $KmvK),
+       |allex AS (SELECT count(DISTINCT user_id) AS n_exact FROM base),
+       |rows_ AS (
+       | SELECT e.event_type, e.n_exact, s.n_sk, coalesce(s.kth, 0) AS kth
+       | FROM ex e JOIN sk s USING (event_type)
+       | UNION ALL
+       | SELECT '__all__', a.n_exact, b.n_sk, coalesce(b.kth, 0)
+       | FROM allex a, allsk b),
+       |est AS (
+       | SELECT event_type, n_exact, n_sk, kth,
+       |  CASE WHEN n_sk < $KmvK THEN n_sk
+       |       ELSE CAST(${KmvK - 1}::HUGEINT * $KmvM // kth AS BIGINT)
+       |  END AS est_d
+       | FROM rows_)
+       |SELECT event_type, CAST(n_exact AS BIGINT) AS n_exact,
+       | CAST(n_sk AS BIGINT) AS n_sketch, CAST(kth AS BIGINT) AS kth_hash,
+       | CAST(est_d AS BIGINT) AS est_distinct,
+       | CAST(abs(est_d - n_exact)::HUGEINT * 1000000 // n_exact AS BIGINT)
+       |   AS err_ppm,
+       | CAST(CASE WHEN abs(est_d - n_exact)::HUGEINT * 1000000 // n_exact
+       |      <= $KmvBoundPpm THEN 1 ELSE 0 END AS INT) AS within_bound
+       |FROM est ORDER BY event_type""".stripMargin
 }

@@ -356,4 +356,85 @@ object Graph {
        |       THEN (3000000 * n_triangles) // n_wedges ELSE 0 END AS bigint)
        |    AS clustering_ppm
        |FROM tot, tri""".stripMargin
+
+  /** g4 edge threshold: a pair must co-occur in at least this many
+    * orders to count as a REPEAT tie. */
+  val RepeatCopurchaseMin = 2L
+
+  /** g4: CONNECTED COMPONENTS of the repeat co-purchase graph — the
+    * component decomposition member of the graph family (g1 =
+    * fixed-point, g2 = motif, g3 = traversal, g4 = partition). Edges
+    * are pairs co-purchased in ≥ [[RepeatCopurchaseMin]] orders (the
+    * "strong tie" screen — one shared basket is noise, repetition is
+    * signal); each component is a product community, labeled by its
+    * minimum part key, reported as (component_id, n_parts, n_edges)
+    * largest-first. The storefront twin of the dedup family's cluster
+    * collapse: d7 runs the SAME star-contraction over the near-dup
+    * graph; g4 is that machinery as a first-class graph query.
+    *
+    * Plan at scale: the threshold screen is a map-combined count on
+    * (p1, p2) — the edge set that survives is a sliver of the pair
+    * stream, and everything iterative runs on THAT sliver. Components
+    * come from alternating large-star/small-star contraction
+    * ([[Dedup.connectedComponentsStar]] — Kiveris et al., SoCC'14):
+    * O(log n) rounds of groupBy-min + self-join, no
+    * O(diameter) propagation, no driver-side union-find. Both report
+    * rollups are component-bound aggregates; nothing after the screen
+    * touches the fact table.
+    *
+    * The oracle replicates the decomposition by recursive transitive
+    * closure — O(Σ component²) rows, which the threshold keeps small
+    * BY CONSTRUCTION (max component at sf0.1 is 14 nodes); the engine
+    * side never materializes a closure at any component size. */
+  def g4Components(s: SparkSession, dir: String): DataFrame = {
+    val items = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("p1"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("p2"))
+    // the strong-tie screen: repeat pairs only. localCheckpoint — the
+    // contraction loop re-reads this frame every round; truncating the
+    // two-fact-scan lineage here is the g1 edge-cache rationale.
+    val strong = a.join(b, Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= RepeatCopurchaseMin)
+      .select(col("p1").as("u"), col("p2").as("v"))
+      .localCheckpoint()
+    componentLedger(strong)
+  }
+
+  /** Component rollup over any (u, v) edge frame — fixture-pluggable
+    * for the spec's driver-side BFS recompute. */
+  private[operators] def componentLedger(edges: DataFrame): DataFrame = {
+    val labels = Dedup.connectedComponentsStar(edges)
+    val nodeComp = labels.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_parts"))
+    val edgeComp = edges.join(labels, edges("u") === labels("id"))
+      .groupBy(col("label")).agg(count(lit(1)).as("n_edges"))
+    nodeComp.join(edgeComp, Seq("label"))
+      .select(col("label").as("component_id"), col("n_parts"), col("n_edges"))
+      .orderBy(col("n_parts").desc, col("component_id"))
+  }
+
+  val g4Sql: String =
+    s"""WITH RECURSIVE items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |strong AS (
+       | SELECT a.l_partkey AS u, b.l_partkey AS v
+       | FROM items a JOIN items b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       | GROUP BY 1, 2 HAVING count(*) >= $RepeatCopurchaseMin),
+       |e AS (SELECT u, v FROM strong UNION ALL SELECT v, u FROM strong),
+       |reach(a, b) AS (
+       | SELECT u, u FROM (SELECT DISTINCT u FROM e)
+       | UNION
+       | SELECT e.v, r.b FROM reach r JOIN e ON e.u = r.a),
+       |lbl AS (SELECT a AS id, min(b) AS label FROM reach GROUP BY a),
+       |nodes AS (SELECT label, count(*) AS n_parts FROM lbl GROUP BY label),
+       |edges_c AS (
+       | SELECT l.label, count(*) AS n_edges
+       | FROM strong s JOIN lbl l ON s.u = l.id GROUP BY 1)
+       |SELECT n.label AS component_id, n.n_parts, c.n_edges
+       |FROM nodes n JOIN edges_c c ON n.label = c.label
+       |ORDER BY n_parts DESC, component_id""".stripMargin
 }

@@ -1,0 +1,256 @@
+package graft.streaming
+
+import java.io.File
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.Tables
+
+/** The streaming family's ORACLE PROMOTION (the p9 move, applied to
+  * Structured Streaming): st1/st2 run the event analytics as REAL
+  * streaming queries — file source, micro-batches, watermark/state,
+  * Trigger.AvailableNow — and return the emitted result as a DataFrame
+  * the driver gates against the SAME DuckDB oracle as the batch twins
+  * (e2/e1). Until now the streaming layer was spec-only (stream ≡ batch
+  * pinned in scalatest); these two rows put the streaming EXECUTION
+  * PATH itself — source listing order, watermark advance, state
+  * replay, append-mode emission — under the cross-engine hash gate.
+  *
+  * == The end-of-stream flush problem, solved with sentinels ==
+  *
+  * Append-mode event-time operators only emit what the WATERMARK has
+  * passed, and the watermark used by batch N is computed from data seen
+  * through batch N−1 — so a bounded replay's final windows/sessions
+  * would sit in state forever. The staged stream therefore carries
+  * three files, forced into three ordered micro-batches
+  * (`maxFilesPerTrigger = 1`, modification times spaced):
+  *
+  *   batch 0  the full events table (the replayed "day"),
+  *   batch 1  per-user session sentinels at horizon + gap + 1 (each
+  *            closes that user's open session in st2) plus one global
+  *            watermark sentinel at horizon + 10 d,
+  *   batch 2  a second global sentinel at horizon + 20 d — batch 2 runs
+  *            with batch 1's watermark and flushes every real window.
+  *
+  * Sentinel rows are marked (`event_type = "__sentinel__"`, and the
+  * global rows use `user_id = −1`): st1 filters them AFTER the
+  * watermark operator (they advance event time, never count), and st2
+  * lets them run through the state machine — a sentinel closes the
+  * user's last real session and opens one of its own that no later
+  * event ever closes, so it is never emitted. The operator under test
+  * stays generic; only the HARNESS plants sentinels.
+  *
+  * == Scale shape ==
+  *
+  * The staging pass is paid once per (JVM, sf dir) and memoized — the
+  * timed path is the streaming run itself. In production the source is
+  * Kafka/object-store arrivals and the sink a parquet/Delta append;
+  * the memory sink here is the harness tail (the result ledger is
+  * window- resp. session-bound, not corpus-bound). st1's state is
+  * O(open windows × event types); st2's is one open-session struct per
+  * user — both watermark/population-bounded, never O(stream). Money
+  * stays exact: values are staged as integer cents (the q12 cent
+  * discipline), summed as longs in state, divided once at the report
+  * edge — a double accumulated in arrival order would drift from the
+  * batch oracle's decimal sum.
+  */
+object StreamingQueries {
+
+  /** 30-minute session gap, microseconds (e1's constant). */
+  val GapUs: Long = 30L * 60 * 1000 * 1000
+
+  val SentinelType = "__sentinel__"
+  val SentinelUser = -1L
+
+  // ---- staging: events + sentinel files as an ordered file stream ----
+
+  private val stageCache = new ConcurrentHashMap[String, String]()
+  private val nameCounter = new AtomicLong(0L)
+
+  /** Fingerprint of the source table file/dir (path + size + mtime) so a
+    * regenerated sf dir restages instead of replaying stale data. */
+  private def sourceStamp(dir: String): String = {
+    val f = new File(s"$dir/events.parquet")
+    val (size, mtime) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles()).getOrElse(Array.empty)
+        (kids.map(_.length()).sum, kids.map(_.lastModified()).foldLeft(0L)(math.max))
+      } else (f.length(), f.lastModified())
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$dir|$size|$mtime".getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  /** Write one parquet part as `<root>/<name>` with the given mtime. */
+  private def writeAs(df: DataFrame, root: File, name: String, mtime: Long): Unit = {
+    val tmp = new File(root, s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dest = new File(root, name)
+    java.nio.file.Files.move(part.toPath, dest.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.setLastModified(mtime)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+  }
+
+  /** Stage the three-batch stream for a sf dir (memoized per JVM). */
+  private[streaming] def stage(s: SparkSession, dir: String): String =
+    stageCache.computeIfAbsent(dir, _ => {
+      val root = new File(
+        sys.props("java.io.tmpdir"), s"graft-stream-${sourceStamp(dir)}")
+      val marker = new File(root, "_STAGED")
+      if (!marker.exists()) {
+        if (root.exists()) { // incomplete previous attempt — rebuild
+          root.listFiles().foreach(f => if (f.isFile) f.delete())
+        }
+        root.mkdirs()
+        val ev = Tables.events(s, dir).select(
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+          .localCheckpoint() // staged content and horizon share one scan
+        // the corpus horizon: one scalar, driver-side by necessity — the
+        // sentinel timestamps must postdate everything in the replay
+        val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+        val t0 = System.currentTimeMillis()
+        writeAs(ev, root, "batch00.parquet", t0 - 40000)
+        val userSentinels = ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"),
+            timestamp_micros(lit(maxUs + GapUs + 1)).as("ts"),
+            col("user_id"), lit(SentinelType).as("event_type"),
+            lit(0L).as("cents"))
+        val global1 = s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 10L * 86400 * 1000000)).as("ts"),
+          lit(SentinelUser).as("user_id"), lit(SentinelType).as("event_type"),
+          lit(0L).as("cents"))
+        writeAs(userSentinels.unionByName(global1), root, "batch01.parquet", t0 - 25000)
+        val global2 = s.range(1).select(lit(-1L).as("event_id"),
+          timestamp_micros(lit(maxUs + 20L * 86400 * 1000000)).as("ts"),
+          lit(SentinelUser).as("user_id"), lit(SentinelType).as("event_type"),
+          lit(0L).as("cents"))
+        writeAs(global2, root, "batch02.parquet", t0 - 10000)
+        graft.Checkpoints.release(ev)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      root.getAbsolutePath
+    })
+
+  /** Run a streaming frame to completion into a memory sink; return the
+    * collected table. Checkpoint dir is per-run and cleaned up. */
+  private def runToTable(s: SparkSession, out: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val nm = s"graft_st_${nameCounter.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft-st-ckpt-")
+    val q = out.writeStream.format("memory").queryName(nm)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // best-effort checkpoint cleanup (state is not reused across runs)
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
+    }
+    rm(ckpt.toFile)
+    s.table(nm)
+  }
+
+  /** The staged stream as a streaming DataFrame: three files, three
+    * ordered micro-batches. */
+  private def source(s: SparkSession, dir: String): DataFrame = {
+    val staged = stage(s, dir)
+    val sch = s.read.parquet(s"$staged/batch00.parquet").schema
+    s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(staged)
+  }
+
+  // ---- st1: e2's tumbling rollup as a watermarked streaming query ----
+
+  /** st1: hourly tumbling counts/sums per event type, executed as an
+    * append-mode streaming aggregation with a 1-hour watermark (the
+    * production shape: state for a window is EVICTED once the watermark
+    * passes it — O(open windows), while a complete-mode rollup would
+    * hold every window forever). Sentinels aggregate into their OWN
+    * (window, "__sentinel__") groups and are dropped from the emitted
+    * table — deliberately NOT a pre-aggregation filter: Catalyst pushes
+    * a filter below the EventTimeWatermark node, and a sentinel dropped
+    * before the watermark operator never advances event time, leaving
+    * the final real windows stuck in state (measured: the last two
+    * hours of the ledger went missing). Output ≡ e2's ledger, gated by
+    * e2's own oracle. */
+  def st1StreamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = source(s, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+    runToTable(s, agg, OutputMode.Append())
+      .filter(col("event_type") =!= SentinelType)
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("event_type"), col("cnt"),
+        (col("sum_cents") / lit(100.0)).as("total_value"))
+      .orderBy("hour_us", "event_type")
+  }
+
+  // ---- st2: e1's sessionization as stateful flatMapGroupsWithState ----
+
+  case class SEv(user_id: Long, us: Long, cents: Long)
+  case class OpenS(start_us: Long, end_us: Long, n: Long, cents: Long)
+  case class ClosedS(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, total_cents: Long)
+
+  /** Gap-based sessionization with one OpenS struct of keyed state per
+    * user: a batch's rows sort locally per key, extend or close the
+    * open session, and closed sessions emit in append mode. Exact-cents
+    * variant of [[EventStreams.sessionize]] — integer state, so the
+    * emitted money matches the batch oracle's decimal sum bit-for-bit
+    * regardless of arrival order. */
+  def sessionizeExact(events: org.apache.spark.sql.Dataset[SEv])
+      : org.apache.spark.sql.Dataset[ClosedS] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenS, ClosedS](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[SEv], state: GroupState[OpenS]) =>
+          val sorted = rows.toSeq.sortBy(_.us)
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedS]
+          sorted.foreach { ev =>
+            open match {
+              case Some(o) if ev.us - o.end_us <= GapUs =>
+                open = Some(o.copy(end_us = ev.us, n = o.n + 1,
+                  cents = o.cents + ev.cents))
+              case Some(o) =>
+                closed += ClosedS(uid, o.start_us, o.end_us, o.n, o.cents)
+                open = Some(OpenS(ev.us, ev.us, 1L, ev.cents))
+              case None =>
+                open = Some(OpenS(ev.us, ev.us, 1L, ev.cents))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** st2: per-user session ledger, executed through the streaming state
+    * machine — every REAL session (including each user's last, closed by
+    * its sentinel) emits exactly once; session_seq is assigned on the
+    * emitted (session-bound) frame by start order within user, matching
+    * e1's cumulative numbering. Gated by e1's own oracle. */
+  def st2StreamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val evs = source(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("cents"))
+      .as[SEv]
+    val emitted = runToTable(s, sessionizeExact(evs).toDF(), OutputMode.Append())
+    val byUser = Window.partitionBy("user_id").orderBy("start_us")
+    emitted.filter(col("user_id") >= 0)
+      .withColumn("session_seq", row_number().over(byUser).cast("long"))
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("total_cents") / lit(100.0)).as("total_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.{Kmv, KmvBuffer}
+import org.apache.spark.sql.functions._
+
+/** Round-13 additions: g4 component ledger vs a driver-side union-find,
+  * the KMV bottom-k sketch's buffer/merge/estimator contracts, and the
+  * streaming oracle rows pinned stream ≡ batch bit-for-bit. */
+class Round13Specs extends SparkSpec {
+  import spark.implicits._
+
+  // ---- g4: connected-component ledger ----
+
+  /** Driver-side union-find over the fixture edges. */
+  private def refComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("g4: component ledger equals the union-find recompute") {
+    // two triangles bridged to one component + a path + an isolated edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 10L), (10L, 11L),
+      (11L, 12L), (10L, 12L), (20L, 21L), (21L, 22L), (30L, 31L))
+    val got = Graph.componentLedger(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val ref = refComponents(edges)
+    val wantNodes = ref.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val wantEdges = edges.groupBy(e => ref(e._1))
+      .map { case (c, es) => c -> es.size.toLong }
+    val want = wantNodes.toSeq
+      .map { case (c, n) => (c, n, wantEdges(c)) }
+      .sortBy { case (c, n, _) => (-n, c) }
+    assert(got == want)
+    // the bridge merged the triangles: component 1 spans six nodes
+    assert(got.head == ((1L, 6L, 7L)))
+  }
+
+  test("g4: registered query — labels are component minima, edges consistent") {
+    val df = Graph.g4Components(spark, sfDir)
+    val rows = df.as[(Long, Long, Long)].collect()
+    // every component here has at least 2 nodes and a spanning edge count
+    rows.foreach { case (_, n, e) =>
+      assert(n >= 2 && e >= n - 1)
+    }
+    // largest-first ordering with id tie-break
+    assert(rows.sortBy { case (c, n, _) => (-n, c) }.toSeq == rows.toSeq)
+  }
+
+  // ---- a7: KMV bottom-k sketch ----
+
+  test("KmvBuffer: insert dedups, keeps the k smallest, merge == union") {
+    val b = new KmvBuffer(8)
+    Seq(50L, 10L, 50L, 99L, 1L, 7L, 7L, 23L, 42L, 5L, 88L, 3L)
+      .foreach(b.insert)
+    assert(b.values.toSeq == Seq(1L, 3L, 5L, 7L, 10L, 23L, 42L, 50L))
+    val c = new KmvBuffer(8)
+    Seq(2L, 4L, 100L, 1L).foreach(c.insert)
+    b.mergeIn(c)
+    assert(b.values.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 7L, 10L, 23L))
+    // serialization round-trip
+    val rt = KmvBuffer.fromBytes(8, b.toBytes)
+    assert(rt.values.toSeq == b.values.toSeq)
+  }
+
+  test("kmv_min_k aggregate: bottom-k of a duplicated stream, per group") {
+    val rows = (1L to 200L).flatMap(i => Seq(("a", i), ("a", i))) ++
+      (1L to 10L).map(i => ("b", i * 1000))
+    val got = rows.toDF("g", "h").groupBy("g")
+      .agg(Kmv.minK(col("h"), 64).as("sk"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("a") == (1L to 64L))
+    assert(got("b") == (1L to 10L).map(_ * 1000)) // undersized group: all
+  }
+
+  test("a7: merged __all__ sketch is consistent and the estimator is gated") {
+    val df = Approx.a7KmvDistinct(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).contains("__all__"))
+    rows.foreach { r =>
+      val (nExact, nSketch, est, within) =
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getInt(6))
+      assert(within == 1, s"row $r breached the pinned envelope")
+      if (nSketch < Approx.KmvK) assert(est == nSketch && est == nExact)
+    }
+    // __all__ exact >= every per-type exact (it is the union)
+    val all = rows.find(_.getString(0) == "__all__").get.getLong(1)
+    assert(rows.forall(_.getLong(1) <= all))
+  }
+
+  // ---- st1/st2: stream == batch, bit for bit ----
+
+  test("st1: streaming tumbling ledger equals the batch e2 rollup") {
+    val stream = graft.streaming.StreamingQueries
+      .st1StreamTumbling(spark, sfDir).collect().toSeq
+    val batch = Events.e2TumblingWindow(spark, sfDir).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("st2: streaming session ledger equals the batch e1 sessionization") {
+    val stream = graft.streaming.StreamingQueries
+      .st2StreamSessionize(spark, sfDir).collect().toSeq
+    val batch = Events.e1Sessionize(spark, sfDir).collect().toSeq
+    assert(stream == batch)
+  }
+}
