@@ -194,6 +194,52 @@ object StreamingQueries {
       .orderBy("hour_us", "event_type")
   }
 
+  // ---- st3: the stream-stream interval join, oracle-gated ----
+
+  /** st3: purchases attributed to same-user clicks at most one hour
+    * earlier, executed as a REAL stream-stream interval join
+    * ([[StreamJoins.attributedPurchases]] — both sides watermarked, the
+    * time-bound condition capping each state store at one hour of
+    * events). The join FAMILY member of the streaming oracle rows (st1
+    * = windowed aggregation, st2 = arbitrary keyed state): inner-join
+    * matches emit EAGERLY as both sides arrive, so — unlike st1/st2 —
+    * end-of-stream completeness needs no sentinel mechanics at all;
+    * the watermark only evicts state. Sentinels are filtered at the
+    * source (pushdown is harmless here for the same reason). Output is
+    * the attributed pair frame itself — purchase- not corpus-bound —
+    * gated by a plain SQL interval join. */
+  def st3StreamAttribution(s: SparkSession, dir: String): DataFrame = {
+    val clicks = source(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = source(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),
+        col("cents").as("amount"))
+    runToTable(s, StreamJoins.attributedPurchases(clicks, purchases),
+        OutputMode.Append())
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_us"), col("purchase_us"),
+        col("amount").as("purchase_cents"))
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  val st3Sql: String =
+    """WITH e AS (
+      | SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+      |  cast(cast(value AS decimal(18,2)) * 100 AS bigint) AS cents
+      | FROM events)
+      |SELECT p.user_id AS user_id, c.event_id AS click_id,
+      | p.event_id AS purchase_id,
+      | c.us AS click_us, p.us AS purchase_us, p.cents AS purchase_cents
+      |FROM e p JOIN e c
+      | ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.us >= c.us AND p.us <= c.us + 3600000000
+      |ORDER BY p.user_id, purchase_id, click_id""".stripMargin
+
   // ---- st2: e1's sessionization as stateful flatMapGroupsWithState ----
 
   case class SEv(user_id: Long, us: Long, cents: Long)

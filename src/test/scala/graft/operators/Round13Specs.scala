@@ -97,6 +97,34 @@ class Round13Specs extends SparkSpec {
     assert(rows.forall(_.getLong(1) <= all))
   }
 
+  // ---- p10: context-length budget audit ----
+
+  test("p10: packed/unpacked measures equal the driver recompute") {
+    // raw token counts, the operator's own convention
+    val counts = Corpus.cumulativeOffsets(
+      graft.Tables.documents(spark, sfDir)
+        .selectExpr("doc_id",
+          "cast(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) as bigint) as tok"),
+      "doc_id", "tok", Corpus.PackBucket)
+      .select("doc_id", "tok").as[(Long, Long)].collect().sortBy(_._1)
+    val got = Corpus.p10ContextBudget(spark, sfDir).collect()
+    val total = counts.map(_._2).sum
+    var cum = 0L
+    val cums = counts.map { case (_, t) => val c = cum; cum += t; (t, c) }
+    got.foreach { r =>
+      val l = r.getLong(0)
+      assert(r.getLong(1) == counts.length && r.getLong(2) == total)
+      assert(r.getLong(3) == (total + l - 1) / l) // packed_windows
+      val split = cums.count { case (t, c) => t > 0 && c / l != (c + t - 1) / l }
+      assert(r.getLong(4) == split, s"split_docs at L=$l")
+      val pad = counts.map { case (_, t) => l - math.min(t, l) }.sum
+      val tr = counts.map { case (_, t) => math.max(t - l, 0L) }.sum
+      assert(r.getLong(5) == pad && r.getLong(6) == tr)
+      assert(r.getLong(7) == pad * 1000000L / (counts.length * l))
+      assert(r.getLong(8) == tr * 1000000L / total)
+    }
+  }
+
   // ---- st1/st2: stream == batch, bit for bit ----
 
   test("st1: streaming tumbling ledger equals the batch e2 rollup") {
@@ -104,6 +132,31 @@ class Round13Specs extends SparkSpec {
       .st1StreamTumbling(spark, sfDir).collect().toSeq
     val batch = Events.e2TumblingWindow(spark, sfDir).collect().toSeq
     assert(stream == batch)
+  }
+
+  test("st3: streaming interval-join attribution equals the batch join") {
+    val stream = graft.streaming.StreamingQueries
+      .st3StreamAttribution(spark, sfDir).collect().toSeq
+    val e = Events.e1Sessionize(spark, sfDir) // warm Tables.events config
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("us").as("purchase_us"), col("cents").as("purchase_cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("us").as("click_us"))
+    val batch = p.join(c, p("user_id") === c("cu") &&
+        col("purchase_us") >= col("click_us") &&
+        col("purchase_us") <= col("click_us") + 3600000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_us"), col("purchase_us"), col("purchase_cents"))
+      .orderBy("user_id", "purchase_id", "click_id")
+      .collect().toSeq
+    assert(stream.nonEmpty && stream == batch)
+    assert(e.count() > 0)
   }
 
   test("st2: streaming session ledger equals the batch e1 sessionization") {
