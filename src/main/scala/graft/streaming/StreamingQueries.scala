@@ -82,7 +82,9 @@ object StreamingQueries {
         (kids.map(_.length()).sum, kids.map(_.lastModified()).foldLeft(0L)(math.max))
       } else (f.length(), f.lastModified())
     val md = java.security.MessageDigest.getInstance("MD5")
-    md.digest(s"$dir|$size|$mtime".getBytes("UTF-8"))
+    // "v2": layout version — bump on any staged-dir structure change so
+    // a stale cache from an older build is never replayed
+    md.digest(s"v2|$dir|$size|$mtime".getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
   }
 
@@ -118,6 +120,14 @@ object StreamingQueries {
         val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
         val t0 = System.currentTimeMillis()
         writeAs(ev, root, "batch00.parquet", t0 - 40000)
+        // real/ = a directory view of the real-data file alone (the
+        // file source's basePath must be a directory) — hardlinked, so
+        // the replay is never duplicated on disk
+        val realDir = new File(root, "real"); realDir.mkdirs()
+        val link = new File(realDir, "batch00.parquet")
+        if (link.exists()) link.delete() // never point at a stale inode
+        java.nio.file.Files.createLink(link.toPath,
+          new File(root, "batch00.parquet").toPath)
         val userSentinels = ev.select(col("user_id")).distinct()
           .select(lit(-1L).as("event_id"),
             timestamp_micros(lit(maxUs + GapUs + 1)).as("ts"),
@@ -139,18 +149,34 @@ object StreamingQueries {
       root.getAbsolutePath
     })
 
+  /** State-store task count for the streaming rows. A stateful operator
+    * spins up one store per shuffle partition per micro-batch (a
+    * stream-stream join keeps FOUR per partition), and the count is
+    * frozen into the checkpoint at first run — at the harness's 32
+    * session partitions that is ~128 store instances committing files
+    * per batch for kilobyte-sized ledgers, pure fixed overhead. A
+    * production deployment sizes this to state THROUGHPUT; the replay
+    * harness pins it small and restores the session conf after. */
+  val StreamStatePartitions = 8
+
   /** Run a streaming frame to completion into a memory sink; return the
     * collected table. Checkpoint dir is per-run and cleaned up. */
   private def runToTable(s: SparkSession, out: DataFrame,
       mode: OutputMode): DataFrame = {
     val nm = s"graft_st_${nameCounter.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft-st-ckpt-")
-    val q = out.writeStream.format("memory").queryName(nm)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+    // conf restored only after termination: the stream thread reads the
+    // partition count asynchronously when it seals the first offset batch
+    try {
+      val q = out.writeStream.format("memory").queryName(nm)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // best-effort checkpoint cleanup (state is not reused across runs)
     def rm(f: File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete()
@@ -165,6 +191,16 @@ object StreamingQueries {
     val staged = stage(s, dir)
     val sch = s.read.parquet(s"$staged/batch00.parquet").schema
     s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(staged)
+  }
+
+  /** The real-data replay only (no sentinel batches) — for queries
+    * whose emission is row-driven rather than watermark-driven (st3's
+    * inner join), where the extra micro-batches would be pure
+    * fixed-overhead. */
+  private def sourceRealOnly(s: SparkSession, dir: String): DataFrame = {
+    val staged = stage(s, dir)
+    val sch = s.read.parquet(s"$staged/batch00.parquet").schema
+    s.readStream.schema(sch).parquet(s"$staged/real")
   }
 
   // ---- st1: e2's tumbling rollup as a watermarked streaming query ----
@@ -204,16 +240,18 @@ object StreamingQueries {
     * = windowed aggregation, st2 = arbitrary keyed state): inner-join
     * matches emit EAGERLY as both sides arrive, so — unlike st1/st2 —
     * end-of-stream completeness needs no sentinel mechanics at all;
-    * the watermark only evicts state. Sentinels are filtered at the
-    * source (pushdown is harmless here for the same reason). Output is
+    * the watermark only evicts state. The sources therefore replay the
+    * real-data file alone (one micro-batch per side — the sentinel
+    * batches would be pure fixed-overhead here), and the event-type
+    * filters push to the scan. Output is
     * the attributed pair frame itself — purchase- not corpus-bound —
     * gated by a plain SQL interval join. */
   def st3StreamAttribution(s: SparkSession, dir: String): DataFrame = {
-    val clicks = source(s, dir)
+    val clicks = sourceRealOnly(s, dir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("click_user"), col("ts").as("click_ts"),
         col("event_id").as("click_id"))
-    val purchases = source(s, dir)
+    val purchases = sourceRealOnly(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("purchase_user"),
         col("ts").as("purchase_ts"), col("event_id").as("purchase_id"),

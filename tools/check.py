@@ -5,10 +5,17 @@ import duckdb, glob, json, os, sys
 import pandas as pd
 
 sfdir, out = sys.argv[1], sys.argv[2]
-con = duckdb.connect()
-for f in glob.glob(f"{sfdir}/*.parquet"):
-    t = os.path.basename(f).replace(".parquet", "")
-    con.sql(f"create view {t} as select * from read_parquet('{f}')")
+
+def fresh_con():
+    # one connection PER ORACLE: a single long session accumulates
+    # allocator state across ~200 queries and a heavy oracle's blow-up
+    # (s10 at sf1 spills >75 GB of window sort) poisons every later
+    # query with bad-alloc failures that look like real breaks
+    c = duckdb.connect()
+    for f in glob.glob(f"{sfdir}/*.parquet"):
+        t = os.path.basename(f).replace(".parquet", "")
+        c.sql(f"create view {t} as select * from read_parquet('{f}')")
+    return c
 
 oracle = json.load(open(f"{out}/oracle_sql.json"))
 fails = []
@@ -17,7 +24,9 @@ for name, sql in sorted(oracle.items()):
     if not os.path.isdir(spark_dir):
         fails.append((name, "no spark output")); continue
     try:
+        con = fresh_con()
         duck = con.sql(sql).df()
+        con.close()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
     spark = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{spark_dir}/*.parquet"))],
