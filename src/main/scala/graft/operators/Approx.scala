@@ -571,4 +571,138 @@ object Approx {
        | CAST(CASE WHEN abs(est_d - n_exact)::HUGEINT * 1000000 // n_exact
        |      <= $KmvBoundPpm THEN 1 ELSE 0 END AS INT) AS within_bound
        |FROM est ORDER BY event_type""".stripMargin
+
+  // ---- a8: Jaccard overlap from the KMV sketches alone ----
+
+  /** a8 sketch size — larger than a7's k=64: a k-sample of the union
+    * resolves J in steps of 1/k, so k=256 gives ~4,000 ppm granularity
+    * and SE = √(J(1−J)/k) ≤ 3.1% absolute at the worst case J=0.5. */
+  val KmvJacK = 256
+
+  /** a8 error envelope in ppm: SE of the k=256 estimator at the
+    * observed J range (0.6–0.98 bigram-shingle overlap) peaks at
+    * ~30,000 ppm; pinned at 120,000 (≈4σ) — measured worst row across
+    * sf0.001–sf0.1 is 67,039 (2.2σ). */
+  val KmvJaccardBoundPpm = 120000L
+
+  /** a8: CORPUS-LEVEL source similarity from KMV sketches alone — the
+    * payoff that makes bottom-k worth keeping next to HLL: the k
+    * smallest hashes of A∪B are a uniform k-sample of the union, so
+    * the fraction present in BOTH sketches estimates |A∩B|/|A∪B|
+    * directly (the classic KMV/Theta-sketch Jaccard; a6's
+    * inclusion-exclusion compounds three estimates instead). Sets are
+    * each source's word-BIGRAM shingle universe (d2/d3's shingle
+    * convention, hashed on the full 60-bit md5 prefix — the d28
+    * lesson: a mod-1e9 space birthday-collides once a source passes
+    * ~40 k distinct shingles), so the report answers the curation
+    * question "which sources duplicate each other's CONTENT" — d3
+    * finds near-dup documents, a8 scores near-dup SOURCES — with the
+    * exact Jaccard truth and a pinned-envelope verdict per pair.
+    *
+    * Plan: ONE corpus pass explodes shingles and folds them straight
+    * into the bounded [[graft.functions.KmvMinK]] per source (k longs
+    * per group, in-buffer dedup — the corpus-sized shingle stream is
+    * never distinct-exchanged for the SKETCH side); every pairwise
+    * estimate is row-local array arithmetic on the sources²-bound pair
+    * frame. The exact-truth side (the eval harness, not the production
+    * path) reduces to the distinct (source, shingle-hash) frame once
+    * and self-joins it co-partitioned on the hash. Deterministic end
+    * to end: the oracle rebuilds the sketches, the merge, and the
+    * estimate itself. */
+  def a8KmvJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Kmv, Md5PrefixModF}
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .as("g"))
+      .select(col("source"), Md5PrefixModF(col("g"), KmvM).as("h"))
+    val perSrc = sh.groupBy("source")
+      .agg(Kmv.minK(col("h"), KmvJacK).as("sk")).localCheckpoint()
+    val uh = sh.distinct().localCheckpoint() // truth side: (source, h) set
+    val nd = uh.groupBy("source").agg(count(lit(1)).as("nd"))
+    val ix = uh.as("x").join(uh.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("exact_ix"))
+    val pa = perSrc.join(nd, "source")
+      .select(col("source").as("src_a"), col("sk").as("sk_a"), col("nd").as("n_a"))
+    val pb = perSrc.join(nd, "source")
+      .select(col("source").as("src_b"), col("sk").as("sk_b"), col("nd").as("n_b"))
+    pa.crossJoin(pb).filter(col("src_a") < col("src_b"))
+      .join(ix, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("exact_ix"))
+      .withColumn("merged",
+        slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KmvJacK))
+      .withColumn("m_size", size(col("merged")).cast("long"))
+      .withColumn("m_inter", size(filter(col("merged"),
+        h => array_contains(col("sk_a"), h) &&
+             array_contains(col("sk_b"), h))).cast("long"))
+      .withColumn("est_jaccard_ppm",
+        expr("m_inter * 1000000 DIV m_size"))
+      .withColumn("exact_jaccard_ppm",
+        expr("CAST(CAST(exact_ix AS DECIMAL(38,0)) * 1000000" +
+          " DIV (n_a + n_b - exact_ix) AS BIGINT)"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("exact_ix"), col("m_size"), col("m_inter"),
+        col("est_jaccard_ppm"), col("exact_jaccard_ppm"),
+        (abs(col("est_jaccard_ppm") - col("exact_jaccard_ppm")) <=
+          KmvJaccardBoundPpm).cast("int").as("within_bound"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val a8Sql: String =
+    s"""WITH sh AS (
+       | SELECT DISTINCT source,
+       |  ('0x' || substr(md5(g), 1, 15))::bigint AS h
+       | FROM (
+       |  SELECT source,
+       |   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS g
+       |  FROM (SELECT source, string_split_regex(trim(text), '\\s+') AS t
+       |        FROM documents)
+       |  WHERE len(t) >= 2)),
+       |rk AS (SELECT source, h,
+       |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+       |       FROM sh),
+       |sk AS (SELECT source, h FROM rk WHERE rn <= $KmvJacK),
+       |nd AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+       |ix AS (
+       | SELECT x.source AS sa, y.source AS sb, count(*) AS exact_ix
+       | FROM sh x JOIN sh y
+       |  ON x.h = y.h AND x.source < y.source
+       | GROUP BY 1, 2),
+       |cand AS (
+       | SELECT p.sa, p.sb, s.h,
+       |  bool_or(s.source = p.sa) AS in_a,
+       |  bool_or(s.source = p.sb) AS in_b
+       | FROM (SELECT a.source AS sa, b.source AS sb
+       |       FROM nd a JOIN nd b ON a.source < b.source) p
+       |  JOIN sk s ON s.source IN (p.sa, p.sb)
+       | GROUP BY 1, 2, 3),
+       |merged AS (
+       | SELECT sa, sb, in_a, in_b,
+       |  row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       | FROM cand),
+       |est AS (
+       | SELECT sa, sb, count(*) AS m_size,
+       |  cast(sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END) AS bigint)
+       |    AS m_inter
+       | FROM merged WHERE rn <= $KmvJacK GROUP BY 1, 2)
+       |SELECT a.source AS src_a, b.source AS src_b,
+       | cast(a.n AS bigint) AS n_a, cast(b.n AS bigint) AS n_b,
+       | cast(coalesce(i.exact_ix, 0) AS bigint) AS exact_ix,
+       | cast(e.m_size AS bigint) AS m_size, e.m_inter,
+       | cast(e.m_inter * 1000000 // e.m_size AS bigint) AS est_jaccard_ppm,
+       | cast(coalesce(i.exact_ix, 0)::HUGEINT * 1000000
+       |   // (a.n + b.n - coalesce(i.exact_ix, 0)) AS bigint)
+       |   AS exact_jaccard_ppm,
+       | cast(CASE WHEN abs(e.m_inter * 1000000 // e.m_size -
+       |   coalesce(i.exact_ix, 0)::HUGEINT * 1000000
+       |     // (a.n + b.n - coalesce(i.exact_ix, 0))) <= $KmvJaccardBoundPpm
+       |   THEN 1 ELSE 0 END AS int) AS within_bound
+       |FROM nd a JOIN nd b ON a.source < b.source
+       | JOIN est e ON e.sa = a.source AND e.sb = b.source
+       | LEFT JOIN ix i ON i.sa = a.source AND i.sb = b.source
+       |ORDER BY src_a, src_b""".stripMargin
 }

@@ -97,6 +97,37 @@ class Round13Specs extends SparkSpec {
     assert(rows.forall(_.getLong(1) <= all))
   }
 
+  // ---- a8: KMV-Jaccard between source shingle sets ----
+
+  test("a8: sketch Jaccard equals the from-definition recompute; truth exact") {
+    import graft.functions.Md5PrefixModF
+    // the shingle-hash sets, driver-side (sf0.001: ~20 sources, small)
+    val uh = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> concat_ws(' ', t[i], t[i+1]))"))
+        .as("g"))
+      .select(col("source"), Md5PrefixModF(col("g"), Approx.KmvM).as("h"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).map { case (s, hs) => s -> hs.map(_._2).toSet }
+    val k = Approx.KmvJacK
+    def bottomK(s: Set[Long]) = s.toSeq.sorted.take(k)
+    val got = Approx.a8KmvJaccard(spark, sfDir).collect()
+    assert(got.length == uh.size * (uh.size - 1) / 2)
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (uh(a), uh(b))
+      assert(r.getLong(2) == sa.size && r.getLong(3) == sb.size)
+      assert(r.getLong(4) == (sa & sb).size) // exact_ix
+      val merged = (bottomK(sa).toSet | bottomK(sb).toSet).toSeq.sorted.take(k)
+      val inter = merged.count(h => bottomK(sa).contains(h) && bottomK(sb).contains(h))
+      assert(r.getLong(5) == merged.size && r.getLong(6) == inter)
+      assert(r.getLong(7) == inter.toLong * 1000000L / merged.size)
+      assert(r.getInt(9) == 1, s"pair ($a,$b) breached the pinned envelope")
+    }
+  }
+
   // ---- p10: context-length budget audit ----
 
   test("p10: packed/unpacked measures equal the driver recompute") {
