@@ -15,6 +15,10 @@ import org.apache.spark.sql.types._
   * al., "Counting distinct elements in a data stream", RANDOM'02 — the
   * bottom-k estimator: with h uniform on [0, M), the k-th smallest
   * distinct hash v_k estimates the distinct count as (k−1)·M / v_k).
+  * Reference analogue: the reference's usage dashboards re-aggregate
+  * the raw collection per request (controllers/trackUsageController.js:
+  * 61-133, TrackUsage.aggregate grouped rollups); a recurring 100 TB
+  * crawl keeps a mergeable sketch ledger instead.
   *
   * Why an aggregate and not `slice(array_sort(collect_set(h)), 1, k)`:
   * collect_set's buffer is CARDINALITY-sized — per group it holds every

@@ -12,11 +12,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.Tables
 
 /** The streaming family's ORACLE PROMOTION (the p9 move, applied to
-  * Structured Streaming): st1/st2 run the event analytics as REAL
+  * Structured Streaming): st1/st2/st3 run the event analytics as REAL
   * streaming queries — file source, micro-batches, watermark/state,
   * Trigger.AvailableNow — and return the emitted result as a DataFrame
   * the driver gates against the SAME DuckDB oracle as the batch twins
-  * (e2/e1). Until now the streaming layer was spec-only (stream ≡ batch
+  * (e2/e1). Reference analogue: the reference tracks usage per request
+  * as rows arrive (service/trackUsageService.js:19-34 createTrackUsage)
+  * and serves filtered rollups over the accumulated rows
+  * (controllers/trackUsageController.js:61-133 TrackUsage.aggregate) —
+  * at 100 TB/day those are a streaming aggregation, sessionization,
+  * and an event-time interval join: exactly st1/st2/st3. Until now the streaming layer was spec-only (stream ≡ batch
   * pinned in scalatest); these two rows put the streaming EXECUTION
   * PATH itself — source listing order, watermark advance, state
   * replay, append-mode emission — under the cross-engine hash gate.
