@@ -28,14 +28,17 @@ import graft.functions.{TopK, VectorExpressions => V}
   *     vec_id, so two builds of the same corpus are bit-identical (no
   *     oracle row: DuckDB has no graph walk; the class is spec-defined
   *     like d4/m4, with the driver recording rows-only).
-  *   - **Fixed-degree neighbor lists from exact cosine.** Every layer
-  *     links each member to its exact top-[[M]] cosine neighbors WITHIN
-  *     the layer: upper layers (exponentially thin: |L_l| ≈ n/base^l)
-  *     provide the long-range "highways", layer 0 is the exact kNN
-  *     graph. The layer-0 all-pairs is quadratic by definition; at
-  *     100 TB candidates come from the bucketed d5/s3 path before the
-  *     exact top-M cut (see buildAdjacency) — the candidates-then-exact
-  *     trade every large-scale kNN-graph build makes.
+  *   - **Fixed-degree neighbor lists from cosine top-M.** Every layer
+  *     links each member to its top-[[M]] cosine neighbors WITHIN the
+  *     layer: upper layers (exponentially thin: |L_l| ≈ n/base^l)
+  *     provide the long-range "highways", layer 0 is the kNN graph.
+  *     Above [[BucketedThreshold]] members, neighbor CANDIDATES come
+  *     from multi-band hyperplane-LSH buckets (an equi-join — the
+  *     bucketed d5/s3 path) before the exact top-M cut, so no n²
+  *     candidate stream survives in the registered plan at scale; the
+  *     exact all-pairs form remains the below-threshold/spec truth
+  *     (knnExact vs knnBucketed — the candidates-then-exact trade
+  *     every large-scale kNN-graph build makes, recall spec-pinned).
   *
   * Read path (the serving contract): greedy DESCENT through the upper
   * layers (per layer, [[DescentHops]] hops of beam width 1 from the
@@ -77,11 +80,55 @@ object Hnsw {
       .otherwise(0)
   }
 
-  /** The layered adjacency: (layer, node, nbr, nemb). Each (layer, node)
-    * carries ≤ [[M]] neighbors, exact-cosine-ranked (ties by vec_id asc
-    * — the TopKByScore contract) within the layer's candidate set. */
-  private[operators] def buildAdjacency(e0: DataFrame): DataFrame = {
-    // spread the STREAM side of the all-pairs joins explicitly: the
+  /** Layer-size threshold above which a layer's kNN graph is built from
+    * LSH-bucketed candidates instead of the exact all-pairs self-join.
+    * Below it the exact form is cheap (≤ threshold² ≈ 16M scored pairs)
+    * and stays as the spec cross-check — the d2/d23 precedent: the
+    * exact plan is the truth fixture, the screened plan the registered
+    * default at scale. */
+  val BucketedThreshold = 4096L
+
+  /** Bucketed candidate generation: number of independent hyperplane
+    * bands (a pair is a candidate if it shares ANY band's bucket). */
+  val Bands = 6
+
+  /** Target bucket population the per-layer plane count aims at. */
+  val TargetBucket = 256L
+
+  /** Deterministic random hyperplanes for the bucketed build — same
+    * float32-exact k/1024 grid recipe as [[Similarity.planes]] with a
+    * different multiplier, so the two plane families are independent.
+    * Sized for [[Bands]] × max-8-planes bands. */
+  private lazy val hnswPlanes: Array[Array[Float]] =
+    Array.tabulate(Bands * 8, Similarity.Dim) { (i, j) =>
+      val k = (((i.toLong * Similarity.Dim + j) * 2246822519L) % 1024L) - 512L
+      (k / 1024.0).toFloat
+    }
+
+  /** Planes per band for a layer of `layerN` members: enough buckets to
+    * hold ~[[TargetBucket]] members each, clamped to [3, 8]. */
+  private[operators] def planesFor(layerN: Long): Int = {
+    val p = math.ceil(math.log(math.max(layerN, 1L).toDouble / TargetBucket)
+      / math.log(2.0)).toInt
+    math.min(8, math.max(3, p))
+  }
+
+  /** Per-band sign-bit buckets of an embedding (array of [[Bands]] ints;
+    * band b uses planes [b·p, (b+1)·p)). Pure function of the vector —
+    * the bucketed build stays rebuild-deterministic. */
+  private def bandBuckets(emb: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
+    array((0 until Bands).map { b =>
+      (0 until p).map { i =>
+        when(V.dot(emb, typedlit(hnswPlanes(b * p + i))) > 0d, lit(1 << i))
+          .otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Exact within-layer kNN: all-pairs self-join → codegen'd cosine →
+    * bounded top-[[M]] aggregate. Quadratic by definition — the truth
+    * form below [[BucketedThreshold]] and the spec cross-check above. */
+  private def knnExact(members: DataFrame): DataFrame = {
+    // spread the STREAM side of the all-pairs join explicitly: the
     // corpus arrives as a handful of input splits (a 20k-row parquet
     // file is ONE split), and a broadcast-nested-loop join inherits the
     // stream side's partitioning — without this the n² candidate stream
@@ -90,38 +137,85 @@ object Hnsw {
     // coalescing, which would re-merge the tiny-BYTES frame and undo
     // the spread (candidate volume is n²/partitions, invisible to
     // byte-based coalescing).
-    val par = e0.sparkSession.sparkContext.defaultParallelism * 4
-    val e = e0.repartition(par, col("vec_id"))
-      .withColumn("lvl", levelCol(col("vec_id")))
-    // upper layers: exact top-M within the (exponentially thin) layer
-    val upper = (1 to MaxLevel).map { l =>
-      val members = e.filter(col("lvl") >= l)
-        .select(col("vec_id"), col("embedding"))
-      val other = members
-        .select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-      members.join(other, col("vec_id") =!= col("nid"))
-        .groupBy(col("vec_id").as("node"))
-        .agg(TopK.topKByScore(V.cosine(col("embedding"), col("nemb")), col("nid"), M)
-          .as("nbrs"))
-        .select(lit(l).as("layer"), col("node"), explode(col("nbrs")).as("nbr"))
-    }.reduce(_ unionByName _)
-    // layer 0: each node's EXACT top-M cosine neighbors — the kNN graph
-    // whose greedy walkability the upper layers' long-range links rescue
-    // from local clusters. The all-pairs build is quadratic by
-    // definition; at 100 TB a deployment generates layer-0 CANDIDATES
-    // through the bucketed d5/s3 path (LSH or IVF cells) before the
-    // exact top-M cut — the same candidates-then-exact trade every
-    // large-scale kNN-graph build makes (and the one place this build
-    // is approximate at scale). Test scale runs the exact form.
-    val other = e0.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-    val layer0 = e.select("vec_id", "embedding").join(other, col("vec_id") =!= col("nid"))
+    val par = members.sparkSession.sparkContext.defaultParallelism * 4
+    val spread = members.repartition(par, col("vec_id"))
+    val other = members.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
+    spread.join(other, col("vec_id") =!= col("nid"))
       .groupBy(col("vec_id").as("node"))
       .agg(TopK.topKByScore(V.cosine(col("embedding"), col("nemb")), col("nid"), M)
         .as("nbrs"))
-      .select(lit(0).as("layer"), col("node"), explode(col("nbrs")).as("nbr"))
+      .select(col("node"), explode(col("nbrs")).as("nbr"))
+  }
+
+  /** Bucketed within-layer kNN — the registered scale path: candidates
+    * are pairs sharing any of [[Bands]] hyperplane-sign buckets (an
+    * EQUI-join on (band, bucket) — shuffle-partitioned, never a nested
+    * loop), deduped, then exact-cosine top-[[M]] cut. Candidate volume
+    * is Σ_buckets size² ≈ Bands × n × [[TargetBucket]] — linear in n at
+    * a fixed bucket population (the plane count grows with log n), the
+    * candidates-then-exact trade every large-scale kNN-graph build
+    * makes. A skewed bucket is AQE skew-join territory; buckets are
+    * sign-patterns of near-orthogonal hyperplanes, so mass concentrates
+    * only if the corpus itself does. Approximate where exact is
+    * quadratic: a true neighbor landing in no shared bucket is missed —
+    * the recall the spec pins vs the brute-force truth. */
+  private[operators] def knnBucketed(members: DataFrame, layerN: Long): DataFrame = {
+    val p = planesFor(layerN)
+    val keyed = members.select(col("vec_id"), col("embedding"),
+      posexplode(bandBuckets(col("embedding"), p)).as(Seq("band", "bucket")))
+    val other = keyed.select(col("band").as("band_b"),
+      col("bucket").as("bucket_b"), col("vec_id").as("nid"))
+    // a pair sharing several bands must score ONCE: dedup on (node, nid)
+    // before the neighbor-embedding attach, so the top-M aggregate never
+    // sees a duplicate id
+    val cands = keyed.join(other,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b")
+          && col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("embedding"), col("nid"))
+      .dropDuplicates("vec_id", "nid")
+    cands.join(members.select(col("vec_id").as("nid"), col("embedding").as("nemb")),
+        Seq("nid"))
+      .groupBy(col("vec_id").as("node"))
+      .agg(TopK.topKByScore(V.cosine(col("embedding"), col("nemb")), col("nid"), M)
+        .as("nbrs"))
+      .select(col("node"), explode(col("nbrs")).as("nbr"))
+  }
+
+  /** The layered adjacency: (layer, node, nbr, nemb). Each (layer, node)
+    * carries ≤ [[M]] neighbors, exact-cosine-ranked (ties by vec_id asc
+    * — the TopKByScore contract) within the layer's candidate set.
+    *
+    * Per layer the candidate path is chosen by EXPECTED layer size
+    * (n / base^l, one corpus count): above [[BucketedThreshold]] the
+    * bucketed equi-join form ([[knnBucketed]]), below it the exact
+    * all-pairs form ([[knnExact]]). Layer 0 at 100 TB is always
+    * bucketed — no n² candidate stream survives in the registered
+    * plan at scale; upper layers cross the same threshold as they
+    * grow (n/8 is quadratic too, just later). */
+  private[operators] def buildAdjacency(e0: DataFrame): DataFrame =
+    buildAdjacencyImpl(e0, BucketedThreshold)
+
+  /** Exact-everywhere build (the pre-r14 form) — the spec truth fixture
+    * for small corpora; never the registered path above threshold. */
+  private[operators] def buildAdjacencyExact(e0: DataFrame): DataFrame =
+    buildAdjacencyImpl(e0, Long.MaxValue)
+
+  private[operators] def buildAdjacencyImpl(e0: DataFrame,
+      bucketedAbove: Long): DataFrame = {
+    val n = e0.count()
+    val e = e0.withColumn("lvl", levelCol(col("vec_id")))
+    val layers = (0 to MaxLevel).map { l =>
+      val members =
+        if (l == 0) e0.select("vec_id", "embedding")
+        else e.filter(col("lvl") >= l).select("vec_id", "embedding")
+      val expected = (n / math.pow(LayerBase.toDouble, l.toDouble)).toLong
+      val knn = if (expected > bucketedAbove) knnBucketed(members, expected)
+                else knnExact(members)
+      knn.select(lit(l).as("layer"), col("node"), col("nbr"))
+    }.reduce(_ unionByName _)
     // attach neighbor embeddings once, so read-time scoring never joins
     // back to the corpus
-    upper.unionByName(layer0)
+    layers
       .join(e0.select(col("vec_id").as("nbr"), col("embedding").as("nemb")), Seq("nbr"))
       .select("layer", "node", "nbr", "nemb")
   }
@@ -129,6 +223,21 @@ object Hnsw {
   /** Greedy beam-search read over a prebuilt adjacency for a (qid, qemb)
     * query batch. Returns (qid, rank, neighbor), rank 1..[[K]]. */
   private[operators] def searchFrame(e0: DataFrame, adjAll: DataFrame,
+      queries: DataFrame): DataFrame = {
+    visitedFrame(e0, adjAll, queries).groupBy("qid")
+      .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
+      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The beam search's VISITED set — (qid, node, sc) for every node the
+    * descent + layer-0 beam touched, scored once on arrival. The read
+    * path reports its top-[[K]]; the incremental insert uses it as the
+    * layer-0 candidate pool for a new node's links (HNSW's own insert
+    * primitive: insert(v) = search the existing graph with v, then link
+    * to the best of what the search saw). */
+  private[operators] def visitedFrame(e0: DataFrame, adjAll: DataFrame,
       queries: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val adj = adjAll.persist(StorageLevel.MEMORY_AND_DISK)
@@ -172,11 +281,7 @@ object Hnsw {
         .select(col("qid"), explode(col("nbrs")).as("node"))
         .join(visited, Seq("qid", "node"))
     }
-    visited.groupBy("qid")
-      .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
-      .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
-      .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
-      .orderBy("qid", "rank")
+    visited
   }
 
   /** s21: HNSW-shape ANN top-[[K]] for the s15 external query batch —
@@ -187,5 +292,172 @@ object Hnsw {
   def s21HnswTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     searchFrame(e, buildAdjacency(e), Similarity.externalQueries(s, dir))
+  }
+
+  // ---- s22: incremental insert — the reference's actual index lifecycle ----
+
+  /** Number of vectors in the planted arriving batch. */
+  val InsertBatchSize = 16
+
+  /** Id offset of the arriving batch (disjoint from every corpus id). */
+  val InsertIdBase = 200000L
+
+  /** The planted ARRIVING batch: [[InsertBatchSize]] new vectors, each
+    * the 1:3 blend (a + 3·b)/4 of corpus embeddings 2i and 2i+1 — the
+    * REVERSED weights of [[Similarity.externalQueries]]'s 3:1, so batch
+    * vectors are near real corpus mass but identical to neither an
+    * existing vector nor a query (the same double-exact float32
+    * rounding discipline). Deterministic ⇒ the insert twins stay
+    * rebuild-deterministic end-to-end. */
+  def insertionBatch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 2L * InsertBatchSize)
+      .select((col("vec_id") / 2).cast("long").as("i"), col("embedding").as("ea"))
+    val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 2L * InsertBatchSize)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("i"), col("embedding").as("eb"))
+    a.join(b, Seq("i"))
+      .select((col("i") + InsertIdBase).as("vec_id"),
+        zip_with(col("ea"), col("eb"), (x, y) =>
+          ((x.cast("double") + lit(3.0) * y.cast("double")) / lit(4.0)).cast("float"))
+          .as("embedding"))
+  }
+
+  /** INCREMENTAL INSERT — the reference's real index lifecycle
+    * (customTrainDataController.js:28-86 EXTENDS the hnswlib index as
+    * documents arrive; it never rebuilds): fold an arriving (vec_id,
+    * embedding) batch into an existing adjacency without touching the
+    * unaffected graph. The d24/m5 incremental-twin shape, applied to
+    * the graph index:
+    *
+    *   1. **Layer-0 candidates by search** (HNSW's own insert move):
+    *      beam-search the EXISTING graph with each new vector —
+    *      [[visitedFrame]], the identical machinery the read path uses
+    *      — plus the within-batch exact pairs (batch², batch-sized).
+    *      New node links = top-[[M]] of that candidate pool.
+    *   2. **Upper-layer links exactly** (a new node's id-hash level is
+    *      the same pure function [[levelCol]] the build uses): a
+    *      level-l newcomer scores against ALL layer-l members — the
+    *      thin layers, n/8^l — with the batch side broadcast, so the
+    *      member side streams.
+    *   3. **Bidirectional repair**: every new link (l, n→v) plants the
+    *      back-link (l, v→n); ONLY the touched (layer, node) lists are
+    *      re-trimmed to cosine top-[[M]] (rescored exactly — scores are
+    *      pure functions of the two embeddings), everything untouched
+    *      passes through by anti-join. Repair cost is
+    *      O(batch × M × degree), never corpus-shaped.
+    *   4. **Connectivity pin** (Malkov-Yashunin Alg. 4's
+    *      keepPrunedConnections, as a deterministic rule): a newcomer
+    *      whose every back-link loses the re-trim has layer-0 in-degree
+    *      0 — unreachable forever (measured: 1 of 16 planted inserts).
+    *      The back-link from each new node's single BEST existing
+    *      neighbor is therefore pinned through that neighbor's re-trim
+    *      (it outranks any unpinned candidate; within pins, cosine then
+    *      id order), so every inserted vector keeps ≥ 1 in-link from
+    *      the old graph and is findable whenever its nearest existing
+    *      neighbor is visited — which a query near the new vector is
+    *      exactly the search that visits it.
+    *
+    * The result is a valid adjacency of the SAME shape buildAdjacency
+    * emits — searchFrame reads it unchanged. Like every incremental
+    * HNSW, the graph drifts from the from-scratch rebuild (an old
+    * node's list only changes if a newcomer beats its current worst);
+    * the spec pins what matters: twin equality (persisted-index path ≡
+    * one-shot), self-findability of every inserted vector, degree
+    * bounds, determinism, and read recall over the updated graph. */
+  def insertBatch(e0: DataFrame, adj: DataFrame, batch: DataFrame): DataFrame = {
+    val b = batch.withColumn("lvl", levelCol(col("vec_id"))).localCheckpoint()
+    // 1. layer-0 candidates: beam-search visited ∪ within-batch pairs
+    val visited = visitedFrame(e0, adj,
+      b.select(col("vec_id").as("qid"), col("embedding").as("qemb")))
+    val bb = b.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+      .join(b.select(col("vec_id").as("node"), col("embedding").as("nemb")),
+        col("qid") =!= col("node"))
+      .select(col("qid"), col("node"), V.cosine(col("qemb"), col("nemb")).as("sc"))
+    val links0 = visited.unionByName(bb)
+      .groupBy("qid")
+      .agg(TopK.topKByScore(col("sc"), col("node"), M).as("nbrs"))
+      .select(lit(0).as("layer"), col("qid").as("node"), explode(col("nbrs")).as("nbr"))
+    // 2. upper layers: exact against the (thin) layer membership
+    val upperLinks = (1 to MaxLevel).map { l =>
+      val exMembers = e0.withColumn("lvl", levelCol(col("vec_id")))
+        .filter(col("lvl") >= l)
+        .select(col("vec_id").as("mid"), col("embedding").as("memb"))
+      val bMembers = b.filter(col("lvl") >= l)
+        .select(col("vec_id").as("mid"), col("embedding").as("memb"))
+      val newAtL = b.filter(col("lvl") >= l).select("vec_id", "embedding")
+      exMembers.unionByName(bMembers)
+        .join(broadcast(newAtL), col("vec_id") =!= col("mid"))
+        .groupBy("vec_id")
+        .agg(TopK.topKByScore(V.cosine(col("embedding"), col("memb")), col("mid"), M)
+          .as("nbrs"))
+        .select(lit(l).as("layer"), col("vec_id").as("node"),
+          explode(col("nbrs")).as("nbr"))
+    }.reduce(_ unionByName _)
+    val newLinks = links0.unionByName(upperLinks)
+    // 3 + 4. back-links, connectivity pins, bounded repair of ONLY the
+    // touched lists. The pin: each new node's best EXISTING candidate
+    // (top-1 of its beam-visited pool, ties by id asc) must keep the
+    // back-link to it. Expressed as a rank override in the top-M cut:
+    // pinned candidates score cosine + 4 (cosine ∈ [-1, 1], so every
+    // pin outranks every unpinned candidate and pins order among
+    // themselves by true cosine then id — deterministic, and a list of
+    // ≤ M pins is still ≤ M entries).
+    val back = newLinks.select(col("layer"), col("nbr").as("node"), col("node").as("nbr"))
+    val pins = visited.groupBy("qid")
+      .agg(max_by(col("node"), struct(col("sc"), -col("node"))).as("vstar"))
+      .select(lit(0).as("layer"), col("vstar").as("node"),
+        col("qid").as("nbr"), lit(1).as("pin"))
+    val touched = newLinks.select("layer", "node")
+      .unionByName(back.select("layer", "node"))
+      .unionByName(pins.select("layer", "node")).distinct().localCheckpoint()
+    val union = e0.unionByName(batch.select("vec_id", "embedding"))
+    val affected = adj.select("layer", "node", "nbr")
+      .join(touched, Seq("layer", "node"), "left_semi")
+      .unionByName(newLinks).unionByName(back)
+      .withColumn("pin", lit(0)).unionByName(pins)
+      .groupBy("layer", "node", "nbr").agg(max(col("pin")).as("pin"))
+    val retrimmed = affected
+      .join(union.select(col("vec_id").as("node"), col("embedding").as("emb_n")), Seq("node"))
+      .join(union.select(col("vec_id").as("nbr"), col("embedding").as("nemb")), Seq("nbr"))
+      .groupBy("layer", "node")
+      .agg(TopK.topKByScore(
+        V.cosine(col("emb_n"), col("nemb")) + col("pin").cast("double") * 4.0,
+        col("nbr"), M).as("nbrs"))
+      .select(col("layer"), col("node"), explode(col("nbrs")).as("nbr"))
+      .join(union.select(col("vec_id").as("nbr"), col("embedding").as("nemb")), Seq("nbr"))
+      .select("layer", "node", "nbr", "nemb")
+    adj.select("layer", "node", "nbr", "nemb")
+      .join(touched, Seq("layer", "node"), "left_anti")
+      .unionByName(retrimmed)
+  }
+
+  /** Store-write half of the s22 twins: persist the built adjacency —
+    * the d24IndexWrite move for the graph index. */
+  def indexWrite(s: SparkSession, dir: String, path: String): Unit =
+    buildAdjacency(Tables.embeddings(s, dir).select("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Deployment twin: insert the arriving batch into the adjacency AS
+    * PERSISTED by [[indexWrite]], then serve the external queries over
+    * the updated graph — spec-asserted identical to the one-shot
+    * [[s22HnswInsert]]. */
+  def s22FromPersisted(s: SparkSession, dir: String, path: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val batch = insertionBatch(s, dir)
+    searchFrame(e.unionByName(batch),
+      insertBatch(e, s.read.parquet(path), batch),
+      Similarity.externalQueries(s, dir))
+  }
+
+  /** s22: the registered one-shot — build, insert the arriving batch,
+    * serve the s15 external queries over the UPDATED graph (new nodes
+    * are live candidates). Engine-defined graph ⇒ spec class like s21;
+    * the driver records rows-only. */
+  def s22HnswInsert(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val batch = insertionBatch(s, dir)
+    searchFrame(e.unionByName(batch),
+      insertBatch(e, buildAdjacency(e), batch),
+      Similarity.externalQueries(s, dir))
   }
 }

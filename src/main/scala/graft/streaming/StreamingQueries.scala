@@ -79,8 +79,10 @@ object StreamingQueries {
 
   /** Fingerprint of the source table file/dir (path + size + mtime) so a
     * regenerated sf dir restages instead of replaying stale data. */
-  private def sourceStamp(dir: String): String = {
-    val f = new File(s"$dir/events.parquet")
+  private def sourceStamp(dir: String): String = tableStamp(dir, "events")
+
+  private def tableStamp(dir: String, table: String): String = {
+    val f = new File(s"$dir/$table.parquet")
     val (size, mtime) =
       if (f.isDirectory) {
         val kids = Option(f.listFiles()).getOrElse(Array.empty)
@@ -105,11 +107,16 @@ object StreamingQueries {
     tmp.listFiles().foreach(_.delete()); tmp.delete()
   }
 
-  /** Stage the three-batch stream for a sf dir (memoized per JVM). */
-  private[streaming] def stage(s: SparkSession, dir: String): String =
-    stageCache.computeIfAbsent(dir, _ => {
+  /** Stage the three-batch stream for a sf dir (memoized per JVM). The
+    * cache key includes [[sourceStamp]]: if the sf dir is REGENERATED
+    * within a long-lived JVM the stamp changes, so the lookup misses and
+    * the new data is staged instead of replaying the stale root — the
+    * memo and the stamp enforce the same freshness contract. */
+  private[streaming] def stage(s: SparkSession, dir: String): String = {
+    val stamp = sourceStamp(dir)
+    stageCache.computeIfAbsent(s"$dir|$stamp", _ => {
       val root = new File(
-        sys.props("java.io.tmpdir"), s"graft-stream-${sourceStamp(dir)}")
+        sys.props("java.io.tmpdir"), s"graft-stream-$stamp")
       val marker = new File(root, "_STAGED")
       if (!marker.exists()) {
         if (root.exists()) { // incomplete previous attempt — rebuild
@@ -153,6 +160,7 @@ object StreamingQueries {
       }
       root.getAbsolutePath
     })
+  }
 
   /** State-store task count for the streaming rows. A stateful operator
     * spins up one store per shuffle partition per micro-batch (a
@@ -227,8 +235,11 @@ object StreamingQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("sum_cents"))
+    // null-safe: `=!=` would also drop a null event_type group (null
+    // comparison yields null), diverging from the batch/oracle rollup
+    // that keeps null groups — only TRUE sentinel rows are removed
     runToTable(s, agg, OutputMode.Append())
-      .filter(col("event_type") =!= SentinelType)
+      .filter(!(col("event_type") <=> lit(SentinelType)))
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("event_type"), col("cnt"),
         (col("sum_cents") / lit(100.0)).as("total_value"))
@@ -295,7 +306,19 @@ object StreamingQueries {
     * open session, and closed sessions emit in append mode. Exact-cents
     * variant of [[EventStreams.sessionize]] — integer state, so the
     * emitted money matches the batch oracle's decimal sum bit-for-bit
-    * regardless of arrival order. */
+    * regardless of arrival order.
+    *
+    * Memory bound: `rows.toSeq.sortBy` materializes ONE user's rows of
+    * ONE micro-batch (exact gap sessionization needs them time-ordered,
+    * and the state iterator arrives unordered). That group is
+    * arrival-rate × trigger-interval bounded in production — a
+    * deployment caps it by trigger cadence / `maxOffsetsPerTrigger`,
+    * NOT by this operator. The one shape that breaks the bound is a
+    * bounded REPLAY of an always-on bot (e18's caveat class): the whole
+    * history lands in a single batch group. Replays of that shape
+    * should pre-split the source into time-sliced files (exactly what
+    * [[stage]] does for the harness) so no batch carries a user's full
+    * history. */
   def sessionizeExact(events: org.apache.spark.sql.Dataset[SEv])
       : org.apache.spark.sql.Dataset[ClosedS] = {
     import events.sparkSession.implicits._
@@ -341,5 +364,73 @@ object StreamingQueries {
         col("start_us"), col("end_us"),
         (col("total_cents") / lit(100.0)).as("total_value"))
       .orderBy("user_id", "session_seq")
+  }
+
+  // ---- st4: the ingest/upsert WRITE path, oracle-promoted ----
+
+  private val upsertStageCache = new ConcurrentHashMap[String, String]()
+
+  /** Stage the upsert stream: batch 0 = the full store as version-0
+    * rows, batch 1 = the update batch (every 7th id re-labeled +100,
+    * version 1) — v1Upsert's exact fixture, replayed as two ordered
+    * micro-batches. Keyed on the embeddings stamp (the stage() rule). */
+  private[streaming] def stageUpserts(s: SparkSession, dir: String): String = {
+    val stamp = tableStamp(dir, "embeddings")
+    upsertStageCache.computeIfAbsent(s"$dir|$stamp", _ => {
+      val root = new File(sys.props("java.io.tmpdir"), s"graft-upsert-$stamp")
+      val marker = new File(root, "_STAGED")
+      if (!marker.exists()) {
+        if (root.exists()) root.listFiles().foreach(f => if (f.isFile) f.delete())
+        root.mkdirs()
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").cast("int").as("label"),
+            col("embedding"))
+        val t0 = System.currentTimeMillis()
+        writeAs(e.select(col("vec_id"), lit(0L).as("seq"), col("label"),
+          col("embedding")), root, "batch00.parquet", t0 - 40000)
+        writeAs(e.filter(col("vec_id") % 7 === 0)
+          .select(col("vec_id"), lit(1L).as("seq"),
+            (col("label") + 100).as("label"), col("embedding")),
+          root, "batch01.parquet", t0 - 25000)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      root.getAbsolutePath
+    })
+  }
+
+  /** st4: the vector store's WRITE half as a REAL streaming query — the
+    * reference's ingest loop (embeddingController.js:10-57
+    * addEmbeddedText/updateEmbeddedText: every arriving text is
+    * embedded and upserted into the index, latest version wins),
+    * executed through [[StreamingUpsert.latestWins]]'s keyed state
+    * machine in Update mode: batch 0 replays the store as version-0
+    * upserts, batch 1 the re-label batch as version-1, and the state
+    * machine emits the current winner per key per touching batch. The
+    * POST-IMAGE — per key, the highest-version emitted row — is the
+    * store the serving tier would read, and the driver gates its
+    * per-label counts with v1's own DuckDB oracle (the st1/st2/p9
+    * oracle-promotion move, applied to the write path; exactly-once
+    * comes from the checkpointed file source: each staged file is one
+    * committed micro-batch, never replayed twice into state).
+    *
+    * Scale: state is one (vec_id, seq, label, vector) struct per LIVE
+    * key — store-bound, like any upsert materialization; the memory
+    * sink is the harness tail (production writes the post-image to the
+    * compacted store, [[graft.sources.VectorStoreSink]]). The
+    * post-image reduction is one key-partitioned max_by — no window,
+    * no sort of the emission ledger. */
+  def st4StreamUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stageUpserts(s, dir)
+    val sch = s.read.parquet(s"$staged/batch00.parquet").schema
+    val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+      .as[StreamingUpsert.Upsert]
+    val emitted = runToTable(s,
+      StreamingUpsert.latestWins(src).toDF(), OutputMode.Update())
+    emitted.groupBy("vec_id")
+      .agg(max_by(col("label"), col("seq")).as("label"))
+      .groupBy("label").agg(count(lit(1)).as("cnt"))
+      .orderBy("label")
   }
 }

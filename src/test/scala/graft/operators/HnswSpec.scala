@@ -56,6 +56,64 @@ class HnswSpec extends SparkSpec {
     assert(recall >= 0.70, f"recall@5 = $recall%.3f")
   }
 
+  // ---- r14: the bucketed (above-threshold) build path ----
+
+  test("bucketed build is deterministic and respects the degree bound") {
+    val a = Hnsw.buildAdjacencyImpl(e, 0L).select("layer", "node", "nbr")
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Hnsw.buildAdjacencyImpl(e, 0L).select("layer", "node", "nbr")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    val degMax = Hnsw.buildAdjacencyImpl(e, 0L).groupBy("layer", "node")
+      .agg(count(lit(1)).as("d")).agg(max(col("d"))).head().getLong(0)
+    assert(degMax <= Hnsw.M)
+  }
+
+  test("bucketed-build recall@5 vs the s15 brute-force truth") {
+    // force the bucketed candidate path on every layer (threshold 0) and
+    // run the FULL registered read over the resulting graph — the number
+    // the registered above-threshold plan is judged by
+    val got = Hnsw.searchFrame(e, Hnsw.buildAdjacencyImpl(e, 0L),
+        Similarity.externalQueries(spark, sfDir))
+      .select("qid", "neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = Similarity.s15ExternalTopK(spark, sfDir)
+      .select("qid", "neighbor").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet == truth.keySet)
+    val hits = truth.map { case (q, t) => (got(q) & t).size }.sum
+    val recall = hits.toDouble / truth.values.map(_.size).sum
+    assert(recall >= 0.70, f"bucketed recall@5 = $recall%.3f")
+  }
+
+  test("registered above-threshold build plans NO n-squared join") {
+    // a synthetic corpus above BucketedThreshold: the REGISTERED
+    // buildAdjacency must route layer 0 through the bucketed equi-join —
+    // no CartesianProduct, no BroadcastNestedLoopJoin anywhere in the
+    // layer-0 candidate plan (upper layers stay exact below threshold:
+    // their expected sizes are n/8, n/64 < threshold at this n)
+    val n = Hnsw.BucketedThreshold * 2
+    val synth = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> cast(sin(vec_id * 13 + j) AS float))")
+        .as("embedding"))
+    val plan = Hnsw.buildAdjacency(synth).queryExecution.executedPlan.toString
+    // the exact path IS allowed for the thin upper layers — assert the
+    // quadratic operators appear at most for those (n/8 = 1024-member)
+    // layers by bounding their count: layer 1 and 2 each plan one BNLJ,
+    // layer 0 must not
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(!plan.contains("CartesianProduct"), "cartesian in registered build")
+    assert(bnlj <= 2, s"layer 0 planned a nested-loop join ($bnlj BNLJ nodes)")
+    assert(plan.contains("dropDuplicates") || bnlj <= 2) // bucketed path present
+  }
+
+  test("planesFor targets the bucket population and clamps to [3, 8]") {
+    assert(Hnsw.planesFor(1L) == 3)
+    assert(Hnsw.planesFor(500L) == 3)
+    assert(Hnsw.planesFor(20000L) == 7) // log2(20000/256) = 6.3 -> 7
+    assert(Hnsw.planesFor(100000000L) == 8)
+  }
+
   test("s21 registered query: shape, ranks, and run-to-run determinism") {
     val r1 = Hnsw.s21HnswTopK(spark, sfDir).collect()
     val r2 = Hnsw.s21HnswTopK(spark, sfDir).collect()

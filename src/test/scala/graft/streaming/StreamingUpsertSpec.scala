@@ -26,4 +26,12 @@ class StreamingUpsertSpec extends SparkSpec {
     assert(latest(1L) == (1L, 3L, 11))
     assert(latest(2L) == (2L, 1L, 20))
   }
+
+  test("st4: streaming write-path post-image == the batch upsert (v1)") {
+    val streamed = StreamingQueries.st4StreamUpsert(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val batch = graft.operators.Similarity.v1Upsert(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(streamed.sameElements(batch) && streamed.nonEmpty)
+  }
 }

@@ -23,12 +23,18 @@ for name, sql in sorted(oracle.items()):
     spark_dir = f"{out}/{name}"
     if not os.path.isdir(spark_dir):
         fails.append((name, "no spark output")); continue
+    con = None
     try:
         con = fresh_con()
         duck = con.sql(sql).df()
-        con.close()
     except Exception as e:
         fails.append((name, f"oracle error: {e}")); continue
+    finally:
+        # release the connection on BOTH paths: a failed oracle (e.g. a
+        # bad-alloc blow-up) must not keep its allocator state alive
+        # while later oracles run
+        if con is not None:
+            con.close()
     spark = pd.concat([pd.read_parquet(p) for p in sorted(glob.glob(f"{spark_dir}/*.parquet"))],
                       ignore_index=True)
     # driver behavior: sort columns by name, compare values
