@@ -95,22 +95,37 @@ object Hnsw {
   /** Target bucket population the per-layer plane count aims at. */
   val TargetBucket = 256L
 
+  /** Hard ceiling on planes per band: 2^20 ≈ 1M buckets per band covers
+    * a 256M-member layer at the 256 target — far past any single-index
+    * corpus this engine serves — while keeping the plane table trivial
+    * (Bands × 20 × Dim floats). The r14 form clamped at 8, which
+    * silently abandoned the bucket target above 65k-member layers
+    * (bucket population grew as n/256 with parallelism capped at
+    * bands × 256 tasks); the clamp now binds only where no realistic
+    * layer reaches. */
+  val MaxPlanes = 20
+
   /** Deterministic random hyperplanes for the bucketed build — same
     * float32-exact k/1024 grid recipe as [[Similarity.planes]] with a
     * different multiplier, so the two plane families are independent.
-    * Sized for [[Bands]] × max-8-planes bands. */
+    * Sized for [[Bands]] × [[MaxPlanes]] bands; row i is a pure function
+    * of i, so growing the table never changes existing rows (plane
+    * families are stable across corpus growth). */
   private lazy val hnswPlanes: Array[Array[Float]] =
-    Array.tabulate(Bands * 8, Similarity.Dim) { (i, j) =>
+    Array.tabulate(Bands * MaxPlanes, Similarity.Dim) { (i, j) =>
       val k = (((i.toLong * Similarity.Dim + j) * 2246822519L) % 1024L) - 512L
       (k / 1024.0).toFloat
     }
 
   /** Planes per band for a layer of `layerN` members: enough buckets to
-    * hold ~[[TargetBucket]] members each, clamped to [3, 8]. */
+    * hold ~[[TargetBucket]] members each, clamped to [3, [[MaxPlanes]]]
+    * — p grows as ceil(log2(layerN / TargetBucket)), so bucket
+    * population stays ~[[TargetBucket]] and the per-bucket row_number
+    * sort keeps ~n/256 tasks of bounded size at ANY corpus scale. */
   private[operators] def planesFor(layerN: Long): Int = {
     val p = math.ceil(math.log(math.max(layerN, 1L).toDouble / TargetBucket)
       / math.log(2.0)).toInt
-    math.min(8, math.max(3, p))
+    math.min(MaxPlanes, math.max(3, p))
   }
 
   /** Per-band sign-bit buckets of an embedding (array of [[Bands]] ints;
@@ -182,22 +197,37 @@ object Hnsw {
     * mass holds ONE sign pattern (byte-identical vectors — d1's job
     * before indexing, not the graph build's). Approximate where exact
     * is quadratic: a true neighbor outside every shared-bucket ring is
-    * missed — the recall the spec pins vs the brute-force truth. */
+    * missed — the recall the spec pins vs the brute-force truth.
+    *
+    * Coverage guarantee: rings WRAP (pos + d mod bucket size), so every
+    * member of a ≥2-member bucket draws candidates in both directions,
+    * and one extra FALLBACK band buckets purely by id-hash
+    * (~[[TargetBucket]] uniform members per bucket, independent of the
+    * embedding) — a vector whose sign pattern isolates it in every
+    * hyperplane band (an outlier) still gets ring candidates and keeps
+    * a neighbor list; without it such nodes vanished from the adjacency
+    * entirely and were permanently unfindable. */
   private[operators] def knnBucketed(members: DataFrame, layerN: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = planesFor(layerN)
+    val idBuckets = math.max(1L, (layerN + TargetBucket - 1L) / TargetBucket)
     val ringHash = graft.functions.Md5PrefixModF(col("vec_id").cast("string"), 1L << 60)
-    val keyed = members.select(col("vec_id"),
-        posexplode(bandBuckets(col("embedding"), p)).as(Seq("band", "bucket")))
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("band", "bucket").orderBy(ringHash, col("vec_id"))))
+    val banded = members.select(col("vec_id"),
+      posexplode(bandBuckets(col("embedding"), p)).as(Seq("band", "bucket")))
+    val fallback = members.select(col("vec_id"), lit(Bands).as("band"),
+      (ringHash % idBuckets).cast("int").as("bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    val keyed = banded.unionByName(fallback)
+      .withColumn("pos", row_number().over(w.orderBy(ringHash, col("vec_id"))))
+      .withColumn("cnt", count(lit(1)).over(w))
     val right = keyed.select(col("band").as("band_b"),
       col("bucket").as("bucket_b"), col("pos").as("pos_b"), col("vec_id").as("nid"))
     val ring = keyed
       .withColumn("d", explode(array((1 to RingWidth).map(lit(_)): _*)))
       .join(right, col("band") === col("band_b")
         && col("bucket") === col("bucket_b")
-        && col("pos") + col("d") === col("pos_b"))
+        && ((col("pos") - 1 + col("d")) % col("cnt")) + 1 === col("pos_b"))
+      .filter(col("vec_id") =!= col("nid"))
       .select(col("vec_id"), col("nid"))
     // symmetrize + dedup on ids alone (a pair met in several bands or
     // both ring directions scores ONCE), THEN attach the two embeddings
@@ -255,8 +285,8 @@ object Hnsw {
   /** Greedy beam-search read over a prebuilt adjacency for a (qid, qemb)
     * query batch. Returns (qid, rank, neighbor), rank 1..[[K]]. */
   private[operators] def searchFrame(e0: DataFrame, adjAll: DataFrame,
-      queries: DataFrame): DataFrame = {
-    visitedFrame(e0, adjAll, queries).groupBy("qid")
+      queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
+    visitedFrame(e0, adjAll, queries, ef, beamHops).groupBy("qid")
       .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
       .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
@@ -268,11 +298,22 @@ object Hnsw {
     * path reports its top-[[K]]; the incremental insert uses it as the
     * layer-0 candidate pool for a new node's links (HNSW's own insert
     * primitive: insert(v) = search the existing graph with v, then link
-    * to the best of what the search saw). */
+    * to the best of what the search saw). `ef`/`beamHops` are the
+    * serving knobs (defaults [[Ef]]/[[BeamHops]]; s24 publishes their
+    * recall-cost curve).
+    *
+    * Cache ownership: the adjacency is persisted only if the CALLER has
+    * not already persisted it, and — since every frame this returns is
+    * localCheckpoint-backed by construction — any persist taken here is
+    * released before returning; abandoned per-hop checkpoints are
+    * released as the loops advance, so a long shared session accrues no
+    * cached generations (one checkpointed visited frame per call is the
+    * entire residue, and it is the return value). */
   private[operators] def visitedFrame(e0: DataFrame, adjAll: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val adj = adjAll.persist(StorageLevel.MEMORY_AND_DISK)
+    val ownPersist = adjAll.storageLevel == StorageLevel.NONE
+    val adj = if (ownPersist) adjAll.persist(StorageLevel.MEMORY_AND_DISK) else adjAll
     val qs = queries.localCheckpoint()
     // deterministic entry point: max level, then min vec_id
     val entry = e0.withColumn("lvl", levelCol(col("vec_id")))
@@ -292,27 +333,36 @@ object Hnsw {
       val cand = adj.filter(col("layer") === l)
         .join(broadcast(beam.select("qid", "node")), Seq("node"))
         .select(col("qid"), col("nbr").as("node"), col("nemb"))
+      val prev = beam
       beam = scored(cand).unionByName(beam)
         .groupBy("qid")
         .agg(max_by(struct(col("sc"), col("node")), struct(col("sc"), -col("node"))).as("b"))
         .select(col("qid"), col("b.node").as("node"), col("b.sc").as("sc"))
         .localCheckpoint()
+      graft.Checkpoints.release(prev)
     }
-    // layer-0 beam search: expand, score, keep top-Ef of VISITED
+    // layer-0 beam search: expand, score, keep top-ef of VISITED
     val adj0 = adj.filter(col("layer") === 0)
     var visited = beam
-    for (_ <- 1 to BeamHops) {
+    for (_ <- 1 to beamHops) {
       val cand = adj0.join(broadcast(beam.select("qid", "node")), Seq("node"))
         .select(col("qid"), col("nbr").as("node"), col("nemb"))
         .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
         .dropDuplicates("qid", "node")
+      val prev = visited
       visited = visited.unionByName(scored(cand)).localCheckpoint()
       beam = visited
         .groupBy("qid")
-        .agg(TopK.topKByScore(col("sc"), col("node"), Ef).as("nbrs"))
+        .agg(TopK.topKByScore(col("sc"), col("node"), ef).as("nbrs"))
         .select(col("qid"), explode(col("nbrs")).as("node"))
         .join(visited, Seq("qid", "node"))
+      // prev (the previous visited checkpoint — on the first hop, the
+      // final descent beam) is now referenced by nothing: the new
+      // visited materialized from it and beam re-points at the new one
+      graft.Checkpoints.release(prev)
     }
+    graft.Checkpoints.release(qs)
+    if (ownPersist) adj.unpersist(blocking = true)
     visited
   }
 
@@ -432,13 +482,62 @@ object Hnsw {
     // back-link to it. Expressed as a rank override in the top-M cut:
     // pinned candidates score cosine + 4 (cosine ∈ [-1, 1], so every
     // pin outranks every unpinned candidate and pins order among
-    // themselves by true cosine then id — deterministic, and a list of
-    // ≤ M pins is still ≤ M entries).
+    // themselves by true cosine then id — deterministic).
+    //
+    // Pins are CAPACITY-BOUNDED per target node: a pinned list is still
+    // cut at M, so if one existing node is the best-existing-neighbor
+    // of MORE than M batch vectors (a clustered arrival batch — spam
+    // bursts are exactly this shape), the overflow inserts' pins would
+    // silently lose the re-trim — the failure the pin exists to
+    // prevent. Assignment is a deterministic capacity-respecting
+    // cascade over each insert's ranked candidate pool: round r, every
+    // still-unplaced insert proposes its rank-r candidate; per target
+    // node, proposals are accepted in (cosine desc, qid asc) order up
+    // to the node's remaining capacity M − already-accepted. A node
+    // that rejects a proposal is full — re-proposing it later is
+    // pointless, so rejected inserts fall through to their next rank.
+    // Rounds are bounded by the pool depth (≤ 1 + ef·beamHops rows per
+    // insert); an insert whose ENTIRE pool fills up fails LOUDLY
+    // (require) instead of silently becoming an unreachable newcomer.
+    // All frames are batch-sized — the cascade never touches the corpus.
     val back = newLinks.select(col("layer"), col("nbr").as("node"), col("node").as("nbr"))
-    val pins = visited.groupBy("qid")
-      .agg(max_by(col("node"), struct(col("sc"), -col("node"))).as("vstar"))
-      .select(lit(0).as("layer"), col("vstar").as("node"),
-        col("qid").as("nbr"), lit(1).as("pin"))
+    import org.apache.spark.sql.expressions.Window
+    val ranked = visited.withColumn("r", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc").desc, col("node").asc)))
+      .localCheckpoint()
+    val capW = Window.partitionBy("node").orderBy(col("sc").desc, col("qid").asc)
+    val maxRRow = ranked.agg(max(col("r"))).head()
+    val maxR = if (maxRRow.isNullAt(0)) 0 else maxRRow.getInt(0)
+    var unplaced = ranked.filter(col("r") === 1).select("qid").localCheckpoint()
+    var accepted = List.empty[DataFrame]
+    var round = 1
+    while (round <= maxR && !unplaced.isEmpty) {
+      val props = ranked.join(unplaced, Seq("qid"), "left_semi")
+        .filter(col("r") === round)
+      val withUsed = accepted match {
+        case Nil => props.withColumn("used", lit(0L))
+        case fs => props.join(fs.reduce(_ unionByName _)
+            .groupBy("node").agg(count(lit(1)).as("used")), Seq("node"), "left")
+          .na.fill(0L, Seq("used"))
+      }
+      val taken = withUsed.withColumn("j", row_number().over(capW))
+        .filter(col("j") + col("used") <= M)
+        .select("qid", "node").localCheckpoint()
+      accepted ::= taken
+      val prevUnplaced = unplaced
+      unplaced = unplaced.join(taken, Seq("qid"), "left_anti").localCheckpoint()
+      graft.Checkpoints.release(prevUnplaced)
+      round += 1
+    }
+    require(unplaced.isEmpty,
+      s"connectivity pins unplaced for ${unplaced.count()} insert(s): their " +
+        "entire candidate pools are at pin capacity — split the arriving batch")
+    val pinPairs = accepted match {
+      case Nil => ranked.filter(col("r") === 1).select("qid", "node") // empty batch
+      case fs => fs.reduce(_ unionByName _)
+    }
+    val pins = pinPairs
+      .select(lit(0).as("layer"), col("node"), col("qid").as("nbr"), lit(1).as("pin"))
     val touched = newLinks.select("layer", "node")
       .unionByName(back.select("layer", "node"))
       .unionByName(pins.select("layer", "node")).distinct().localCheckpoint()
@@ -476,20 +575,174 @@ object Hnsw {
   def s22FromPersisted(s: SparkSession, dir: String, path: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val batch = insertionBatch(s, dir)
-    searchFrame(e.unionByName(batch),
-      insertBatch(e, s.read.parquet(path), batch),
-      Similarity.externalQueries(s, dir))
+    withCachedAdj(s.read.parquet(path)) { adj =>
+      searchFrame(e.unionByName(batch), insertBatch(e, adj, batch),
+        Similarity.externalQueries(s, dir))
+    }
+  }
+
+  /** Persist an adjacency generation for the duration of `body`, then
+    * release it. Safe because every frame the search/insert machinery
+    * returns is localCheckpoint-backed before `body` returns — the
+    * caller's result never re-reads the cache. Closes the r14 leak
+    * where adjacency generations stayed MEMORY_AND_DISK for the life
+    * of a shared session (two per s22 run). */
+  private def withCachedAdj[A](adjacency: DataFrame)(body: DataFrame => A): A = {
+    import org.apache.spark.storage.StorageLevel
+    val adj = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
+    try body(adj) finally adj.unpersist(blocking = true)
   }
 
   /** s22: the registered one-shot — build, insert the arriving batch,
     * serve the s15 external queries over the UPDATED graph (new nodes
     * are live candidates). Engine-defined graph ⇒ spec class like s21;
-    * the driver records rows-only. */
+    * the driver records rows-only. The OLD adjacency generation is
+    * cached for the run (the insert's beam search AND the bounded
+    * repair both probe it) and released on exit; the updated generation
+    * lives only inside the final searchFrame's own cache window. */
   def s22HnswInsert(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
     val batch = insertionBatch(s, dir)
-    searchFrame(e.unionByName(batch),
-      insertBatch(e, buildAdjacency(e), batch),
-      Similarity.externalQueries(s, dir))
+    withCachedAdj(buildAdjacency(e)) { adj =>
+      searchFrame(e.unionByName(batch), insertBatch(e, adj, batch),
+        Similarity.externalQueries(s, dir))
+    }
+  }
+
+  // ---- s23: graph-index DELETE — the index lifecycle's last verb ----
+
+  /** The planted doomed set: the same id stride the vector store's v5
+    * delete uses (embeddingController.js:99-110 deleteEmbeddings — the
+    * reference deletes vectors by id; the graph index must stop serving
+    * them). ~39 of the corpus ids, including vec_id 0 — which is a
+    * candidate ENTRY point, so the delete also exercises entry
+    * re-selection from the survivors. */
+  def deleteIds: Seq[Long] = Similarity.DeleteIds
+
+  /** Delete a doomed id set from a layered adjacency — hnswlib's
+    * markDelete + repair, as one bounded declarative pass:
+    *
+    *   1. **Mask**: anti-join doomed ids out of BOTH sides of every
+    *      list (a doomed node keeps no list; no surviving list points
+    *      at a doomed id — a serving tier never returns a deleted
+    *      vector, v5's contract applied to the graph).
+    *   2. **Bridge**: a survivor that lost a link to deleted node d
+    *      gains d's own surviving out-neighbors as candidates (the
+    *      in × out bridge through the hole — hnswlib's repair move),
+    *      per layer, by one equi-join on (layer, dnode): candidate
+    *      volume ≤ deleted × M², never corpus-shaped.
+    *   3. **Bounded re-trim**: ONLY the lists that lost a link re-rank
+    *      (surviving remainder ∪ bridge, exact cosine top-[[M]] — the
+    *      s22 repair discipline); everything untouched passes through
+    *      by anti-join, bit-identical.
+    *
+    * The doomed side broadcasts (a delete call is request-sized); the
+    * adjacency streams. Like any masked HNSW, a pathological node whose
+    * ENTIRE list was doomed with no surviving bridge drops its list —
+    * recall over survivors is what the spec pins. */
+  def deleteFromAdjacency(survivors: DataFrame, adj: DataFrame,
+      doomed: DataFrame): DataFrame = {
+    val dN = doomed.select(col("vec_id").as("node"))
+    val dB = doomed.select(col("vec_id").as("nbr"))
+    val masked = adj
+      .join(broadcast(dN), Seq("node"), "left_anti")
+      .join(broadcast(dB), Seq("nbr"), "left_anti")
+    // surviving lists that pointed at a doomed id — the repair set
+    val affected = adj.join(broadcast(dB), Seq("nbr"), "left_semi")
+      .join(broadcast(dN), Seq("node"), "left_anti")
+      .select("layer", "node").distinct()
+    val inL = adj.join(broadcast(dB), Seq("nbr"), "left_semi")
+      .join(broadcast(dN), Seq("node"), "left_anti")
+      .select(col("layer"), col("node"), col("nbr").as("dnode"))
+    val outL = adj.join(broadcast(dN), Seq("node"), "left_semi")
+      .join(broadcast(dB), Seq("nbr"), "left_anti")
+      .select(col("layer"), col("node").as("dnode"), col("nbr"), col("nemb"))
+    val bridge = inL.join(outL, Seq("layer", "dnode"))
+      .filter(col("node") =!= col("nbr"))
+      .select("layer", "node", "nbr", "nemb")
+    val retrimmed = masked.join(affected, Seq("layer", "node"), "left_semi")
+      .unionByName(bridge)
+      .dropDuplicates("layer", "node", "nbr")
+      .join(survivors.select(col("vec_id").as("node"),
+        col("embedding").as("emb_n")), Seq("node"))
+      .groupBy("layer", "node")
+      .agg(TopK.topKByScore(V.cosine(col("emb_n"), col("nemb")), col("nbr"), M)
+        .as("nbrs"))
+      .select(col("layer"), col("node"), explode(col("nbrs")).as("nbr"))
+      .join(survivors.select(col("vec_id").as("nbr"),
+        col("embedding").as("nemb")), Seq("nbr"))
+      .select("layer", "node", "nbr", "nemb")
+    masked.join(affected, Seq("layer", "node"), "left_anti")
+      .unionByName(retrimmed)
+  }
+
+  /** s23: the registered one-shot — build, delete the planted doomed
+    * set, serve the s15 external queries over the SURVIVING graph.
+    * Completes the index lifecycle (build → insert → read → delete:
+    * embeddingController.js:99-122 deleteEmbeddings /
+    * deleteNamespaceEmbeddings). Engine-defined graph ⇒ spec class;
+    * the driver records rows-only. */
+  def s23HnswDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val doomed = e.filter(col("vec_id").isin(deleteIds: _*)).select("vec_id")
+    val survivors = e.filter(!col("vec_id").isin(deleteIds: _*))
+    withCachedAdj(buildAdjacency(e)) { adj =>
+      searchFrame(survivors, deleteFromAdjacency(survivors, adj, doomed),
+        Similarity.externalQueries(s, dir))
+    }
+  }
+
+  /** Deployment twin: delete from the adjacency AS PERSISTED by
+    * [[indexWrite]] — spec-asserted identical to [[s23HnswDelete]]
+    * (the copy-on-write serving-tier shape: the store's v5 delete and
+    * the graph's masked repair read the same truth). */
+  def s23FromPersisted(s: SparkSession, dir: String, path: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val doomed = e.filter(col("vec_id").isin(deleteIds: _*)).select("vec_id")
+    val survivors = e.filter(!col("vec_id").isin(deleteIds: _*))
+    withCachedAdj(s.read.parquet(path)) { adj =>
+      searchFrame(survivors, deleteFromAdjacency(survivors, adj, doomed),
+        Similarity.externalQueries(s, dir))
+    }
+  }
+
+  // ---- s24: the serving-knob receipt — Ef/BeamHops recall-cost curve ----
+
+  /** The published serving settings: (ef, beamHops) from a starved
+    * 1-hop-wide read to 2× the registered default. */
+  val TuningSettings: Seq[(Int, Int)] = Seq((4, 2), (8, 4), (16, 6), (32, 8))
+
+  /** s24: the graph index's serving-knob trade-off — s7's sibling
+    * (IVF's nprobe curve) for the HNSW read path. ONE build, then one
+    * beam-search per (ef, beamHops) setting over the SAME cached
+    * adjacency; each row reports recall@[[K]] vs the s15 brute-force
+    * truth and the visited-set size per query (the cost the knob
+    * actually buys: scored candidates ≈ broadcast-join probes). All
+    * quantities are deterministic (the graph, the walk, and the truth
+    * are), so the curve is rebuild-stable. Engine-defined ⇒ spec class;
+    * the driver records rows-only. */
+  def s24HnswTuning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val qs = Similarity.externalQueries(s, dir)
+    val truth = Similarity.s15ExternalTopK(s, dir)
+      .select("qid", "neighbor").localCheckpoint()
+    val nQ = Similarity.NumExternalQueries.toDouble
+    val total = truth.count().toDouble
+    val rows = withCachedAdj(buildAdjacency(e)) { adj =>
+      TuningSettings.map { case (ef, hops) =>
+        val vis = visitedFrame(e, adj, qs, ef, hops)
+        val got = vis.groupBy("qid")
+          .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
+          .select(col("qid"), explode(col("nbrs")).as("neighbor"))
+        val hits = got.join(truth, Seq("qid", "neighbor"), "left_semi").count()
+        val visitedPerQ = vis.count() / nQ
+        graft.Checkpoints.release(vis)
+        (ef, hops, visitedPerQ, hits / total)
+      }
+    }
+    graft.Checkpoints.release(truth)
+    rows.toDF("ef", "beam_hops", "visited_per_query", "recall_at_5")
+      .orderBy("ef")
   }
 }

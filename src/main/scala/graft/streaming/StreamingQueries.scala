@@ -433,4 +433,96 @@ object StreamingQueries {
       .groupBy("label").agg(count(lit(1)).as("cnt"))
       .orderBy("label")
   }
+
+  // ---- st5: the streaming DEDUP SCREEN — d9's ingest gate, oracle-promoted ----
+
+  private val dedupStageCache = new ConcurrentHashMap[String, String]()
+
+  /** Stage the dedup stream: batch 0 PRIMES the seen-fingerprint state
+    * with the existing corpus (doc_id < 400 — d9's stored dedup index,
+    * replayed as phase-0 rows that emit nothing), batch 1 is d9's new
+    * batch (originals ≥ 400 ∪ planted re-crawls ∪ planted in-batch
+    * copies) as phase-1 rows. Only FINGERPRINTS are staged — the text
+    * never crosses the stream, the d1 fp discipline. Keyed on the
+    * documents stamp (the stage() freshness rule). */
+  private[streaming] def stageDedup(s: SparkSession, dir: String): String = {
+    val stamp = tableStamp(dir, "documents")
+    dedupStageCache.computeIfAbsent(s"$dir|$stamp", _ => {
+      val root = new File(sys.props("java.io.tmpdir"), s"graft-dedup-$stamp")
+      val marker = new File(root, "_STAGED")
+      if (!marker.exists()) {
+        if (root.exists()) root.listFiles().foreach(f => if (f.isFile) f.delete())
+        root.mkdirs()
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+          .localCheckpoint()
+        val t0 = System.currentTimeMillis()
+        writeAs(d.filter(col("doc_id") < 400)
+          .withColumn("phase", lit(0)), root, "batch00.parquet", t0 - 40000)
+        val newBatch = d.filter(col("doc_id") >= 400)
+          .unionByName(d.filter(col("doc_id") < 400 && col("doc_id") % 10 === 0)
+            .select((col("doc_id") + 100000).as("doc_id"), col("fp")))
+          .unionByName(d.filter(col("doc_id") >= 400 && col("doc_id") % 20 === 0)
+            .select((col("doc_id") + 200000).as("doc_id"), col("fp")))
+        writeAs(newBatch.withColumn("phase", lit(1)), root,
+          "batch01.parquet", t0 - 25000)
+        graft.Checkpoints.release(d)
+        java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
+      }
+      root.getAbsolutePath
+    })
+  }
+
+  case class DocFp(doc_id: Long, fp: String, phase: Int)
+  case class FreshDoc(fp: String, doc_id: Long, batch_copies: Long)
+
+  /** The streaming dedup gate: one boolean of keyed state per seen
+    * fingerprint. A micro-batch's rows for an UNSEEN fp with no phase-0
+    * (priming) row emit ONE survivor — min doc_id with the in-batch
+    * copy count (d9's collapse contract); any later arrival of that fp
+    * is swallowed by state. Exactly-once comes from the checkpointed
+    * file source: each staged file is one committed micro-batch. */
+  def dedupGate(docs: org.apache.spark.sql.Dataset[DocFp])
+      : org.apache.spark.sql.Dataset[FreshDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[Boolean, FreshDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[DocFp], state: GroupState[Boolean]) =>
+          val rs = rows.toSeq
+          val seen = state.getOption.getOrElse(false)
+          val priming = rs.exists(_.phase == 0)
+          val fresh = rs.filter(_.phase == 1)
+          state.update(true)
+          if (!seen && !priming && fresh.nonEmpty)
+            Iterator(FreshDoc(fp, fresh.map(_.doc_id).min, fresh.size.toLong))
+          else Iterator.empty
+      }
+  }
+
+  /** st5: d9's incremental dedup screen as a REAL streaming query — the
+    * ingest loop's dedup gate (embeddingController.js:10-31
+    * addEmbeddedText checks existence before inserting; at corpus scale
+    * that check is a streamed fingerprint screen against the stored
+    * index). Batch 0 primes state with the existing corpus, batch 1
+    * streams the arriving crawl through it; survivors ≡ d9's batch
+    * output, gated by d9's own DuckDB oracle — the st1-st4
+    * oracle-promotion move, completing the streaming family: rollup,
+    * session, join, upsert, and now the dedup screen.
+    *
+    * Scale: state is one boolean per DISTINCT fingerprint — the stored
+    * dedup index a deployment already keeps (d15's bloom front would
+    * cut its memory 10×); emission is survivor-bound. The min/count
+    * collapse happens INSIDE each fp group's iterator — arrival order
+    * within a micro-batch never changes the winner. */
+  def st5StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val staged = stageDedup(s, dir)
+    val sch = s.read.parquet(s"$staged/batch00.parquet").schema
+    val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(staged).as[DocFp]
+    runToTable(s, dedupGate(src).toDF(), OutputMode.Append())
+      .select(col("doc_id"), col("fp"), col("batch_copies"))
+      .orderBy("doc_id")
+  }
 }

@@ -66,6 +66,33 @@ class HnswInsertSpec extends SparkSpec {
     assert(oldUntouched == newUntouched)
   }
 
+  test("s22 clustered batch: capacity-bounded pins keep every insert reachable") {
+    // the adversarial arrival shape (spam burst): InsertBatchSize
+    // near-copies of ONE corpus vector — every insert's best existing
+    // neighbor is the same node, so naive pinning would keep only the
+    // top-M back-links and silently orphan the rest; the cascade must
+    // spill pins across each insert's ranked pool instead
+    val anchor = e.filter(col("vec_id") === 2).select(col("embedding").as("base"))
+    val batch = spark.range(Hnsw.InsertBatchSize).crossJoin(anchor)
+      .select((col("id") + 300000L).as("vec_id"),
+        transform(col("base"), (x, j) =>
+          when(j === 0, (x.cast("double") + (col("id") + lit(1)).cast("double")
+            / lit(1000.0)).cast("float")).otherwise(x)).as("embedding"))
+    val adj2 = Hnsw.insertBatch(e, Hnsw.buildAdjacency(e), batch)
+      .localCheckpoint()
+    val degMax = adj2.groupBy("layer", "node").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head().getLong(0)
+    assert(degMax <= Hnsw.M)
+    // every inserted vector keeps >= 1 in-link FROM THE OLD GRAPH — the
+    // reachability guarantee the pin exists for
+    val inFromOld = adj2.filter(col("layer") === 0
+        && col("nbr") >= 300000L && col("node") < 300000L)
+      .select("nbr").distinct().as[Long].collect().toSet
+    val batchIds = (0L until Hnsw.InsertBatchSize.toLong).map(_ + 300000L).toSet
+    assert(inFromOld == batchIds,
+      s"orphaned inserts: ${batchIds -- inFromOld}")
+  }
+
   test("s22 registered query: determinism, shape, and recall over the updated corpus") {
     val r1 = Hnsw.s22HnswInsert(spark, sfDir).collect()
     val r2 = Hnsw.s22HnswInsert(spark, sfDir).collect()

@@ -25,10 +25,34 @@ object HnswScaleProbe {
     time("build_bucketed") {
       Hnsw.buildAdjacency(e).write.format("noop").mode("overwrite").save()
     }
-    if (!args.contains("--bucketed-only"))
+    if (!args.contains("--bucketed-only") && !args.contains("--recall-only"))
       time("build_exact") {
         Hnsw.buildAdjacencyExact(e).write.format("noop").mode("overwrite").save()
       }
+    // --recall / --recall-only: the REGISTERED build's read recall at
+    // this scale (where the bucketed path actually runs). Replicated
+    // scale corpora carry exact-duplicate vectors, so recall is
+    // TIE-ROBUST: a returned neighbor counts as a hit iff its TRUE
+    // cosine clears the query's 5th-best brute-force cosine — id
+    // mismatches among equal-scoring replicas are not misses.
+    if (args.contains("--recall") || args.contains("--recall-only")) {
+      val corpus = e // `functions._` below shadows `e` with Euler's constant
+      import org.apache.spark.sql.functions._
+      val cos = graft.functions.VectorExpressions.cosine _
+      val qs = Similarity.externalQueries(s, dir)
+      val got = Hnsw.searchFrame(corpus, Hnsw.buildAdjacency(corpus), qs)
+      val nemb = corpus.select(col("vec_id").as("neighbor"), col("embedding").as("nemb"))
+      val gotScored = got.join(nemb, Seq("neighbor")).join(qs, Seq("qid"))
+        .select(col("qid"), cos(col("qemb"), col("nemb")).as("sc"))
+      val thr = Similarity.bruteTopKFrame(corpus, qs, Hnsw.K, excludeSelf = false)
+        .join(nemb, Seq("neighbor")).join(qs, Seq("qid"))
+        .groupBy("qid").agg(min(cos(col("qemb"), col("nemb"))).as("thr"))
+      val joined = gotScored.join(thr, Seq("qid"))
+      val hits = joined.filter(col("sc") >= col("thr") - 1e-9).count()
+      val total = joined.count()
+      println(f"bucketed_recall@${Hnsw.K} = ${hits.toDouble / total}%.3f " +
+        s"(hits=$hits/$total)")
+    }
     s.stop()
   }
 }

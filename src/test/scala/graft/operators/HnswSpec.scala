@@ -69,6 +69,19 @@ class HnswSpec extends SparkSpec {
     assert(degMax <= Hnsw.M)
   }
 
+  test("bucketed build covers every member: no node vanishes from the adjacency") {
+    // the fallback id-hash band's contract: a vector whose sign pattern
+    // isolates it in every hyperplane band still keeps a neighbor list
+    // AND appears as someone's neighbor (symmetrized candidates) — the
+    // insert/delete invariants rely on full coverage
+    val adj = Hnsw.buildAdjacencyImpl(e, 0L)
+    val memberIds = e.select("vec_id").as[Long].collect().toSet
+    val nodes = adj.filter(col("layer") === 0)
+      .select("node").distinct().as[Long].collect().toSet
+    assert(nodes == memberIds,
+      s"layer-0 coverage: ${memberIds.size - nodes.size} member(s) lost a list")
+  }
+
   test("bucketed-build recall@5 vs the s15 brute-force truth") {
     // force the bucketed candidate path on every layer (threshold 0) and
     // run the FULL registered read over the resulting graph — the number
@@ -104,14 +117,59 @@ class HnswSpec extends SparkSpec {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     assert(!plan.contains("CartesianProduct"), "cartesian in registered build")
     assert(bnlj <= 2, s"layer 0 planned a nested-loop join ($bnlj BNLJ nodes)")
-    assert(plan.contains("dropDuplicates") || bnlj <= 2) // bucketed path present
+    // positive marker of the ring equi-join: the per-(band, bucket)
+    // row_number window the bucketed candidate path sorts through
+    assert(plan.contains("row_number"), "bucketed ring path missing from plan")
   }
 
-  test("planesFor targets the bucket population and clamps to [3, 8]") {
+  test("planesFor keeps the ~256-member bucket target at any layer size") {
     assert(Hnsw.planesFor(1L) == 3)
     assert(Hnsw.planesFor(500L) == 3)
     assert(Hnsw.planesFor(20000L) == 7) // log2(20000/256) = 6.3 -> 7
-    assert(Hnsw.planesFor(100000000L) == 8)
+    assert(Hnsw.planesFor(200000L) == 10) // the sf10 layer the old clamp=8 broke
+    assert(Hnsw.planesFor(100000000L) == 19)
+    assert(Hnsw.planesFor(Long.MaxValue / 4) == Hnsw.MaxPlanes)
+    // the population bound the target exists for: expected members per
+    // bucket = layerN / 2^p stays within [TargetBucket/2, TargetBucket]
+    // wherever the clamp doesn't bind
+    Seq(10000L, 100000L, 1000000L, 50000000L).foreach { n =>
+      val perBucket = n.toDouble / (1L << Hnsw.planesFor(n))
+      assert(perBucket <= Hnsw.TargetBucket && perBucket > Hnsw.TargetBucket / 2.0,
+        s"layerN=$n -> $perBucket per bucket")
+    }
+  }
+
+  test("s21 leaves no explicitly-persisted residue in a shared session") {
+    // the adjacency cache is call-scoped (persisted inside visitedFrame,
+    // released before it returns) — a long-lived service session must
+    // not accrue MEMORY_AND_DISK generations across s21/s22/s23 calls.
+    // localCheckpoint blocks are excluded: they are the documented
+    // per-call result residue, released hop-over-hop by the loops.
+    def persisted: Set[Int] = spark.sparkContext.getPersistentRDDs
+      .filter { case (_, r) => !r.isCheckpointed }.keySet.toSet
+    val before = persisted
+    Hnsw.s21HnswTopK(spark, sfDir).collect()
+    val leaked = persisted -- before
+    assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
+  }
+
+  test("s24 tuning curve: deterministic; cost grows with ef; top setting serves") {
+    val r1 = Hnsw.s24HnswTuning(spark, sfDir).collect()
+    val r2 = Hnsw.s24HnswTuning(spark, sfDir).collect()
+    assert(r1.sameElements(r2))
+    assert(r1.length == Hnsw.TuningSettings.size)
+    val byEf = r1.map(r => (r.getInt(0), r.getDouble(2), r.getDouble(3)))
+    assert(byEf.map(_._1).sameElements(Hnsw.TuningSettings.map(_._1).sorted))
+    // the knob buys candidates: visited-set size strictly grows across
+    // the published range, and recall never degrades end-to-end
+    assert(byEf.last._2 > byEf.head._2,
+      s"visited/query flat across ef: ${byEf.toSeq}")
+    byEf.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"visited/query shrank: ${byEf.toSeq}") }
+    assert(byEf.last._3 >= byEf.head._3, s"recall curve inverted: ${byEf.toSeq}")
+    assert(byEf.last._3 >= 0.70, f"max-setting recall = ${byEf.last._3}%.3f")
+    byEf.foreach { case (_, v, rec) =>
+      assert(v > 0 && rec >= 0.0 && rec <= 1.0) }
   }
 
   test("s21 registered query: shape, ranks, and run-to-run determinism") {

@@ -25,6 +25,18 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got == Set(("fpA", 1L), ("fpB", 3L), ("fpC", 4L)))
   }
 
+  test("st5: the staged streaming screen emits exactly d9's batch output") {
+    // the registered oracle-promoted row: batch 0 primes state with the
+    // existing corpus, batch 1 streams d9's new batch through the gate —
+    // the emitted survivors must equal the batch operator bit-for-bit
+    // (the same DuckDB oracle gates both)
+    val got = StreamingQueries.st5StreamDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val want = graft.operators.Dedup.d9IncrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("dedupAgainstStore drops stored fingerprints, then first-wins within the stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
