@@ -40,14 +40,22 @@ import graft.functions.{TopK, VectorExpressions => V}
   *     (knnExact vs knnBucketed — the candidates-then-exact trade
   *     every large-scale kNN-graph build makes, recall spec-pinned).
   *
+  *   - **Exact-collapse-first** ([[distinctCorpus]]): the graph indexes
+  *     one canonical id per DISTINCT embedding; the read re-expands
+  *     hits to replica ids. Duplicate vectors otherwise form closed
+  *     cosine-1.0 cliques that disconnect layer 0 (measured: recall
+  *     0.10 on the 10×-replicated sf1 corpus) — the d1 discipline,
+  *     applied to the index.
+  *
   * Read path (the serving contract): greedy DESCENT through the upper
   * layers (per layer, [[DescentHops]] hops of beam width 1 from the
-  * deterministic entry point — the max-level, min-id node), then a
-  * [[BeamHops]]-hop beam search of width [[Ef]] over the layer-0
-  * graph; report top-[[K]] of everything visited. Each hop is one
-  * broadcast join of the (queries × beam)-sized frontier against the
-  * persisted adjacency — the corpus is never shuffled at read time,
-  * and the visited set is (queries × Ef × hops)-bounded.
+  * deterministic entry point — the max-layer, min-id node of the
+  * adjacency), then a [[BeamHops]]-hop beam search of width [[Ef]]
+  * over the layer-0 graph; report top-[[K]] of everything visited,
+  * expanded to replicas. Each hop is one broadcast join of the
+  * (queries × beam)-sized frontier against the persisted adjacency —
+  * the corpus is never shuffled at read time, and the visited set is
+  * (queries × Ef × hops)-bounded.
   *
   * Scale: the per-layer top-M aggregates are map-combined with O(n·M)
   * output; the upper-layer all-pairs is quadratic only in n/base^l. At
@@ -65,11 +73,19 @@ object Hnsw {
   /** Max level (levels 0..MaxLevel). */
   val MaxLevel = 2
 
-  /** Read-path widths. */
+  /** Read-path widths. [[DescentHops]]/[[BeamHops]] are CAPS: the walk
+    * terminates early at its fixed point (descent: the greedy step
+    * stops improving for every query; beam: a hop adds no unvisited
+    * node — hnswlib's own dynamic termination, re-expressed on
+    * materialized frames). A fixed small hop count was the r14 form,
+    * and it silently truncated the walk on corpora a few times larger
+    * than spec scale: HNSW's read is O(log n) HOPS BY DESIGN, so the
+    * budget must follow the corpus, not a constant (measured at the
+    * 20k-distinct perturbed sf1: recall@5 0.20 with 6 fixed hops). */
   val Ef = 16
   val K = 5
-  val DescentHops = 2
-  val BeamHops = 6
+  val DescentHops = 12
+  val BeamHops = 32
 
   /** Node level: trailing base-8 zeros of the 60-bit md5 id-hash, capped
     * at [[MaxLevel]]. A pure function of vec_id — rebuild-deterministic. */
@@ -139,9 +155,64 @@ object Hnsw {
       }.reduce(_ + _)
     }: _*)
 
+  /** Candidate-pool width of the diverse neighbor cut: the top-[[PruneC]]
+    * by cosine enter the pruning; the pairwise stage is C²-bounded per
+    * node, never candidate-stream-shaped. */
+  val PruneC = 24
+
+  /** DIVERSE top-[[M]] neighbor cut — Malkov & Yashunin Alg. 4's
+    * SELECT-NEIGHBORS-HEURISTIC in its order-independent "dominated
+    * candidate" form (the pruning rule NSG / DiskANN use): from the
+    * top-[[PruneC]] candidates by cosine, drop any candidate that is
+    * closer to a HIGHER-RANKED candidate than to the base node — it is
+    * reachable THROUGH that candidate, so keeping it buys a redundant
+    * intra-cluster edge instead of an outward one. Plain top-M is the
+    * known failure mode on clustered corpora: a tight cosine cluster
+    * fills every member's list with its own clique, layer 0 degenerates
+    * into disconnected islands, and the beam cannot navigate the final
+    * approach (measured on the perturbed near-duplicate sf1 corpus:
+    * recall@5 = 0.20 with plain top-M). The pruned list keeps ~1 link
+    * into each nearby cluster plus the chain through its own — the
+    * navigable small-world HNSW's own insert heuristic maintains.
+    *
+    * Scale shape: the top-C cut is the same map-combined bounded
+    * aggregate as plain top-M (the candidate stream never materializes
+    * past it); the pairwise stage joins C×C rows per node — C²-bounded,
+    * embedding payloads attach to C rows per node only. The top-1
+    * candidate is never dominated, so every node keeps ≥ 1 neighbor
+    * (coverage is preserved). */
+  private def diverseTopM(cands: DataFrame, members: DataFrame): DataFrame = {
+    // the (possibly n²) candidate stream is consumed EXACTLY ONCE, by
+    // the bounded map-combined top-C aggregate; everything after works
+    // on n × C rows (a self-join formulation would re-plan the stream
+    // per reference — measured: 3 copies of the exact layer's BNLJ)
+    val topC = cands.groupBy("node")
+      .agg(TopK.topKByScore(col("sc"), col("nid"), PruneC).as("cs"))
+      .select(col("node"), posexplode(col("cs")).as(Seq("r", "nid")))
+    val packed = topC
+      .join(members.select(col("vec_id").as("nid"), col("embedding").as("cemb")),
+        Seq("nid"))
+      .groupBy("node")
+      .agg(sort_array(collect_list(struct(col("r"), col("nid"), col("cemb"))))
+        .as("cs"))
+      .join(members.select(col("vec_id").as("node"), col("embedding").as("bemb")),
+        Seq("node"))
+    // the cut itself is one array expression per node: candidate c at
+    // rank i survives iff NO higher-ranked candidate is closer to c
+    // than the base node is; keep the first M survivors in rank order
+    packed.select(col("node"),
+        slice(filter(col("cs"), (c, i) =>
+          !exists(slice(col("cs"), lit(1), i), p =>
+            V.cosine(c.getField("cemb"), p.getField("cemb"))
+              > V.cosine(c.getField("cemb"), col("bemb")))),
+          1, M).as("kept"))
+      .select(col("node"), explode(col("kept.nid")).as("nbr"))
+  }
+
   /** Exact within-layer kNN: all-pairs self-join → codegen'd cosine →
-    * bounded top-[[M]] aggregate. Quadratic by definition — the truth
-    * form below [[BucketedThreshold]] and the spec cross-check above. */
+    * bounded top-[[PruneC]] aggregate → diverse top-[[M]] cut. Quadratic
+    * by definition — the truth form below [[BucketedThreshold]] and the
+    * spec cross-check above. */
   private def knnExact(members: DataFrame): DataFrame = {
     // spread the STREAM side of the all-pairs join explicitly: the
     // corpus arrives as a handful of input splits (a 20k-row parquet
@@ -155,11 +226,10 @@ object Hnsw {
     val par = members.sparkSession.sparkContext.defaultParallelism * 4
     val spread = members.repartition(par, col("vec_id"))
     val other = members.select(col("vec_id").as("nid"), col("embedding").as("nemb"))
-    spread.join(other, col("vec_id") =!= col("nid"))
-      .groupBy(col("vec_id").as("node"))
-      .agg(TopK.topKByScore(V.cosine(col("embedding"), col("nemb")), col("nid"), M)
-        .as("nbrs"))
-      .select(col("node"), explode(col("nbrs")).as("nbr"))
+    val cands = spread.join(other, col("vec_id") =!= col("nid"))
+      .select(col("vec_id").as("node"), col("nid"),
+        V.cosine(col("embedding"), col("nemb")).as("sc"))
+    diverseTopM(cands, members)
   }
 
   /** Ring half-width of the bucketed candidate generation: each node
@@ -234,18 +304,42 @@ object Hnsw {
     val cands = ring.unionByName(
         ring.select(col("nid").as("vec_id"), col("vec_id").as("nid")))
       .dropDuplicates("vec_id", "nid")
-    cands
+    val scoredCands = cands
       .join(members.select(col("vec_id"), col("embedding").as("emb_n")), Seq("vec_id"))
       .join(members.select(col("vec_id").as("nid"), col("embedding").as("nemb")), Seq("nid"))
-      .groupBy(col("vec_id").as("node"))
-      .agg(TopK.topKByScore(V.cosine(col("emb_n"), col("nemb")), col("nid"), M)
-        .as("nbrs"))
-      .select(col("node"), explode(col("nbrs")).as("nbr"))
+      .select(col("vec_id").as("node"), col("nid"),
+        V.cosine(col("emb_n"), col("nemb")).as("sc"))
+    diverseTopM(scoredCands, members)
   }
 
-  /** The layered adjacency: (layer, node, nbr, nemb). Each (layer, node)
-    * carries ≤ [[M]] neighbors, exact-cosine-ranked (ties by vec_id asc
-    * — the TopKByScore contract) within the layer's candidate set.
+  /** Exact-collapse-first (the d1 discipline, applied to the index):
+    * one canonical representative — min vec_id — per DISTINCT embedding.
+    * Exact-duplicate vectors are the one input that breaks a plain
+    * top-[[M]] neighbor graph STRUCTURALLY: each copy's M nearest
+    * neighbors are its own replicas at cosine 1.0, so replicated mass
+    * forms CLOSED cliques, layer 0 degenerates into a disconnected
+    * archipelago, and the beam strands inside whichever clique the
+    * descent lands in (measured on the 10×-replicated sf1 corpus:
+    * recall@5 fell to 0.10 — one replica of the true neighbor found,
+    * its tied copies unreachable). hnswlib sidesteps this with its
+    * insert-order diversity heuristic; the deterministic relational
+    * build collapses instead: the graph indexes DISTINCT vectors, and
+    * the read path re-expands canonical hits to replica ids (identical
+    * embeddings share the canonical's score by definition). One
+    * embedding-keyed window per BUILD — never at read time. */
+  private[operators] def distinctCorpus(e0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    e0.withColumn("__canon",
+        min(col("vec_id")).over(Window.partitionBy("embedding")))
+      .filter(col("vec_id") === col("__canon"))
+      .select("vec_id", "embedding")
+  }
+
+  /** The layered adjacency: (layer, node, nbr, nemb) over the DISTINCT
+    * corpus ([[distinctCorpus]] — node ids are canonical ids). Each
+    * (layer, node) carries ≤ [[M]] neighbors, exact-cosine-ranked (ties
+    * by vec_id asc — the TopKByScore contract) within the layer's
+    * candidate set.
     *
     * Per layer the candidate path is chosen by EXPECTED layer size
     * (n / base^l, one corpus count): above [[BucketedThreshold]] the
@@ -264,11 +358,12 @@ object Hnsw {
 
   private[operators] def buildAdjacencyImpl(e0: DataFrame,
       bucketedAbove: Long): DataFrame = {
-    val n = e0.count()
-    val e = e0.withColumn("lvl", levelCol(col("vec_id")))
+    val dist = distinctCorpus(e0)
+    val n = dist.count()
+    val e = dist.withColumn("lvl", levelCol(col("vec_id")))
     val layers = (0 to MaxLevel).map { l =>
       val members =
-        if (l == 0) e0.select("vec_id", "embedding")
+        if (l == 0) dist.select("vec_id", "embedding")
         else e.filter(col("lvl") >= l).select("vec_id", "embedding")
       val expected = (n / math.pow(LayerBase.toDouble, l.toDouble)).toLong
       val knn = if (expected > bucketedAbove) knnBucketed(members, expected)
@@ -278,16 +373,34 @@ object Hnsw {
     // attach neighbor embeddings once, so read-time scoring never joins
     // back to the corpus
     layers
-      .join(e0.select(col("vec_id").as("nbr"), col("embedding").as("nemb")), Seq("nbr"))
+      .join(dist.select(col("vec_id").as("nbr"), col("embedding").as("nemb")), Seq("nbr"))
       .select("layer", "node", "nbr", "nemb")
   }
 
   /** Greedy beam-search read over a prebuilt adjacency for a (qid, qemb)
-    * query batch. Returns (qid, rank, neighbor), rank 1..[[K]]. */
+    * query batch. Returns (qid, rank, neighbor), rank 1..[[K]].
+    *
+    * The graph indexes DISTINCT vectors ([[distinctCorpus]]), so the
+    * read re-expands: top-[[K]] CANONICALS first (replicas share their
+    * canonical's cosine, so the id-level top-K can only come from the
+    * top-K canonicals), then replicas by embedding equality against the
+    * corpus with the (queries × K)-sized candidate set BROADCAST — two
+    * corpus scans, zero corpus shuffles at read time. On a corpus with
+    * no duplicate embeddings the expansion is the identity. */
   private[operators] def searchFrame(e0: DataFrame, adjAll: DataFrame,
       queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
-    visitedFrame(e0, adjAll, queries, ef, beamHops).groupBy("qid")
+    val visited = visitedFrame(e0, adjAll, queries, ef, beamHops)
+    val topCanon = visited.groupBy("qid")
       .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
+      .select(col("qid"), explode(col("nbrs")).as("node"))
+      .join(visited, Seq("qid", "node"))
+    val candEmb = e0.select(col("vec_id").as("node"), col("embedding").as("cemb"))
+      .join(broadcast(topCanon.select("node").distinct()), Seq("node"))
+    val cands = topCanon.join(candEmb, Seq("node"))
+      .select(col("qid"), col("sc"), col("cemb"))
+    e0.join(broadcast(cands), col("embedding") === col("cemb"))
+      .groupBy("qid")
+      .agg(TopK.topKByScore(col("sc"), col("vec_id"), K).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
       .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
       .orderBy("qid", "rank")
@@ -302,23 +415,39 @@ object Hnsw {
     * serving knobs (defaults [[Ef]]/[[BeamHops]]; s24 publishes their
     * recall-cost curve).
     *
-    * Cache ownership: the adjacency is persisted only if the CALLER has
-    * not already persisted it, and — since every frame this returns is
-    * localCheckpoint-backed by construction — any persist taken here is
-    * released before returning; abandoned per-hop checkpoints are
-    * released as the loops advance, so a long shared session accrues no
-    * cached generations (one checkpointed visited frame per call is the
-    * entire residue, and it is the return value). */
+    * Cache ownership: the adjacency is checkpointed only if the CALLER
+    * has not already cached/checkpointed it, and — since every frame
+    * this returns is localCheckpoint-backed by construction — any cache
+    * taken here is released before returning; abandoned per-hop
+    * checkpoints are released as the loops advance, so a long shared
+    * session accrues no cached generations (one checkpointed visited
+    * frame per call is the entire residue, and it is the return
+    * value). */
   private[operators] def visitedFrame(e0: DataFrame, adjAll: DataFrame,
       queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val ownPersist = adjAll.storageLevel == StorageLevel.NONE
-    val adj = if (ownPersist) adjAll.persist(StorageLevel.MEMORY_AND_DISK) else adjAll
+    // The adjacency must enter the loops CHECKPOINT-BACKED, not as a
+    // lazy (even persisted) plan: every per-hop localCheckpoint rewrites
+    // its LogicalRDD stats from the CHILD PLAN's stats (Spark's
+    // rewriteStatsAndConstraints), and a lazy adjacency embeds the whole
+    // build tree in every hop — its self-join sizeInBytes products feed
+    // back through each hop's checkpoint, so the stat DOUBLES ITS DIGIT
+    // COUNT per hop and by hop ~25 the driver grinds on million-digit
+    // BigInteger multiplies (measured: a ~90 s read became a >50 min
+    // hang). A checkpoint truncates both the lineage and the stats.
+    val preOwned = adjAll.storageLevel != StorageLevel.NONE ||
+      adjAll.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    val adj = if (preOwned) adjAll else adjAll.localCheckpoint()
     val qs = queries.localCheckpoint()
-    // deterministic entry point: max level, then min vec_id
-    val entry = e0.withColumn("lvl", levelCol(col("vec_id")))
-      .orderBy(col("lvl").desc, col("vec_id").asc).limit(1)
-      .select(col("vec_id").as("node"), col("embedding").as("nemb"))
+    // deterministic entry point: max layer, then min node — read off the
+    // ADJACENCY (a node's top layer IS its id-hash level), so the entry
+    // is always a graph node even when e0 carries replicas or survivors
+    // of a delete; its embedding attaches by one broadcast-sized join
+    val entry = broadcast(adj.select(col("layer"), col("node"))
+        .orderBy(col("layer").desc, col("node").asc).limit(1))
+      .join(e0.select(col("vec_id").as("node"), col("embedding").as("nemb")),
+        Seq("node"))
+      .select("node", "nemb")
     // visited frames carry (qid, node, score_micro-ish double) — scored
     // once on arrival, never re-scored
     def scored(cand: DataFrame): DataFrame =
@@ -326,43 +455,69 @@ object Hnsw {
         .select(col("qid"), col("node"), V.cosine(col("qemb"), col("nemb")).as("sc"))
     var beam = scored(qs.select(col("qid")).crossJoin(entry))
       .localCheckpoint()
-    // descent: per upper layer, DescentHops greedy (beam-1) hops
-    for (l <- MaxLevel to 1 by -1; _ <- 1 to DescentHops) {
-      // frontier is (queries × beam)-sized: BROADCAST it against the
-      // persisted adjacency — the corpus side is streamed, never shuffled
-      val cand = adj.filter(col("layer") === l)
-        .join(broadcast(beam.select("qid", "node")), Seq("node"))
-        .select(col("qid"), col("nbr").as("node"), col("nemb"))
-      val prev = beam
-      beam = scored(cand).unionByName(beam)
-        .groupBy("qid")
-        .agg(max_by(struct(col("sc"), col("node")), struct(col("sc"), -col("node"))).as("b"))
-        .select(col("qid"), col("b.node").as("node"), col("b.sc").as("sc"))
-        .localCheckpoint()
-      graft.Checkpoints.release(prev)
+    // descent: per upper layer, greedy (beam-1) hops to a FIXED POINT —
+    // stop once no query's best node moved (cap DescentHops)
+    for (l <- MaxLevel to 1 by -1) {
+      var hop = 0
+      var converged = false
+      while (hop < DescentHops && !converged) {
+        // frontier is (queries × beam)-sized: BROADCAST it against the
+        // persisted adjacency — the corpus side is streamed, never shuffled
+        val cand = adj.filter(col("layer") === l)
+          .join(broadcast(beam.select("qid", "node")), Seq("node"))
+          .select(col("qid"), col("nbr").as("node"), col("nemb"))
+        val prev = beam
+        val prevIds = prev.select(col("qid"), col("node").as("pnode"))
+        beam = scored(cand).unionByName(beam)
+          .groupBy("qid")
+          .agg(max_by(struct(col("sc"), col("node")), struct(col("sc"), -col("node"))).as("b"))
+          .select(col("qid"), col("b.node").as("node"), col("b.sc").as("sc"))
+          .localCheckpoint()
+        converged = beam.join(prevIds, Seq("qid"))
+          .filter(col("node") =!= col("pnode")).isEmpty
+        graft.Checkpoints.release(prev)
+        hop += 1
+      }
     }
-    // layer-0 beam search: expand, score, keep top-ef of VISITED
+    // layer-0 beam search: expand, score, keep top-ef of VISITED; stop
+    // once a hop adds no unvisited node (the beam's whole neighborhood
+    // is explored — the fixed point; cap beamHops)
     val adj0 = adj.filter(col("layer") === 0)
     var visited = beam
-    for (_ <- 1 to beamHops) {
+    var exhausted = false
+    var hop = 0
+    while (hop < beamHops && !exhausted) {
+      val before = visited.count()
       val cand = adj0.join(broadcast(beam.select("qid", "node")), Seq("node"))
         .select(col("qid"), col("nbr").as("node"), col("nemb"))
         .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
         .dropDuplicates("qid", "node")
       val prev = visited
-      visited = visited.unionByName(scored(cand)).localCheckpoint()
+      // coalesce before the checkpoint: the union is shuffle-free, so
+      // without it each hop ADDS its candidate scan's partitions to the
+      // visited frame — by hop 30 every tiny job schedules thousands of
+      // near-empty tasks (measured: the 200k-corpus read ground to
+      // ~minutes per hop on scheduling overhead alone)
+      visited = visited.unionByName(scored(cand)).coalesce(16).localCheckpoint()
+      exhausted = visited.count() == before
+      // (qid, node) only — re-attaching sc via a join back to visited
+      // would SQUARE the checkpoint-stat feedback each hop (every
+      // localCheckpoint rewrites stats from its child plan; a visited
+      // self-join makes the sizeInBytes digit count double per hop and
+      // the driver ends up multiplying million-digit BigIntegers —
+      // measured as a >50 min planning hang by hop ~25)
       beam = visited
         .groupBy("qid")
         .agg(TopK.topKByScore(col("sc"), col("node"), ef).as("nbrs"))
         .select(col("qid"), explode(col("nbrs")).as("node"))
-        .join(visited, Seq("qid", "node"))
       // prev (the previous visited checkpoint — on the first hop, the
       // final descent beam) is now referenced by nothing: the new
       // visited materialized from it and beam re-points at the new one
       graft.Checkpoints.release(prev)
+      hop += 1
     }
     graft.Checkpoints.release(qs)
-    if (ownPersist) adj.unpersist(blocking = true)
+    if (!preOwned) graft.Checkpoints.release(adj)
     visited
   }
 
@@ -447,6 +602,11 @@ object Hnsw {
     * one-shot), self-findability of every inserted vector, degree
     * bounds, determinism, and read recall over the updated graph. */
   def insertBatch(e0: DataFrame, adj: DataFrame, batch: DataFrame): DataFrame = {
+    // the graph indexes DISTINCT vectors: all membership scoring and
+    // repair runs over the canonical corpus (an arriving batch is
+    // assumed pre-collapsed — the st5/d9 dedup screen is the ingest
+    // gate that guarantees it)
+    val dist = distinctCorpus(e0)
     val b = batch.withColumn("lvl", levelCol(col("vec_id"))).localCheckpoint()
     // 1. layer-0 candidates: beam-search visited ∪ within-batch pairs
     val visited = visitedFrame(e0, adj,
@@ -461,7 +621,7 @@ object Hnsw {
       .select(lit(0).as("layer"), col("qid").as("node"), explode(col("nbrs")).as("nbr"))
     // 2. upper layers: exact against the (thin) layer membership
     val upperLinks = (1 to MaxLevel).map { l =>
-      val exMembers = e0.withColumn("lvl", levelCol(col("vec_id")))
+      val exMembers = dist.withColumn("lvl", levelCol(col("vec_id")))
         .filter(col("lvl") >= l)
         .select(col("vec_id").as("mid"), col("embedding").as("memb"))
       val bMembers = b.filter(col("lvl") >= l)
@@ -541,7 +701,7 @@ object Hnsw {
     val touched = newLinks.select("layer", "node")
       .unionByName(back.select("layer", "node"))
       .unionByName(pins.select("layer", "node")).distinct().localCheckpoint()
-    val union = e0.unionByName(batch.select("vec_id", "embedding"))
+    val union = dist.unionByName(batch.select("vec_id", "embedding"))
     val affected = adj.select("layer", "node", "nbr")
       .join(touched, Seq("layer", "node"), "left_semi")
       .unionByName(newLinks).unionByName(back)
@@ -588,9 +748,13 @@ object Hnsw {
     * where adjacency generations stayed MEMORY_AND_DISK for the life
     * of a shared session (two per s22 run). */
   private def withCachedAdj[A](adjacency: DataFrame)(body: DataFrame => A): A = {
-    import org.apache.spark.storage.StorageLevel
-    val adj = adjacency.persist(StorageLevel.MEMORY_AND_DISK)
-    try body(adj) finally adj.unpersist(blocking = true)
+    // localCheckpoint, not persist: a persisted frame keeps its full
+    // build tree as the LOGICAL plan, which both re-plans per hop and
+    // feeds exploding sizeInBytes stats into every downstream
+    // checkpoint (see visitedFrame); the checkpoint is eager, so the
+    // generation is also fully materialized before the reads start
+    val adj = adjacency.localCheckpoint()
+    try body(adj) finally graft.Checkpoints.release(adj)
   }
 
   /** s22: the registered one-shot — build, insert the arriving batch,
@@ -708,9 +872,11 @@ object Hnsw {
 
   // ---- s24: the serving-knob receipt — Ef/BeamHops recall-cost curve ----
 
-  /** The published serving settings: (ef, beamHops) from a starved
-    * 1-hop-wide read to 2× the registered default. */
-  val TuningSettings: Seq[(Int, Int)] = Seq((4, 2), (8, 4), (16, 6), (32, 8))
+  /** The published serving settings: ef from a starved beam to 2× the
+    * registered default, each run to its convergence fixed point under
+    * the standard hop cap — ef IS the knob; the walk length adapts. */
+  val TuningSettings: Seq[(Int, Int)] =
+    Seq((4, BeamHops), (8, BeamHops), (16, BeamHops), (32, BeamHops))
 
   /** s24: the graph index's serving-knob trade-off — s7's sibling
     * (IVF's nprobe curve) for the HNSW read path. ONE build, then one

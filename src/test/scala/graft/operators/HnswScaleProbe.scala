@@ -3,7 +3,16 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Dev probe (r14 receipt): bucketed vs exact HNSW build wall time at a
-  * given sf dir. Usage: Test/runMain graft.operators.HnswScaleProbe <dir> */
+  * given sf dir. Usage: Test/runMain graft.operators.HnswScaleProbe <dir>
+  * [--bucketed-only] [--recall|--recall-only] [--perturb]
+  *
+  * --perturb makes every replica DISTINCT (dim 0 += replica-index/1000,
+  * replica index = vec_id / 10M per tools/gen_sf1.py's offset): the
+  * scale dirs replicate 2000 distinct vectors, which the collapse-first
+  * build reduces back below the bucketed threshold — the perturbed
+  * corpus is the honest bucketed-path receipt: full-cardinality,
+  * CLUSTERED (each replica family is a tight cosine cluster — the shape
+  * that broke all-pairs-within-bucket in r14). */
 object HnswScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/repo/data/sf1")
@@ -13,7 +22,15 @@ object HnswScaleProbe {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")), 32).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    val e = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val raw = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val e = if (args.contains("--perturb")) {
+      import org.apache.spark.sql.{functions => F}
+      raw.select(F.col("vec_id"), F.transform(F.col("embedding"), (x, j) =>
+        F.when(j === 0, (x.cast("double")
+          + F.floor(F.col("vec_id") / 10000000L).cast("double") / 1000.0)
+          .cast("float"))
+          .otherwise(x)).as("embedding"))
+    } else raw
     println("N=" + e.count())
     def time(label: String)(f: => Unit): Unit = {
       f // warmup
@@ -39,8 +56,11 @@ object HnswScaleProbe {
       val corpus = e // `functions._` below shadows `e` with Euler's constant
       import org.apache.spark.sql.functions._
       val cos = graft.functions.VectorExpressions.cosine _
+      val ef = args.sliding(2).collectFirst {
+        case Array("--ef", v) => v.toInt }.getOrElse(Hnsw.Ef)
       val qs = Similarity.externalQueries(s, dir)
-      val got = Hnsw.searchFrame(corpus, Hnsw.buildAdjacency(corpus), qs)
+      val got = Hnsw.searchFrame(corpus, Hnsw.buildAdjacency(corpus), qs,
+        ef, Hnsw.BeamHops)
       val nemb = corpus.select(col("vec_id").as("neighbor"), col("embedding").as("nemb"))
       val gotScored = got.join(nemb, Seq("neighbor")).join(qs, Seq("qid"))
         .select(col("qid"), cos(col("qemb"), col("nemb")).as("sc"))

@@ -139,6 +139,47 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("replicated corpus: build collapses to canonicals; reads expand with recall") {
+    // exact-duplicate mass is the one input that structurally breaks a
+    // plain top-M graph (closed cosine-1.0 cliques — measured recall
+    // 0.10 at the 10x-replicated sf1 before collapse-first). Pin both
+    // halves of the fix: the adjacency over corpus ∪ replicas is
+    // IDENTICAL to the unreplicated build (canonical = min id = the
+    // original), and the read over the replicated corpus returns
+    // replica ids with tie-robust recall (a returned id is a hit iff
+    // its TRUE cosine clears the query's 5th-best brute-force cosine)
+    val rep = e
+      .unionByName(e.select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      .unionByName(e.select((col("vec_id") + 20000000L).as("vec_id"), col("embedding")))
+    val a = Hnsw.buildAdjacency(e).select("layer", "node", "nbr")
+      .as[(Int, Long, Long)].collect().toSet
+    val b = Hnsw.buildAdjacency(rep).select("layer", "node", "nbr")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(a == b && a.nonEmpty, "replicated build diverged from canonical build")
+    val qs = Similarity.externalQueriesFrame(e)
+    val got = Hnsw.searchFrame(rep, Hnsw.buildAdjacency(rep), qs)
+    val nemb = rep.select(col("vec_id").as("neighbor"), col("embedding").as("nemb"))
+    val cosTo = got.join(nemb, Seq("neighbor"))
+      .join(qs, Seq("qid"))
+      .select(col("qid"),
+        graft.functions.VectorExpressions.cosine(col("qemb"), col("nemb")).as("sc"))
+    val thr = Similarity.bruteTopKFrame(rep, qs, Hnsw.K, excludeSelf = false)
+      .join(nemb, Seq("neighbor")).join(qs, Seq("qid"))
+      .groupBy("qid")
+      .agg(min(graft.functions.VectorExpressions.cosine(col("qemb"), col("nemb")))
+        .as("thr"))
+    val joined = cosTo.join(thr, Seq("qid")).select(
+      (col("sc") >= col("thr") - 1e-9).cast("int").as("hit"))
+    val hits = joined.agg(sum(col("hit"))).head().getLong(0)
+    val total = joined.count()
+    val recall = hits.toDouble / total
+    assert(recall >= 0.70, f"replicated-corpus tie-robust recall@5 = $recall%.3f")
+    // and no replica family floods a result list: ranks stay 1..K per query
+    val byQ = got.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_.getInt(1)).sorted.sameElements(1 to Hnsw.K)) }
+  }
+
   test("s21 leaves no explicitly-persisted residue in a shared session") {
     // the adjacency cache is call-scoped (persisted inside visitedFrame,
     // released before it returns) — a long-lived service session must
