@@ -388,22 +388,39 @@ object Hnsw {
     * corpus scans, zero corpus shuffles at read time. On a corpus with
     * no duplicate embeddings the expansion is the identity. */
   private[operators] def searchFrame(e0: DataFrame, adjAll: DataFrame,
-      queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
-    val visited = visitedFrame(e0, adjAll, queries, ef, beamHops)
+      queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame =
+    expandTopK(e0, visitedFrame(e0, adjAll, queries, ef, beamHops))
+      .orderBy("qid", "rank")
+
+  /** The read's REPORTING half, shared by [[searchFrame]] and the s24
+    * curve (which must score the SAME ids the serving path returns —
+    * scoring canonical node ids directly would measure a different
+    * id set than s21 serves on any corpus with duplicate embeddings):
+    * top-[[K]] canonicals of a visited set, re-expanded to replica ids.
+    * Returns (qid, rank, neighbor), rank 1..[[K]], unordered. */
+  private[operators] def expandTopK(e0: DataFrame, visited: DataFrame): DataFrame = {
     val topCanon = visited.groupBy("qid")
       .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
       .select(col("qid"), explode(col("nbrs")).as("node"))
       .join(visited, Seq("qid", "node"))
     val candEmb = e0.select(col("vec_id").as("node"), col("embedding").as("cemb"))
       .join(broadcast(topCanon.select("node").distinct()), Seq("node"))
+    // dedup on (qid, cemb): two graph nodes CAN carry identical
+    // embeddings (insertBatch collapses only the pre-existing corpus, so
+    // a batch vector duplicating a corpus vector becomes a second node
+    // for the same embedding), and both can land in the top-K — without
+    // the dedup every replica row would join BOTH cands rows and one
+    // neighbor could occupy two of the K ranks. Scores of the duplicate
+    // rows are equal by construction (same embedding ⇒ same cosine), so
+    // dropping either is value-stable.
     val cands = topCanon.join(candEmb, Seq("node"))
       .select(col("qid"), col("sc"), col("cemb"))
+      .dropDuplicates("qid", "cemb")
     e0.join(broadcast(cands), col("embedding") === col("cemb"))
       .groupBy("qid")
       .agg(TopK.topKByScore(col("sc"), col("vec_id"), K).as("nbrs"))
       .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
       .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
-      .orderBy("qid", "rank")
   }
 
   /** The beam search's VISITED set — (qid, node, sc) for every node the
@@ -425,7 +442,6 @@ object Hnsw {
     * value). */
   private[operators] def visitedFrame(e0: DataFrame, adjAll: DataFrame,
       queries: DataFrame, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     // The adjacency must enter the loops CHECKPOINT-BACKED, not as a
     // lazy (even persisted) plan: every per-hop localCheckpoint rewrites
     // its LogicalRDD stats from the CHILD PLAN's stats (Spark's
@@ -434,9 +450,12 @@ object Hnsw {
     // back through each hop's checkpoint, so the stat DOUBLES ITS DIGIT
     // COUNT per hop and by hop ~25 the driver grinds on million-digit
     // BigInteger multiplies (measured: a ~90 s read became a >50 min
-    // hang). A checkpoint truncates both the lineage and the stats.
-    val preOwned = adjAll.storageLevel != StorageLevel.NONE ||
-      adjAll.queryExecution.analyzed.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
+    // hang). A checkpoint truncates both the lineage and the stats —
+    // and ONLY a checkpoint does: a merely-persisted frame keeps its
+    // full logical plan and its stats, so persistence alone must NOT
+    // skip the checkpoint here (it would reinstate the feedback).
+    val preOwned = adjAll.queryExecution.analyzed
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]
     val adj = if (preOwned) adjAll else adjAll.localCheckpoint()
     val qs = queries.localCheckpoint()
     // deterministic entry point: max layer, then min node — read off the
@@ -784,8 +803,21 @@ object Hnsw {
   def deleteIds: Seq[Long] = Similarity.DeleteIds
 
   /** Delete a doomed id set from a layered adjacency — hnswlib's
-    * markDelete + repair, as one bounded declarative pass:
+    * markDelete + repair, as one bounded declarative pass. `doomed`
+    * must carry (vec_id, embedding) — the embedding drives the rename
+    * step below.
     *
+    *   0. **Re-canonicalize**: a doomed id can be the CANONICAL of a
+    *      duplicate-embedding family whose OTHER replicas survive (the
+    *      collapse-first build indexes min vec_id per distinct
+    *      embedding). Masking such a node would strand its surviving
+    *      replicas — the read's re-expansion can only reach them
+    *      through the graph node — so the node is RENAMED to the
+    *      family's new min surviving id instead (same embedding, so
+    *      every list and score is unchanged); only ids whose whole
+    *      family is doomed proceed to the mask. The rename map is
+    *      request-sized (≤ |doomed| rows) and broadcasts; survivors
+    *      stream once.
     *   1. **Mask**: anti-join doomed ids out of BOTH sides of every
     *      list (a doomed node keeps no list; no surviving list points
     *      at a doomed id — a serving tier never returns a deleted
@@ -806,19 +838,36 @@ object Hnsw {
     * recall over survivors is what the spec pins. */
   def deleteFromAdjacency(survivors: DataFrame, adj: DataFrame,
       doomed: DataFrame): DataFrame = {
-    val dN = doomed.select(col("vec_id").as("node"))
-    val dB = doomed.select(col("vec_id").as("nbr"))
-    val masked = adj
+    // 0. rename doomed canonicals with surviving identical-embedding
+    // replicas to the family's new min surviving id (rename, not mask —
+    // the family stays servable through the renamed node)
+    val renames = survivors
+      .join(broadcast(doomed.select(col("embedding"), col("vec_id").as("old"))),
+        Seq("embedding"))
+      .groupBy("old").agg(min(col("vec_id")).as("repl"))
+    val rnNode = renames.select(col("old").as("node"), col("repl"))
+    val rnNbr = renames.select(col("old").as("nbr"), col("repl").as("replb"))
+    val adjR = adj
+      .join(broadcast(rnNode), Seq("node"), "left")
+      .withColumn("node", coalesce(col("repl"), col("node"))).drop("repl")
+      .join(broadcast(rnNbr), Seq("nbr"), "left")
+      .withColumn("nbr", coalesce(col("replb"), col("nbr"))).drop("replb")
+    // ids still doomed after the rename: their entire family is deleted
+    val dIds = doomed.select("vec_id")
+      .join(renames.select(col("old").as("vec_id")), Seq("vec_id"), "left_anti")
+    val dN = dIds.select(col("vec_id").as("node"))
+    val dB = dIds.select(col("vec_id").as("nbr"))
+    val masked = adjR
       .join(broadcast(dN), Seq("node"), "left_anti")
       .join(broadcast(dB), Seq("nbr"), "left_anti")
     // surviving lists that pointed at a doomed id — the repair set
-    val affected = adj.join(broadcast(dB), Seq("nbr"), "left_semi")
+    val affected = adjR.join(broadcast(dB), Seq("nbr"), "left_semi")
       .join(broadcast(dN), Seq("node"), "left_anti")
       .select("layer", "node").distinct()
-    val inL = adj.join(broadcast(dB), Seq("nbr"), "left_semi")
+    val inL = adjR.join(broadcast(dB), Seq("nbr"), "left_semi")
       .join(broadcast(dN), Seq("node"), "left_anti")
       .select(col("layer"), col("node"), col("nbr").as("dnode"))
-    val outL = adj.join(broadcast(dN), Seq("node"), "left_semi")
+    val outL = adjR.join(broadcast(dN), Seq("node"), "left_semi")
       .join(broadcast(dB), Seq("nbr"), "left_anti")
       .select(col("layer"), col("node").as("dnode"), col("nbr"), col("nemb"))
     val bridge = inL.join(outL, Seq("layer", "dnode"))
@@ -848,7 +897,7 @@ object Hnsw {
     * the driver records rows-only. */
   def s23HnswDelete(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val doomed = e.filter(col("vec_id").isin(deleteIds: _*)).select("vec_id")
+    val doomed = e.filter(col("vec_id").isin(deleteIds: _*))
     val survivors = e.filter(!col("vec_id").isin(deleteIds: _*))
     withCachedAdj(buildAdjacency(e)) { adj =>
       searchFrame(survivors, deleteFromAdjacency(survivors, adj, doomed),
@@ -862,7 +911,7 @@ object Hnsw {
     * the graph's masked repair read the same truth). */
   def s23FromPersisted(s: SparkSession, dir: String, path: String): DataFrame = {
     val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
-    val doomed = e.filter(col("vec_id").isin(deleteIds: _*)).select("vec_id")
+    val doomed = e.filter(col("vec_id").isin(deleteIds: _*))
     val survivors = e.filter(!col("vec_id").isin(deleteIds: _*))
     withCachedAdj(s.read.parquet(path)) { adj =>
       searchFrame(survivors, deleteFromAdjacency(survivors, adj, doomed),
@@ -898,9 +947,10 @@ object Hnsw {
     val rows = withCachedAdj(buildAdjacency(e)) { adj =>
       TuningSettings.map { case (ef, hops) =>
         val vis = visitedFrame(e, adj, qs, ef, hops)
-        val got = vis.groupBy("qid")
-          .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
-          .select(col("qid"), explode(col("nbrs")).as("neighbor"))
+        // score through the SERVING reporter (expandTopK), not raw
+        // canonical node ids: on a corpus with duplicate embeddings the
+        // published curve must measure the ids s21 actually returns
+        val got = expandTopK(e, vis).select("qid", "neighbor")
         val hits = got.join(truth, Seq("qid", "neighbor"), "left_semi").count()
         val visitedPerQ = vis.count() / nQ
         graft.Checkpoints.release(vis)

@@ -24,7 +24,7 @@ class HnswDeleteSpec extends SparkSpec {
     .select("vec_id", "embedding")
   private lazy val doomedIds = Hnsw.deleteIds.toSet
   private lazy val doomed =
-    e.filter(col("vec_id").isin(Hnsw.deleteIds: _*)).select("vec_id")
+    e.filter(col("vec_id").isin(Hnsw.deleteIds: _*))
   private lazy val survivors =
     e.filter(!col("vec_id").isin(Hnsw.deleteIds: _*))
 
@@ -56,6 +56,59 @@ class HnswDeleteSpec extends SparkSpec {
       .select("layer", "node").distinct().count()
     assert(repaired >= lostAll * 9 / 10,
       s"repair dropped too many lists: $repaired of $lostAll survive")
+  }
+
+  test("s23 rename: deleting a canonical with surviving replicas keeps the family servable") {
+    // replicate every 20th vector (id+100000, the d5 planting scheme);
+    // the collapse-first build indexes the ORIGINAL id as the family's
+    // canonical. Deleting that canonical must RENAME the graph node to
+    // the surviving replica — masking it would make the replica
+    // permanently unservable (the read's re-expansion reaches replicas
+    // only through the family's graph node).
+    val replicas = e.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val corpus = e.unionByName(replicas)
+    val doomIds = Seq(0L, 20L, 40L)
+    val doom = corpus.filter(col("vec_id").isin(doomIds: _*))
+    val surv = corpus.filter(!col("vec_id").isin(doomIds: _*))
+    val adj = Hnsw.buildAdjacency(corpus).localCheckpoint()
+    val adj2 = Hnsw.deleteFromAdjacency(surv, adj, doom).localCheckpoint()
+    assert(adj2.filter(col("node").isin(doomIds: _*)
+      || col("nbr").isin(doomIds: _*)).count() == 0)
+    // the renamed node carries the family's new min surviving id
+    doomIds.foreach { d =>
+      assert(adj2.filter(col("node") === (d + 100000)).count() > 0,
+        s"family node for deleted canonical $d was masked, not renamed")
+    }
+    // a query AT the deleted vector's position must return the surviving
+    // replica first (identical embedding ⇒ cosine 1.0, unique in corpus)
+    val qs = e.filter(col("vec_id").isin(doomIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val got = Hnsw.searchFrame(surv, adj2, qs).collect()
+    doomIds.foreach { d =>
+      val top = got.filter(r => r.getLong(0) == d && r.getInt(1) == 1)
+        .map(_.getLong(2))
+      assert(top.sameElements(Array(d + 100000)),
+        s"query at deleted canonical $d served ${top.mkString(",")}, " +
+          s"expected surviving replica ${d + 100000}")
+    }
+    graft.Checkpoints.release(adj)
+    graft.Checkpoints.release(adj2)
+  }
+
+  test("expandTopK: duplicate-embedding graph nodes never occupy two ranks") {
+    // two graph nodes CAN carry identical embeddings after insertBatch
+    // (only the pre-existing corpus is collapsed); the reporter must not
+    // let one replica id fill two of the K ranks through both nodes
+    val e0 = Seq((1L, Array(1f, 0f)), (2L, Array(1f, 0f)), (3L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val visited = Seq((7L, 1L, 0.9), (7L, 2L, 0.9), (7L, 3L, 0.5))
+      .toDF("qid", "node", "sc")
+    val rows = Hnsw.expandTopK(e0, visited).collect()
+    val ids = rows.map(_.getLong(2))
+    assert(ids.length == ids.distinct.length,
+      s"duplicate neighbor ids across ranks: ${ids.mkString(",")}")
+    assert(ids.toSet == Set(1L, 2L, 3L))
   }
 
   test("s23 twins: persisted-index delete == one-shot delete") {
