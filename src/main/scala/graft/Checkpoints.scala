@@ -17,4 +17,14 @@ object Checkpoints {
     df.queryExecution.analyzed.collectFirst {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
+
+  /** Unpersist EVERY localCheckpoint referenced by a frame's plan — for
+    * results that have been copied out (e.g. written to a file): a loop
+    * body whose helper returns a lazy frame over its own internal
+    * checkpoints (the CC label frames) can release the whole residue in
+    * one call once nothing will read the frame again. */
+  def releaseAll(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

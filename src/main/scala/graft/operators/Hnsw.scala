@@ -134,12 +134,13 @@ object Hnsw {
     }
 
   /** Planes per band for a layer of `layerN` members: enough buckets to
-    * hold ~[[TargetBucket]] members each, clamped to [3, [[MaxPlanes]]]
-    * — p grows as ceil(log2(layerN / TargetBucket)), so bucket
-    * population stays ~[[TargetBucket]] and the per-bucket row_number
-    * sort keeps ~n/256 tasks of bounded size at ANY corpus scale. */
-  private[operators] def planesFor(layerN: Long): Int = {
-    val p = math.ceil(math.log(math.max(layerN, 1L).toDouble / TargetBucket)
+    * hold ~`target` members each (default [[TargetBucket]]), clamped to
+    * [3, [[MaxPlanes]]] — p grows as ceil(log2(layerN / target)), so
+    * bucket population stays ~target and the per-bucket row_number
+    * sort keeps ~n/target tasks of bounded size at ANY corpus scale. */
+  private[operators] def planesFor(layerN: Long,
+      target: Long = TargetBucket): Int = {
+    val p = math.ceil(math.log(math.max(layerN, 1L).toDouble / target)
       / math.log(2.0)).toInt
     math.min(MaxPlanes, math.max(3, p))
   }
@@ -147,7 +148,7 @@ object Hnsw {
   /** Per-band sign-bit buckets of an embedding (array of [[Bands]] ints;
     * band b uses planes [b·p, (b+1)·p)). Pure function of the vector —
     * the bucketed build stays rebuild-deterministic. */
-  private def bandBuckets(emb: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
+  private[operators] def bandBuckets(emb: org.apache.spark.sql.Column, p: Int): org.apache.spark.sql.Column =
     array((0 until Bands).map { b =>
       (0 until p).map { i =>
         when(V.dot(emb, typedlit(hnswPlanes(b * p + i))) > 0d, lit(1 << i))
@@ -278,27 +279,7 @@ object Hnsw {
     * a neighbor list; without it such nodes vanished from the adjacency
     * entirely and were permanently unfindable. */
   private[operators] def knnBucketed(members: DataFrame, layerN: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val p = planesFor(layerN)
-    val idBuckets = math.max(1L, (layerN + TargetBucket - 1L) / TargetBucket)
-    val ringHash = graft.functions.Md5PrefixModF(col("vec_id").cast("string"), 1L << 60)
-    val banded = members.select(col("vec_id"),
-      posexplode(bandBuckets(col("embedding"), p)).as(Seq("band", "bucket")))
-    val fallback = members.select(col("vec_id"), lit(Bands).as("band"),
-      (ringHash % idBuckets).cast("int").as("bucket"))
-    val w = Window.partitionBy("band", "bucket")
-    val keyed = banded.unionByName(fallback)
-      .withColumn("pos", row_number().over(w.orderBy(ringHash, col("vec_id"))))
-      .withColumn("cnt", count(lit(1)).over(w))
-    val right = keyed.select(col("band").as("band_b"),
-      col("bucket").as("bucket_b"), col("pos").as("pos_b"), col("vec_id").as("nid"))
-    val ring = keyed
-      .withColumn("d", explode(array((1 to RingWidth).map(lit(_)): _*)))
-      .join(right, col("band") === col("band_b")
-        && col("bucket") === col("bucket_b")
-        && ((col("pos") - 1 + col("d")) % col("cnt")) + 1 === col("pos_b"))
-      .filter(col("vec_id") =!= col("nid"))
-      .select(col("vec_id"), col("nid"))
+    val ring = ringCandidates(members, layerN, RingWidth)
     // symmetrize + dedup on ids alone (a pair met in several bands or
     // both ring directions scores ONCE), THEN attach the two embeddings
     val cands = ring.unionByName(
@@ -310,6 +291,79 @@ object Hnsw {
       .select(col("vec_id").as("node"), col("nid"),
         V.cosine(col("emb_n"), col("nemb")).as("sc"))
     diverseTopM(scoredCands, members)
+  }
+
+  /** The bucketed candidate generator, factored so the near-dup collapse
+    * ([[nearDupCollapse]]) can draw the same skew-proof candidate stream
+    * with its own ring width AND bucket granularity: per band, each
+    * member pairs with its next `width` successors in id-hash order
+    * within its bucket (wrapping). Returns one-directional (vec_id, nid)
+    * pairs — ≤ (Bands+1) × width × n rows regardless of bucket skew.
+    *
+    * `target` sizes the buckets; `fineOrder` picks the within-bucket
+    * ring ordering:
+    *
+    *   - The BUILD orders by id-hash (`fineOrder = false`): a bounded
+    *     UNIFORM sample of the bucket co-members is the right candidate
+    *     distribution for a top-M neighbor list.
+    *   - The COLLAPSE orders by the band-bucket profile ROTATED to
+    *     start at the next band (`fineOrder = true` — the
+    *     sorted-neighborhood move): id-hash order only finds kin a
+    *     family DOMINATING its bucket, and real sign-pattern buckets
+    *     SKEW (organic vectors share popular patterns — measured:
+    *     10-member families at ~2% density inside skew buckets
+    *     fragmented 3-ways, rep-level recall 0.18). Family members
+    *     agree on the whole profile, so lexicographic profile order
+    *     makes them CONTIGUOUS inside every bucket regardless of skew.
+    *     The rotation is the healing guarantee for MARGINAL planes: a
+    *     plane near zero for a family splits its band-k bucket value by
+    *     ±2^i — numerically far, so in a FIXED lexicographic order
+    *     interlopers separate the two runs and the split member draws
+    *     zero kin candidates anywhere (measured: 12% of members
+    *     edge-isolated, 25% of families fragmented). Under rotation,
+    *     band k+1's window sorts by the four coordinates the family
+    *     AGREES on before reaching bs[k], so its tie-group is
+    *     family-sized, the split runs land adjacent, and the ring spans
+    *     the boundary. The fallback id-hash band gets the same
+    *     ordering, turning it from useless-for-collapse (kin never
+    *     co-bucket at random) into a sorted-neighborhood pass over a
+    *     random slice that carries the profile coordinate (bs[0]) no
+    *     hyperplane window can put last. */
+  private[operators] def ringCandidates(members: DataFrame, layerN: Long,
+      width: Int, target: Long = TargetBucket,
+      fineOrder: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = planesFor(layerN, target)
+    val idBuckets = math.max(1L, (layerN + target - 1L) / target)
+    val ringHash = graft.functions.Md5PrefixModF(col("vec_id").cast("string"), 1L << 60)
+    val profiled = members.select(col("vec_id"), bandBuckets(col("embedding"), p).as("bs"))
+    val banded = profiled
+      .select(col("vec_id"), col("bs"), posexplode(col("bs")).as(Seq("band", "bucket")))
+    val fallback = profiled.select(col("vec_id"), col("bs"),
+      lit(Bands).as("band"), (ringHash % idBuckets).cast("int").as("bucket"))
+    val w = Window.partitionBy("band", "bucket")
+    // rotated profile: (bs[band+1], bs[band+2], ..., bs[band]) — for
+    // hyperplane band b the own-bucket coordinate lands last (constant
+    // within the window anyway); for the fallback band the rotation is
+    // the full profile starting at bs[1]
+    val rotated = array((0 until Bands).map { j =>
+      element_at(col("bs"), pmod(col("band") + 1 + j, lit(Bands)) + 1)
+    }: _*)
+    val order = if (fineOrder) Seq(rotated, ringHash, col("vec_id"))
+                else Seq(ringHash, col("vec_id"))
+    val keyed = banded.unionByName(fallback)
+      .withColumn("pos", row_number().over(w.orderBy(order: _*)))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .drop("bs")
+    val right = keyed.select(col("band").as("band_b"),
+      col("bucket").as("bucket_b"), col("pos").as("pos_b"), col("vec_id").as("nid"))
+    keyed
+      .withColumn("d", explode(array((1 to width).map(lit(_)): _*)))
+      .join(right, col("band") === col("band_b")
+        && col("bucket") === col("bucket_b")
+        && ((col("pos") - 1 + col("d")) % col("cnt")) + 1 === col("pos_b"))
+      .filter(col("vec_id") =!= col("nid"))
+      .select(col("vec_id"), col("nid"))
   }
 
   /** Exact-collapse-first (the d1 discipline, applied to the index):
@@ -960,5 +1014,227 @@ object Hnsw {
     graft.Checkpoints.release(truth)
     rows.toDF("ef", "beam_hops", "visited_per_query", "recall_at_5")
       .orderBy("ef")
+  }
+
+  // ---- p11: near-dup collapse → index → serve (the composed pipeline) ----
+
+  /** Near-duplicate threshold of the p11 collapse — the d5/d11 family
+    * convention (nothing organic in the corpus crosses it; every
+    * planted/perturbed replica family does). */
+  val CollapseTau = 0.99
+
+  /** Ring width of the collapse's candidate stream: collapse needs
+    * CONNECTIVITY inside each near-dup family, not a full kNN list, so
+    * a narrower ring than the build's [[RingWidth]] suffices (wrapping
+    * rings keep every ≥2-member bucket connected in both directions)
+    * and cuts the verified-edge volume the component step carries. */
+  val CollapseRing = 8
+
+  /** Bucket target of the collapse's candidate stream — fine enough
+    * that a near-dup family DOMINATES its own bucket (see
+    * [[ringCandidates]]: id-hash ring pairing connects a family only at
+    * high within-bucket density; measured on the 200×30 planted fixture,
+    * the build's 256 target left 1818 of 6000 rows uncollapsed — 9
+    * fragments per family — while 32 collapses to ~1 rep per family).
+    * At [[MaxPlanes]] the target degrades gracefully: past ~2^20·32
+    * distinct vectors per index, bucket density falls and families
+    * fragment — costing graph size, never recall (fragments are still
+    * near-dups of each other and the read rescores members exactly). */
+  val CollapseTargetBucket = 32L
+
+  /** NEAR-DUP COLLAPSE — d5/d11's discipline packaged for the index:
+    * map every vector to a family representative (the min vec_id
+    * reachable through cosine->[[CollapseTau]] edges), so the graph can
+    * index one node per near-duplicate FAMILY instead of one per near-
+    * tie member. Dense near-dup clusters are the one corpus shape that
+    * defeats M=6 graph navigation structurally (measured: 100-member
+    * colinear chains at 200k → recall@5 0.06 at ef=64 — the documented
+    * r15 limit): the diverse cut keeps the graph connected, but the
+    * walk cannot thread 100 near-tie members per cluster within any
+    * affordable beam. Collapsing first removes the chains from the
+    * graph entirely; the read re-expands hits to family members with
+    * EXACT rescoring, so near-tie members are still served id-level.
+    *
+    * Mechanics: exact-collapse window (the [[distinctCorpus]] move,
+    * kept as a member map) → ring-bounded banded candidates over the
+    * distinct corpus ([[ringCandidates]] — ≤ (Bands+1)·ring·n pairs,
+    * skew-proof) → cosine-verified edges → min-id connected components
+    * ([[Dedup.connectedComponentsStar]], O(log n) star rounds) →
+    * (vec_id, embedding, rep) over the FULL corpus (exact replicas
+    * inherit their canonical's family). Below [[BucketedThreshold]]
+    * the candidate stream is the exact all-pairs form (the knnExact
+    * precedent). Approximate exactly like the build: a near-dup pair
+    * outside every shared-bucket ring stays split — two family reps
+    * instead of one, which costs graph size, never recall. */
+  /** Rounds cap of the iterated collapse — the contraction is geometric
+    * (each round merges ring-reachable kin; measured ~9× on 100-member
+    * chain families), so the cap is a loud-failure backstop, not a
+    * budget the loop approaches. */
+  val CollapseRounds = 8
+
+  /** Rep-count threshold below which a collapse round goes exact
+    * all-pairs. Higher than the build's [[BucketedThreshold]] because
+    * the exact COLLAPSE round is one cosine pass + CC (no per-node
+    * top-M machinery — ≤ 8192² ≈ 67M codegen'd cosines), and because
+    * the bucketed rounds legitimately stall just above 4096: two
+    * chain-DISTANT fragments of one family can differ on a marginal
+    * plane in every band (that is what fragmented them), so only the
+    * exact pass can close the last gap (measured: the 200k × 100-chain
+    * corpus contracts 200k → 22.5k → 4664 bucketed, then sits — 2.3
+    * fragments per family — until the exact round lands it at 2000). */
+  val CollapseExactThreshold = 8192L
+
+  private[operators] def nearDupCollapse(e0: DataFrame,
+      tau: Double = CollapseTau): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exact = e0.withColumn("ecanon",
+        min(col("vec_id")).over(Window.partitionBy("embedding")))
+      .localCheckpoint()
+    // one collapse round over a rep set: candidate pairs → τ-verified
+    // edges → min-id components → (old id, new rep id)
+    def collapseRound(dist: DataFrame, n: Long): DataFrame = {
+      val cands =
+        if (n > CollapseExactThreshold)
+          // canonical orientation BEFORE dedup (least/greatest, the
+          // knnBucketed symmetrize-first discipline): ring pairs arrive
+          // one-directionally in WINDOW order, so filtering on id order
+          // instead would drop every pair that happened to be emitted
+          // id-descending — measured: half of all kin pairs lost, 12% of
+          // members edge-isolated, 29% of families fragmented
+          ringCandidates(dist, n, CollapseRing, CollapseTargetBucket,
+              fineOrder = true)
+            .select(least(col("vec_id"), col("nid")).as("vec_id"),
+              greatest(col("vec_id"), col("nid")).as("nid"))
+            .dropDuplicates("vec_id", "nid")
+        else {
+          // exact all-pairs (spread like knnExact: the n² stream must
+          // not inherit the corpus's few input splits)
+          val par = dist.sparkSession.sparkContext.defaultParallelism * 4
+          dist.repartition(par, col("vec_id"))
+            .join(dist.select(col("vec_id").as("nid")), col("vec_id") < col("nid"))
+            .select("vec_id", "nid")
+        }
+      val edges = cands
+        .join(dist.select(col("vec_id"), col("embedding").as("ea")), Seq("vec_id"))
+        .join(dist.select(col("vec_id").as("nid"), col("embedding").as("eb")), Seq("nid"))
+        .filter(V.cosine(col("ea"), col("eb")) > tau)
+        .select(col("vec_id").as("u"), col("nid").as("v"))
+      Dedup.connectedComponentsStar(edges)
+    }
+    // ITERATE to a fixed point: one bucketed round cannot merge a whole
+    // near-dup family when the family is a long near-tie CHAIN — a
+    // marginal hyperplane splits the chain into per-band segments and
+    // the segment combinations fragment combinatorially (measured at
+    // the 200k × 100-member chains: 9 fragments per family after one
+    // round). But fragments of one family are near-dups of EACH OTHER,
+    // so re-collapsing the rep set contracts the chain geometrically;
+    // once the rep set fits under [[BucketedThreshold]] the exact
+    // all-pairs round finishes the job in one pass. This is transitive
+    // τ-closure (the d7 cluster semantic) computed by contraction.
+    //
+    // Round boundaries go through a PARQUET round-trip, not a chain of
+    // localCheckpoints: each round's candidate/CC tree references its
+    // input many times, so chained checkpoints compound their Catalyst
+    // sizeInBytes stats multiplicatively round over round — by the
+    // read phase the driver was grinding million-digit BigInteger
+    // multiplies inside stats estimation (the visitedFrame trap, in
+    // loop-of-loops form). A file-backed scan restarts every round
+    // from honest file stats; the frames written are rep-sized (the
+    // corpus never rewrites — round 1 reads the corpus-derived distinct
+    // frame directly and only its contracted rep set is persisted).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-collapse")
+    val spark = e0.sparkSession
+    def roundTrip(df: DataFrame, tag: String): DataFrame = {
+      val path = tmp.resolve(tag).toString
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    }
+    var reps = roundTrip(exact.filter(col("vec_id") === col("ecanon"))
+      .select("vec_id", "embedding"), "reps_init")
+    var nReps = reps.count()
+    var renames = List.empty[DataFrame] // (rep, label) per round, in order
+    var round = 0
+    var converged = false
+    while (round < CollapseRounds && !converged) {
+      val labels = collapseRound(reps, nReps)
+      val merged = roundTrip(labels.filter(col("id") =!= col("label"))
+        .select(col("id").as("rep"), col("label")), s"m$round")
+      // the CC's internal label checkpoints are dead once `merged` is
+      // file-backed; reps is file-backed too, so the plan holds no
+      // checkpoint that anything else reads
+      graft.Checkpoints.releaseAll(labels)
+      if (merged.isEmpty) { converged = true }
+      else {
+        renames :+= merged
+        reps = roundTrip(
+          reps.join(merged, col("vec_id") === col("rep"), "left_anti"),
+          s"reps$round")
+        nReps = reps.count()
+      }
+      round += 1
+    }
+    // compose the rename chain onto the full corpus (exact replicas
+    // inherit their canonical's path through every round), then
+    // materialize so the tmp files can be deleted
+    val members = renames.foldLeft(
+        exact.select(col("vec_id"), col("embedding"), col("ecanon").as("rep"))) {
+      (acc, m) =>
+        acc.join(m, Seq("rep"), "left")
+          .select(col("vec_id"), col("embedding"),
+            coalesce(col("label"), col("rep")).as("rep"))
+    }.localCheckpoint()
+    graft.Checkpoints.release(exact)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    members
+  }
+
+  /** The composed serve: collapse → build the graph over family reps →
+    * beam-search → expand top-[[K]] rep hits to family members rescored
+    * EXACTLY against the query → id-level top-[[K]]. The expansion is
+    * (queries × K × family)-bounded and broadcasts; the member map is
+    * scanned once, the corpus never shuffles at read time. Returns
+    * (qid, rank, neighbor). */
+  private[operators] def collapseServe(e0: DataFrame, queries: DataFrame,
+      tau: Double = CollapseTau, ef: Int = Ef, beamHops: Int = BeamHops): DataFrame = {
+    val members = nearDupCollapse(e0, tau)
+    val reps = members.filter(col("vec_id") === col("rep"))
+      .select("vec_id", "embedding")
+    val out = withCachedAdj(buildAdjacency(reps)) { adj =>
+      val visited = visitedFrame(reps, adj, queries, ef, beamHops)
+      val topRep = visited.groupBy("qid")
+        .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
+        .select(col("qid"), explode(col("nbrs")).as("rep"))
+      val fam = members.join(broadcast(topRep), Seq("rep"))
+        .select(col("qid"), col("vec_id"), col("embedding"))
+      val served = fam.join(broadcast(queries), Seq("qid"))
+        .groupBy("qid")
+        .agg(TopK.topKByScore(V.cosine(col("qemb"), col("embedding")),
+          col("vec_id"), K).as("nbrs"))
+        .select(col("qid"), posexplode(col("nbrs")).as(Seq("pos", "neighbor")))
+        .select(col("qid"), (col("pos") + 1).as("rank"), col("neighbor"))
+        .orderBy("qid", "rank")
+        .localCheckpoint()
+      graft.Checkpoints.release(visited)
+      served
+    }
+    graft.Checkpoints.release(members)
+    out
+  }
+
+  /** p11: the composed training-data-pipeline answer to dense near-dup
+    * mass — d5/d11's collapse IN FRONT OF the s21 index, as one
+    * registered end-to-end row (the r15 receipts showed the raw graph
+    * read degrading to recall 0.06 on 100-member near-tie clusters at
+    * 200k; collapsed-first the same corpus serves at ≥0.9 — the spec
+    * pins the clustered-fixture recall, HnswCollapseSpec). Reference
+    * analogue: the dedup screen ahead of the index rebuild
+    * (embeddingController.js:10-57 → customTrainDataController.js:28-86).
+    * Engine-defined graph ⇒ spec class like s21; driver records
+    * rows-only. */
+  def p11CollapseServe(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir).select("vec_id", "embedding")
+    collapseServe(e, Similarity.externalQueries(s, dir))
   }
 }

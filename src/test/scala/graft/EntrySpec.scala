@@ -9,7 +9,8 @@ class EntrySpec extends SparkSpec {
   test("every queries key has either an oracle or a spec-validated marker") {
     val specOnly = Set("d4_simhash", "d6_winnowing", "t6_recursive_chunk",
       "m4_phash_neardup", "m5_incremental_phash", "m7_scene_cuts",
-      "s21_hnsw_topk", "s22_hnsw_insert", "s23_hnsw_delete", "s24_hnsw_tuning")
+      "s21_hnsw_topk", "s22_hnsw_insert", "s23_hnsw_delete", "s24_hnsw_tuning",
+      "p11_collapse_serve")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- specOnly
     assert(missing.isEmpty, s"queries without oracle or spec: $missing")
   }

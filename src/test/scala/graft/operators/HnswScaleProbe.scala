@@ -59,8 +59,19 @@ object HnswScaleProbe {
       val ef = args.sliding(2).collectFirst {
         case Array("--ef", v) => v.toInt }.getOrElse(Hnsw.Ef)
       val qs = Similarity.externalQueries(s, dir)
-      val got = Hnsw.searchFrame(corpus, Hnsw.buildAdjacency(corpus), qs,
-        ef, Hnsw.BeamHops)
+      // --collapse: the composed p11 path (near-dup collapse → build
+      // over family reps → read → exact member re-expansion) instead of
+      // the raw registered read — the receipt that the documented
+      // dense-cluster limit is routed around in the shipped pipeline
+      val t0 = System.nanoTime()
+      val got =
+        if (args.contains("--collapse"))
+          Hnsw.collapseServe(corpus, qs, Hnsw.CollapseTau, ef, Hnsw.BeamHops)
+        else Hnsw.searchFrame(corpus, Hnsw.buildAdjacency(corpus), qs,
+          ef, Hnsw.BeamHops)
+      got.write.format("noop").mode("overwrite").save()
+      println(f"read_end_to_end       ${(System.nanoTime() - t0) / 1e9}%7.3f s" +
+        (if (args.contains("--collapse")) " (collapse+build+serve)" else ""))
       val nemb = corpus.select(col("vec_id").as("neighbor"), col("embedding").as("nemb"))
       val gotScored = got.join(nemb, Seq("neighbor")).join(qs, Seq("qid"))
         .select(col("qid"), cos(col("qemb"), col("nemb")).as("sc"))
