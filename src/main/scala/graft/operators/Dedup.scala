@@ -827,12 +827,22 @@ object Dedup {
     }
     var cur = largeStar(edges.select("u", "v"))
       .repartition(parts, col("u")).localCheckpoint()
+    var curCount = cur.count()
     var done = false
     var iter = 0
     while (!done && iter < 20) {
       val next = smallStar(largeStar(cur))
         .repartition(parts, col("u")).localCheckpoint()
-      done = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // set equality as (equal cardinality) ∧ (one-way inclusion): both
+      // frames end in .distinct(), so one cheap count of the fresh
+      // checkpoint replaces the second exceptAll — and short-circuits it
+      // entirely on the (typical) contracting rounds where the counts
+      // differ. The old two-sided exceptAll paid 2 shuffle-heavy jobs
+      // per round for pure loop control (guide §1.2: driver actions are
+      // the cost at bench scale, the edge sliver is tiny).
+      val nextCount = next.count()
+      done = nextCount == curCount && next.exceptAll(cur).isEmpty
+      curCount = nextCount
       releaseCheckpoint(cur)
       cur = next
       iter += 1

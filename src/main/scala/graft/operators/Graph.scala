@@ -105,26 +105,37 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("node"), col("degree"),
       lit(InitRank).as("rank_micro")).localCheckpoint()
-    for (_ <- 1 to iterations) {
-      // integer DIV throughout — a double divide + cast could round a
-      // quotient across an integer boundary and diverge from the oracle.
-      // SHUFFLE_HASH on the node-sized ranks side: edges are already
-      // hash-partitioned on src, so the join neither exchanges nor SORTS
-      // the edge set — without the hint, a graph whose ranks frame
-      // outgrows the broadcast threshold silently degrades to a per-
-      // iteration sort-merge over every edge (measured 5.2x for 3x data
-      // at sf3; with the hint the sweep is linear)
-      val contrib = edges.join(ranks.hint("SHUFFLE_HASH"),
-          edges("src") === ranks("node"))
+    // integer DIV throughout — a double divide + cast could round a
+    // quotient across an integer boundary and diverge from the oracle.
+    // SHUFFLE_HASH on the node-sized ranks side: edges are already
+    // hash-partitioned on src, so the join neither exchanges nor SORTS
+    // the edge set — without the hint, a graph whose ranks frame
+    // outgrows the broadcast threshold silently degrades to a per-
+    // iteration sort-merge over every edge (measured 5.2x for 3x data
+    // at sf3; with the hint the sweep is linear)
+    def step(r: DataFrame): DataFrame = {
+      val contrib = edges.join(r.hint("SHUFFLE_HASH"),
+          edges("src") === r("node"))
         .select(col("dst"), expr("rank_micro DIV degree").as("c"))
       val inflow = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_c"))
-      val next = deg.join(inflow, deg("node") === inflow("dst"), "left")
+      deg.join(inflow, deg("node") === inflow("dst"), "left")
         .select(col("node"), col("degree"),
           (lit(Teleport) +
             expr(s"($DampPct * coalesce(in_c, 0L)) DIV 100")).as("rank_micro"))
-        .localCheckpoint()
+    }
+    // TWO iterations per checkpoint (the connectedComponents two-rounds-
+    // per-action discipline): the recurrence composes lazily — iteration
+    // 2's plan holds iteration 1's ONCE (linear growth, no stat
+    // feedback), so batching halves the per-iteration driver actions
+    // that dominate at bench scale while the at-scale shuffle structure
+    // per iteration is unchanged (plan-identical per step).
+    var it = 0
+    while (it < iterations) {
+      val steps = math.min(2, iterations - it)
+      val next = (1 to steps).foldLeft(ranks)((r, _) => step(r)).localCheckpoint()
       Checkpoints.release(ranks)
       ranks = next
+      it += steps
     }
     ranks
   }
@@ -208,6 +219,10 @@ object Graph {
           .as("checksum"))
         .select(lit(hop.toLong).as("hop"), col("n_parts"), col("checksum"))
     var frontier = seeds
+    // visited stays a LAZY union of the per-hop frontier checkpoints —
+    // the old per-hop `visited` checkpoint re-materialized rows that
+    // were already checkpoint-backed (hops × one pure-overhead job;
+    // the anti-join probes the k-checkpoint union just as cheaply)
     var visited = seeds
     var out = report(seeds, 0)
     for (h <- 1 to hops) {
@@ -219,9 +234,8 @@ object Graph {
       // no release: the per-hop report frames read these checkpoints
       // lazily at collection time; all are node-bound and the context
       // cleaner reclaims them once unreferenced
-      val nextVisited = visited.unionByName(next).localCheckpoint()
+      visited = visited.unionByName(next)
       frontier = next
-      visited = nextVisited
       out = out.unionByName(report(next, h))
     }
     out.orderBy("hop")

@@ -381,13 +381,18 @@ object Hnsw {
     * the read path re-expands canonical hits to replica ids (identical
     * embeddings share the canonical's score by definition). One
     * embedding-keyed window per BUILD — never at read time. */
-  private[operators] def distinctCorpus(e0: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    e0.withColumn("__canon",
-        min(col("vec_id")).over(Window.partitionBy("embedding")))
-      .filter(col("vec_id") === col("__canon"))
+  private[operators] def distinctCorpus(e0: DataFrame): DataFrame =
+    // map-combined aggregate, NOT a window over the embedding key: the
+    // window form shuffles the corpus keyed on the embedding AND buffers
+    // + sorts each group in one task — a boilerplate vector replicated
+    // millions of times (exactly the corpus shape this collapse exists
+    // for) lands on one straggler. The partial-agg form combines
+    // map-side, so the hot family reduces to one row per partition
+    // before the exchange (guide §2.3/§2.5; the d1/d10 hot-key
+    // discipline). Output rows are identical: one (min vec_id,
+    // embedding) per distinct embedding.
+    e0.groupBy("embedding").agg(min(col("vec_id")).as("vec_id"))
       .select("vec_id", "embedding")
-  }
 
   /** The layered adjacency: (layer, node, nbr, nemb) over the DISTINCT
     * corpus ([[distinctCorpus]] — node ids are canonical ids). Each
@@ -453,10 +458,16 @@ object Hnsw {
     * top-[[K]] canonicals of a visited set, re-expanded to replica ids.
     * Returns (qid, rank, neighbor), rank 1..[[K]], unordered. */
   private[operators] def expandTopK(e0: DataFrame, visited: DataFrame): DataFrame = {
-    val topCanon = visited.groupBy("qid")
+    // both reporter joins carry (queries × K)-bounded frames — BROADCAST
+    // them explicitly: size estimates on checkpoint-backed plans pushed
+    // both to SortMergeJoin (4 exchanges + 4 sorts of request-sized
+    // frames in the captured r16 plan; guide §3.1). The semi-join form
+    // of the top-K restriction is row-identical to the inner join (topK
+    // ids are distinct per qid and drawn FROM visited).
+    val topIds = visited.groupBy("qid")
       .agg(TopK.topKByScore(col("sc"), col("node"), K).as("nbrs"))
       .select(col("qid"), explode(col("nbrs")).as("node"))
-      .join(visited, Seq("qid", "node"))
+    val topCanon = visited.join(broadcast(topIds), Seq("qid", "node"), "left_semi")
     val candEmb = e0.select(col("vec_id").as("node"), col("embedding").as("cemb"))
       .join(broadcast(topCanon.select("node").distinct()), Seq("node"))
     // dedup on (qid, cemb): two graph nodes CAN carry identical
@@ -467,7 +478,7 @@ object Hnsw {
     // neighbor could occupy two of the K ranks. Scores of the duplicate
     // rows are equal by construction (same embedding ⇒ same cosine), so
     // dropping either is value-stable.
-    val cands = topCanon.join(candEmb, Seq("node"))
+    val cands = topCanon.join(broadcast(candEmb), Seq("node"))
       .select(col("qid"), col("sc"), col("cemb"))
       .dropDuplicates("qid", "cemb")
     e0.join(broadcast(cands), col("embedding") === col("cemb"))
@@ -529,14 +540,22 @@ object Hnsw {
     var beam = scored(qs.select(col("qid")).crossJoin(entry))
       .localCheckpoint()
     // descent: per upper layer, greedy (beam-1) hops to a FIXED POINT —
-    // stop once no query's best node moved (cap DescentHops)
+    // stop once no query's best node moved (cap DescentHops).
+    // NOTE (r17, measured): composing k hops into one lazy plan between
+    // driver actions ("hop batching") was tried and is a LOSS — each
+    // in-plan hop references its predecessor ~3×, and exchange reuse
+    // does not deduplicate the copies under AQE, so executed work grows
+    // ~3^k per batch (s21 sf0.1 min-of-3: 13.3 s per-hop, 19.4 s at
+    // k=2, 33.5 s at k=4). The per-hop checkpoint is the cheapest
+    // correct granularity; driver actions are NOT the dominant term.
     for (l <- MaxLevel to 1 by -1) {
+      val adjL = adj.filter(col("layer") === l)
       var hop = 0
       var converged = false
       while (hop < DescentHops && !converged) {
         // frontier is (queries × beam)-sized: BROADCAST it against the
         // persisted adjacency — the corpus side is streamed, never shuffled
-        val cand = adj.filter(col("layer") === l)
+        val cand = adjL
           .join(broadcast(beam.select("qid", "node")), Seq("node"))
           .select(col("qid"), col("nbr").as("node"), col("nemb"))
         val prev = beam
@@ -557,10 +576,10 @@ object Hnsw {
     // is explored — the fixed point; cap beamHops)
     val adj0 = adj.filter(col("layer") === 0)
     var visited = beam
+    var visCount = visited.count()
     var exhausted = false
     var hop = 0
     while (hop < beamHops && !exhausted) {
-      val before = visited.count()
       val cand = adj0.join(broadcast(beam.select("qid", "node")), Seq("node"))
         .select(col("qid"), col("nbr").as("node"), col("nemb"))
         .join(visited.select(col("qid"), col("node")), Seq("qid", "node"), "left_anti")
@@ -572,7 +591,12 @@ object Hnsw {
       // near-empty tasks (measured: the 200k-corpus read ground to
       // ~minutes per hop on scheduling overhead alone)
       visited = visited.unionByName(scored(cand)).coalesce(16).localCheckpoint()
-      exhausted = visited.count() == before
+      // ONE count per hop, carried across iterations (the old per-hop
+      // `before` count re-counted the frame the previous hop had already
+      // counted — a pure fixed-overhead job, dropped; guide §1.2)
+      val after = visited.count()
+      exhausted = after == visCount
+      visCount = after
       // (qid, node) only — re-attaching sc via a join back to visited
       // would SQUARE the checkpoint-stat feedback each hop (every
       // localCheckpoint rewrites stats from its child plan; a visited
@@ -998,18 +1022,34 @@ object Hnsw {
       .select("qid", "neighbor").localCheckpoint()
     val nQ = Similarity.NumExternalQueries.toDouble
     val total = truth.count().toDouble
+    // The four settings' walks are INDEPENDENT reads over the same
+    // cached adjacency — run them concurrently from a small thread pool
+    // (guide §2.6: actions are only sequential because the driver calls
+    // them sequentially; each walk is driver-action-bound, so its jobs
+    // back-fill the scheduler gaps of the others). Results are collected
+    // in TuningSettings order and every walk is deterministic, so the
+    // published curve is identical to the sequential form (spec-pinned).
     val rows = withCachedAdj(buildAdjacency(e)) { adj =>
-      TuningSettings.map { case (ef, hops) =>
-        val vis = visitedFrame(e, adj, qs, ef, hops)
-        // score through the SERVING reporter (expandTopK), not raw
-        // canonical node ids: on a corpus with duplicate embeddings the
-        // published curve must measure the ids s21 actually returns
-        val got = expandTopK(e, vis).select("qid", "neighbor")
-        val hits = got.join(truth, Seq("qid", "neighbor"), "left_semi").count()
-        val visitedPerQ = vis.count() / nQ
-        graft.Checkpoints.release(vis)
-        (ef, hops, visitedPerQ, hits / total)
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(TuningSettings.size)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = TuningSettings.map { case (ef, hops) =>
+          scala.concurrent.Future {
+            val vis = visitedFrame(e, adj, qs, ef, hops)
+            // score through the SERVING reporter (expandTopK), not raw
+            // canonical node ids: on a corpus with duplicate embeddings the
+            // published curve must measure the ids s21 actually returns
+            val got = expandTopK(e, vis).select("qid", "neighbor")
+            val hits = got.join(truth, Seq("qid", "neighbor"), "left_semi").count()
+            val visitedPerQ = vis.count() / nQ
+            graft.Checkpoints.release(vis)
+            (ef, hops, visitedPerQ, hits / total)
+          }
+        }
+        futs.map(f => scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     }
     graft.Checkpoints.release(truth)
     rows.toDF("ef", "beam_hops", "visited_per_query", "recall_at_5")
@@ -1086,9 +1126,15 @@ object Hnsw {
 
   private[operators] def nearDupCollapse(e0: DataFrame,
       tau: Double = CollapseTau): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val exact = e0.withColumn("ecanon",
-        min(col("vec_id")).over(Window.partitionBy("embedding")))
+    // exact-collapse via map-combined groupBy + join-back, not a window
+    // over the embedding key (the distinctCorpus rationale: a window
+    // buffers and sorts a replica family in one task; the aggregate
+    // combines map-side and the SHUFFLE_HASH join-back streams the
+    // corpus through an unsorted probe — no per-group buffer, no sort,
+    // guide §2.5/§3.1). ecanon per row is identical by construction.
+    val canon = e0.groupBy("embedding").agg(min(col("vec_id")).as("ecanon"))
+    val exact = e0.join(canon.hint("SHUFFLE_HASH"), Seq("embedding"))
+      .select(col("vec_id"), col("embedding"), col("ecanon"))
       .localCheckpoint()
     // one collapse round over a rep set: candidate pairs → τ-verified
     // edges → min-id components → (old id, new rep id)
@@ -1142,52 +1188,77 @@ object Hnsw {
     // from honest file stats; the frames written are rep-sized (the
     // corpus never rewrites — round 1 reads the corpus-derived distinct
     // frame directly and only its contracted rep set is persisted).
-    val tmp = java.nio.file.Files.createTempDirectory("graft-collapse")
+    //
+    // The round-trip root is a Hadoop-FileSystem path (the
+    // VectorStoreSink precedent), NOT a driver-local temp dir: on a
+    // cluster, executors commit task files through the Hadoop committer
+    // to wherever the path's FileSystem lives, so the read-back sees
+    // them — a java.nio driver-local dir only works in local mode.
+    // `spark.graft.scratch.dir` points a deployment at its shared
+    // scratch FS (e.g. an object-store prefix); the local default is the
+    // JVM temp dir, where behavior is unchanged.
     val spark = e0.sparkSession
+    val scratchRoot = spark.conf.get("spark.graft.scratch.dir",
+      "file://" + sys.props("java.io.tmpdir"))
+    val tmp = new org.apache.hadoop.fs.Path(scratchRoot,
+      s"graft-collapse-${java.util.UUID.randomUUID().toString.take(13)}")
+    val fs = tmp.getFileSystem(spark.sessionState.newHadoopConf())
     def roundTrip(df: DataFrame, tag: String): DataFrame = {
-      val path = tmp.resolve(tag).toString
+      val path = new org.apache.hadoop.fs.Path(tmp, tag).toString
       df.write.mode("overwrite").parquet(path)
       spark.read.parquet(path)
     }
-    var reps = roundTrip(exact.filter(col("vec_id") === col("ecanon"))
-      .select("vec_id", "embedding"), "reps_init")
-    var nReps = reps.count()
-    var renames = List.empty[DataFrame] // (rep, label) per round, in order
-    var round = 0
-    var converged = false
-    while (round < CollapseRounds && !converged) {
-      val labels = collapseRound(reps, nReps)
-      val merged = roundTrip(labels.filter(col("id") =!= col("label"))
-        .select(col("id").as("rep"), col("label")), s"m$round")
-      // the CC's internal label checkpoints are dead once `merged` is
-      // file-backed; reps is file-backed too, so the plan holds no
-      // checkpoint that anything else reads
-      graft.Checkpoints.releaseAll(labels)
-      if (merged.isEmpty) { converged = true }
-      else {
-        renames :+= merged
-        reps = roundTrip(
-          reps.join(merged, col("vec_id") === col("rep"), "left_anti"),
-          s"reps$round")
-        nReps = reps.count()
+    // try/finally: an exception in any round must still delete the
+    // scratch dir and release the exact-collapse checkpoint (without it
+    // a failed collapse leaked both for the life of the session)
+    try {
+      var reps = roundTrip(exact.filter(col("vec_id") === col("ecanon"))
+        .select("vec_id", "embedding"), "reps_init")
+      var nReps = reps.count()
+      var renames = List.empty[DataFrame] // (rep, label) per round, in order
+      var round = 0
+      var converged = false
+      while (round < CollapseRounds && !converged) {
+        val labels = collapseRound(reps, nReps)
+        // the CC's internal label checkpoints are dead once `merged` is
+        // file-backed; reps is file-backed too, so the plan holds no
+        // checkpoint that anything else reads (released in a finally so
+        // a failed round-trip cannot leak them either)
+        val merged =
+          try roundTrip(labels.filter(col("id") =!= col("label"))
+            .select(col("id").as("rep"), col("label")), s"m$round")
+          finally graft.Checkpoints.releaseAll(labels)
+        if (merged.isEmpty) { converged = true }
+        else {
+          renames :+= merged
+          reps = roundTrip(
+            reps.join(merged, col("vec_id") === col("rep"), "left_anti"),
+            s"reps$round")
+          nReps = reps.count()
+        }
+        round += 1
       }
-      round += 1
+      // the cap is a loud-failure backstop, not a budget the loop
+      // approaches (contraction is geometric): surface a non-contracting
+      // corpus instead of silently serving a partially-collapsed graph
+      if (!converged)
+        System.err.println(s"[graft] nearDupCollapse stopped at the " +
+          s"$CollapseRounds-round cap with merges still occurring " +
+          s"(reps=$nReps): partial collapse — fragment reps remain in the graph")
+      // compose the rename chain onto the full corpus (exact replicas
+      // inherit their canonical's path through every round), then
+      // materialize so the scratch files can be deleted
+      renames.foldLeft(
+          exact.select(col("vec_id"), col("embedding"), col("ecanon").as("rep"))) {
+        (acc, m) =>
+          acc.join(m, Seq("rep"), "left")
+            .select(col("vec_id"), col("embedding"),
+              coalesce(col("label"), col("rep")).as("rep"))
+      }.localCheckpoint()
+    } finally {
+      graft.Checkpoints.release(exact)
+      fs.delete(tmp, true)
     }
-    // compose the rename chain onto the full corpus (exact replicas
-    // inherit their canonical's path through every round), then
-    // materialize so the tmp files can be deleted
-    val members = renames.foldLeft(
-        exact.select(col("vec_id"), col("embedding"), col("ecanon").as("rep"))) {
-      (acc, m) =>
-        acc.join(m, Seq("rep"), "left")
-          .select(col("vec_id"), col("embedding"),
-            coalesce(col("label"), col("rep")).as("rep"))
-    }.localCheckpoint()
-    graft.Checkpoints.release(exact)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
-      .foreach(p => java.nio.file.Files.deleteIfExists(p))
-    members
   }
 
   /** The composed serve: collapse → build the graph over family reps →
